@@ -1,0 +1,158 @@
+"""Hierarchical spatial cell index (H3/S2 stand-in).
+
+The reference's spatial prefilter is GDAL's SpatialFilter bbox test
+(reference godal.go:3450-3456, godal.go:2797-2799); the north-star engine
+replaces it with a discrete-global-grid equi-join. No H3/S2 library is
+available in this environment, so we use an equal-angle quadtree grid —
+the same public DGG idea (Bing quadkey / Z-order tiles): at resolution
+``res`` the lon/lat plane [-180,180]x[-90,90] is split into 2^res x 2^res
+cells. Cell ids are int64 so the join key stays a JVM-side primitive.
+
+Design constraints (for 100 TB scale):
+  * cell id must be computable with *built-in* Spark functions (pure
+    arithmetic — stays inside whole-stage codegen, no Python);
+  * neighbor/ring arithmetic must be O(1) integer math (kNN ring
+    expansion, halo joins);
+  * one id namespace across resolutions (res in the high bits) so mixed
+    LOD tables can share a partition column.
+
+Layout of the 64-bit id:   [ res:6 bits | x:26 bits | y:26 bits ]
+Max res = 26 (~2.4 m cells at the equator) — finer than any footprint
+join needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 26
+_XSHIFT = 26
+_RSHIFT = 52
+
+
+def cell_xy(lon, lat, res: int):
+    """Discrete cell coords (x, y) at ``res``. Accepts scalars or numpy arrays.
+
+    Edge rule: lon=180 / lat=90 clamp into the last cell (half-open cells
+    [a, b) except the global max edge, matching raster upper-edge clipping).
+    """
+    n = 1 << res
+    x = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * n).astype(np.int64)
+    y = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * n).astype(np.int64)
+    x = np.clip(x, 0, n - 1)
+    y = np.clip(y, 0, n - 1)
+    return x, y
+
+
+def pack(x, y, res: int):
+    """Pack (x, y, res) into the int64 id."""
+    return (np.int64(res) << _RSHIFT) | (np.asarray(x, dtype=np.int64) << _XSHIFT) | np.asarray(y, dtype=np.int64)
+
+
+def unpack(cell):
+    """Inverse of :func:`pack` → (x, y, res)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = (cell >> _RSHIFT) & 0x3F
+    x = (cell >> _XSHIFT) & ((1 << _XSHIFT) - 1)
+    y = cell & ((1 << _XSHIFT) - 1)
+    return x, y, res
+
+
+def cell_of(lon, lat, res: int):
+    x, y = cell_xy(lon, lat, res)
+    return pack(x, y, res)
+
+
+def cell_bounds(cell):
+    """(minlon, minlat, maxlon, maxlat) of a cell id (scalar or array)."""
+    x, y, res = unpack(cell)
+    n = (np.int64(1) << res).astype(np.float64) if isinstance(res, np.ndarray) else float(1 << int(res))
+    w, h = 360.0 / n, 180.0 / n
+    minlon = -180.0 + x * w
+    minlat = -90.0 + y * h
+    return minlon, minlat, minlon + w, minlat + h
+
+
+def ring(x: int, y: int, res: int, k: int) -> list[tuple[int, int]]:
+    """Cells at Chebyshev distance exactly k from (x, y); k=0 → [(x, y)].
+
+    The kNN join's candidate generator (ring 0, 1, 2, ... until k
+    neighbors found). Out-of-range y rows are dropped; x wraps (lon).
+    """
+    n = 1 << res
+    if k == 0:
+        return [(x, y)]
+    out = []
+    for dx in range(-k, k + 1):
+        for dy in range(-k, k + 1):
+            if max(abs(dx), abs(dy)) != k:
+                continue
+            yy = y + dy
+            if 0 <= yy < n:
+                out.append(((x + dx) % n, yy))
+    return out
+
+
+def disk(x: int, y: int, res: int, k: int) -> list[tuple[int, int]]:
+    """All cells within Chebyshev distance ≤ k (the (2k+1)² neighborhood)."""
+    out = []
+    for i in range(k + 1):
+        out.extend(ring(x, y, res, i))
+    return out
+
+
+def cells_covering_bbox(minlon, minlat, maxlon, maxlat, res: int) -> np.ndarray:
+    """int64 ids of every cell intersecting the bbox (coarse polygon cover).
+
+    This is the footprint→cells explode used on the polygon side of the
+    PIP join. Caller is responsible for choosing ``res`` so the cover
+    stays small (the operators layer auto-picks from footprint size).
+    """
+    x0, y0 = cell_xy(minlon, minlat, res)
+    x1, y1 = cell_xy(maxlon, maxlat, res)
+    # upper edges are half-open: a bbox whose max lands exactly on a cell
+    # boundary should not cover the next cell
+    n = 1 << res
+    if x1 > x0 and np.isclose((maxlon + 180.0) / 360.0 * n, float(x1)):
+        x1 -= 1
+    if y1 > y0 and np.isclose((maxlat + 90.0) / 180.0 * n, float(y1)):
+        y1 -= 1
+    xs = np.arange(x0, x1 + 1, dtype=np.int64)
+    ys = np.arange(y0, y1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    return pack(gx.ravel(), gy.ravel(), res)
+
+
+def res_for_cell_deg(target_deg: float) -> int:
+    """Smallest res whose cell width ≤ target_deg (footprint-size heuristic)."""
+    for r in range(MAX_RES + 1):
+        if 360.0 / (1 << r) <= target_deg:
+            return r
+    return MAX_RES
+
+
+# ---------------------------------------------------------------------------
+# Spark Column builders — keep cell computation JVM-side (codegen), so the
+# join key for PIP/kNN never leaves whole-stage codegen. Import pyspark
+# lazily so the functions/ layer stays importable without a JVM.
+# ---------------------------------------------------------------------------
+
+def spark_cell_cols(lon_col, lat_col, res: int):
+    """(cell_x, cell_y, cell) Columns from lon/lat Columns — pure built-ins."""
+    from pyspark.sql import functions as F
+
+    n = 1 << res
+    x = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((lon_col + 180.0) / 360.0 * n))).cast("long")
+    y = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((lat_col + 90.0) / 180.0 * n))).cast("long")
+    cell = (F.lit(res).cast("long") * F.lit(1 << _RSHIFT).cast("long")
+            + x * F.lit(1 << _XSHIFT).cast("long") + y)
+    return x, y, cell
+
+
+def sql_cell_expr(lon_expr: str, lat_expr: str, res: int) -> str:
+    """Same cell id as ANSI-ish SQL text (shared by Spark SQL and the
+    DuckDB oracle so both sides derive identical join keys)."""
+    n = 1 << res
+    x = f"least({n - 1}, greatest(0, cast(floor(({lon_expr} + 180.0) / 360.0 * {n}) as bigint)))"
+    y = f"least({n - 1}, greatest(0, cast(floor(({lat_expr} + 90.0) / 180.0 * {n}) as bigint)))"
+    return f"(cast({res} as bigint) * {1 << _RSHIFT} + {x} * {1 << _XSHIFT} + {y})"

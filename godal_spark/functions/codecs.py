@@ -1,0 +1,199 @@
+"""Pixel codecs for the `bytes`/`fmt` columns of the images table.
+
+The reference delegates decoding to GDAL drivers (reference driver.go:
+20-109 registry). No imaging library exists in this environment, so:
+
+  * ``raw8``  — row-major uint8, band-interleaved-by-pixel (the input_hint
+    layout); pure numpy reshape. Lossless.
+  * ``png``   — real, self-contained PNG codec over stdlib zlib
+    (8-bit grayscale / RGB / RGBA, filters 0-4 on decode, filter 0 on
+    encode). Deterministic and lossless, so the PSNR invariant is exact.
+  * ``jpeg``  — STUB. No DCT codec available; `decode` raises
+    NotImplementedError unless the payload carries the engine's
+    deterministic fake-jpeg container (header b"FJPG" + raw8 payload),
+    which tests use to exercise the lossy-path plumbing (PSNR>=40dB
+    check) without a real JPEG library.
+
+Decoded shape convention: (h, w) for 1 band, (h, w, bands) otherwise.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# raw8
+# ---------------------------------------------------------------------------
+
+def encode_raw8(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr.astype(np.uint8)).tobytes()
+
+
+def decode_raw8(buf: bytes, w: int, h: int) -> np.ndarray:
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    bands = arr.size // (w * h)
+    if bands * w * h != arr.size:
+        raise ValueError(f"raw8 size {arr.size} not divisible by {w}x{h}")
+    if bands == 1:
+        return arr.reshape(h, w).copy()
+    return arr.reshape(h, w, bands).copy()
+
+
+# ---------------------------------------------------------------------------
+# png (pure python + stdlib zlib)
+# ---------------------------------------------------------------------------
+
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # bands -> PNG color type
+_BANDS = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w, bands = arr.shape[0], arr.shape[1], 1
+        flat = arr
+    else:
+        h, w, bands = arr.shape
+        flat = arr.reshape(h, w * bands)
+    ctype = _COLOR_TYPE[bands]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = np.empty((h, w * bands + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = flat
+    idat = zlib.compress(raw.tobytes(), level)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    off = 8
+    w = h = None
+    ctype = None
+    idat = b""
+    while off < len(buf):
+        ln = struct.unpack_from(">I", buf, off)[0]
+        tag = buf[off + 4:off + 8]
+        payload = buf[off + 8:off + 8 + ln]
+        off += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or interlace != 0 or ctype not in _BANDS:
+                raise NotImplementedError("png: only 8-bit non-interlaced gray/RGB/RGBA")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    bands = _BANDS[ctype]
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * bands + 1)
+    filters = raw[:, 0]
+    data = raw[:, 1:].astype(np.int32)
+    bpp = bands
+    out = np.zeros_like(data)
+    for y in range(h):
+        line = data[y].copy()
+        f = filters[y]
+        prev = out[y - 1] if y > 0 else np.zeros_like(line)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub
+            for x in range(len(line)):
+                left = out[y, x - bpp] if x >= bpp else 0
+                out[y, x] = (line[x] + left) & 0xFF
+        elif f == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(len(line)):
+                left = out[y, x - bpp] if x >= bpp else 0
+                out[y, x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(len(line)):
+                a = out[y, x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[y, x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"png filter {f}")
+    img = out.astype(np.uint8)
+    if bands == 1:
+        return img.reshape(h, w)
+    return img.reshape(h, w, bands)
+
+
+# ---------------------------------------------------------------------------
+# jpeg (stub — deterministic fake container for plumbing tests)
+# ---------------------------------------------------------------------------
+
+_FJPG = b"FJPG"
+
+
+def encode_fake_jpeg(arr: np.ndarray) -> bytes:
+    """Deterministic stand-in for a lossy codec: stores raw8 plus a marker.
+    Real JPEG would need a DCT library unavailable here; the Spark-side
+    plumbing (binary column, batch decode UDF, PSNR check) is identical."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    bands = 1 if arr.ndim == 2 else arr.shape[2]
+    # quantize to simulate loss (deterministic): round to multiples of 4
+    lossy = ((arr.astype(np.int32) + 2) // 4 * 4).clip(0, 255).astype(np.uint8)
+    return _FJPG + struct.pack("<III", w, h, bands) + lossy.tobytes()
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    if buf[:4] == _FJPG:
+        w, h, bands = struct.unpack_from("<III", buf, 4)
+        arr = np.frombuffer(buf, dtype=np.uint8, offset=16)
+        return arr.reshape(h, w) if bands == 1 else arr.reshape(h, w, bands)
+    raise NotImplementedError(
+        "real JPEG decode requires an imaging library not present in this "
+        "environment; plumbing is exercised via the FJPG deterministic stub")
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> np.ndarray:
+    f = fmt.lower()
+    if f == "raw8":
+        return decode_raw8(buf, w, h)
+    if f == "png":
+        return decode_png(bytes(buf))
+    if f in ("jpeg", "jpg"):
+        return decode_jpeg(bytes(buf))
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def encode(arr: np.ndarray, fmt: str) -> bytes:
+    f = fmt.lower()
+    if f == "raw8":
+        return encode_raw8(arr)
+    if f == "png":
+        return encode_png(arr)
+    if f in ("jpeg", "jpg"):
+        return encode_fake_jpeg(arr)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    import math
+    return 10.0 * math.log10(peak * peak / mse)

@@ -1,0 +1,802 @@
+"""Minimal computational-geometry kernel (shapely stand-in).
+
+The reference delegates geometry to OGR/GEOS (reference godal.go:2666-2897,
+WKB/WKT io godal.go:3532-3702). No GEOS binding exists in this
+environment, so the engine carries its own small, deterministic kernel:
+
+  * WKB / WKT / GeoJSON encode-decode (2-D, little-endian ISO codes) —
+    geometry travels between Spark rows as WKB ``binary`` columns;
+  * vectorized point-in-polygon (ray casting, numpy) — the PIP join's
+    exact refine stage, the analogue of a broadcast *prepared* geometry;
+  * shoelace area, bounds, centroid, distance;
+  * intersects / contains predicates (bbox short-circuit + exact);
+  * boolean ops (intersection / union / difference) — exact for
+    axis-aligned rectilinear polygons via coordinate-grid decomposition
+    (covers the reference's golden corpus: godal_test.go:2960-3021 areas
+    3.0 / 1.0 / 7.0 over unit squares); convex clips via
+    Sutherland–Hodgman; anything else raises NotImplementedError;
+  * buffer (convex, arc-segmented; negative buffer may collapse to
+    EMPTY — godal_test.go:2807-2811) and Douglas–Peucker simplify.
+
+Everything here is plain numpy — inside an Arrow-batched pandas UDF this
+is the same class of inner loop as GEOS's C.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# ISO WKB geometry type codes
+_WKB_CODES = {
+    "Point": 1,
+    "LineString": 2,
+    "Polygon": 3,
+    "MultiPoint": 4,
+    "MultiLineString": 5,
+    "MultiPolygon": 6,
+    "GeometryCollection": 7,
+}
+_WKB_NAMES = {v: k for k, v in _WKB_CODES.items()}
+
+
+@dataclass
+class Geom:
+    """Tiny geometry holder.
+
+    coords layout by type:
+      Point               -> (x, y) tuple (or None for EMPTY)
+      LineString          -> float ndarray (n, 2)
+      Polygon             -> list[ndarray (n, 2)]  (ring 0 = shell, rest holes;
+                             rings closed: first == last)
+      MultiPoint          -> ndarray (n, 2)
+      MultiLineString     -> list[ndarray]
+      MultiPolygon        -> list[list[ndarray]]
+      GeometryCollection  -> list[Geom]
+    """
+
+    type: str
+    coords: object = field(default=None)
+
+    # -- predicates -------------------------------------------------------
+    @property
+    def is_empty(self) -> bool:
+        if self.coords is None:
+            return True
+        if self.type == "Point":
+            return False
+        if self.type in ("LineString", "MultiPoint"):
+            return len(self.coords) == 0
+        return len(self.coords) == 0
+
+    @property
+    def is_valid(self) -> bool:
+        # cheap structural validity (ring closure + ≥4 pts), like OGR's basic check
+        if self.type == "Polygon":
+            return all(len(r) >= 4 and np.allclose(r[0], r[-1]) for r in self.coords)
+        if self.type == "MultiPolygon":
+            return all(Geom("Polygon", p).is_valid for p in self.coords)
+        return not self.is_empty
+
+    # -- measures ---------------------------------------------------------
+    def area(self) -> float:
+        """Polygon area (0.0 for non-areal types — reference godal.go:2674-2676)."""
+        if self.type == "Polygon":
+            return _rings_area(self.coords)
+        if self.type == "MultiPolygon":
+            return float(sum(_rings_area(p) for p in self.coords))
+        if self.type == "GeometryCollection":
+            return float(sum(g.area() for g in self.coords))
+        return 0.0
+
+    def bounds(self) -> tuple[float, float, float, float]:
+        pts = self._all_points()
+        if len(pts) == 0:
+            return (0.0, 0.0, 0.0, 0.0)
+        return (float(pts[:, 0].min()), float(pts[:, 1].min()),
+                float(pts[:, 0].max()), float(pts[:, 1].max()))
+
+    def centroid(self) -> tuple[float, float]:
+        pts = self._all_points()
+        return (float(pts[:, 0].mean()), float(pts[:, 1].mean()))
+
+    def _all_points(self) -> np.ndarray:
+        t, c = self.type, self.coords
+        if c is None:
+            return np.zeros((0, 2))
+        if t == "Point":
+            return np.array([c], dtype=np.float64)
+        if t in ("LineString", "MultiPoint"):
+            return np.asarray(c, dtype=np.float64).reshape(-1, 2)
+        if t in ("Polygon", "MultiLineString"):
+            return np.vstack([np.asarray(r) for r in c]) if c else np.zeros((0, 2))
+        if t == "MultiPolygon":
+            return np.vstack([np.asarray(r) for p in c for r in p]) if c else np.zeros((0, 2))
+        if t == "GeometryCollection":
+            return np.vstack([g._all_points() for g in c]) if c else np.zeros((0, 2))
+        raise ValueError(t)
+
+    def polygons(self) -> list[list[np.ndarray]]:
+        """As a list of polygons (each a ring list) regardless of type."""
+        if self.type == "Polygon":
+            return [self.coords]
+        if self.type == "MultiPolygon":
+            return list(self.coords)
+        if self.type == "GeometryCollection":
+            return [p for g in self.coords for p in g.polygons()]
+        return []
+
+
+def _rings_area(rings) -> float:
+    a = 0.0
+    for i, r in enumerate(rings):
+        r = np.asarray(r, dtype=np.float64)
+        s = shoelace(r)
+        a += s if i == 0 else -s
+    return float(a)
+
+
+def shoelace(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return float(abs(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])) / 2.0)
+
+
+# ---------------------------------------------------------------------------
+# constructors
+# ---------------------------------------------------------------------------
+
+def point(x: float, y: float) -> Geom:
+    return Geom("Point", (float(x), float(y)))
+
+
+def box(minx: float, miny: float, maxx: float, maxy: float) -> Geom:
+    ring = np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]],
+        dtype=np.float64,
+    )
+    return Geom("Polygon", [ring])
+
+
+def polygon(shell, holes=()) -> Geom:
+    rings = [_close(np.asarray(shell, dtype=np.float64))]
+    rings += [_close(np.asarray(h, dtype=np.float64)) for h in holes]
+    return Geom("Polygon", rings)
+
+
+def multipolygon(polys: list[Geom]) -> Geom:
+    return Geom("MultiPolygon", [p.coords for p in polys])
+
+
+def empty(gtype: str = "Polygon") -> Geom:
+    return Geom(gtype, [] if gtype != "Point" else None)
+
+
+def _close(r: np.ndarray) -> np.ndarray:
+    if len(r) and not np.allclose(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+# ---------------------------------------------------------------------------
+# WKB
+# ---------------------------------------------------------------------------
+
+def to_wkb(g: Geom) -> bytes:
+    return b"\x01" + _wkb_body(g)
+
+
+def _wkb_body(g: Geom) -> bytes:
+    code = _WKB_CODES[g.type]
+    out = struct.pack("<I", code)
+    t = g.type
+    if t == "Point":
+        x, y = (math.nan, math.nan) if g.coords is None else g.coords
+        return out + struct.pack("<dd", x, y)
+    if t == "LineString":
+        pts = np.asarray(g.coords, dtype="<f8").reshape(-1, 2)
+        return out + struct.pack("<I", len(pts)) + pts.tobytes()
+    if t == "Polygon":
+        out += struct.pack("<I", len(g.coords))
+        for r in g.coords:
+            r = np.asarray(r, dtype="<f8")
+            out += struct.pack("<I", len(r)) + r.tobytes()
+        return out
+    if t == "MultiPoint":
+        pts = np.asarray(g.coords, dtype=np.float64).reshape(-1, 2)
+        out += struct.pack("<I", len(pts))
+        for x, y in pts:
+            out += b"\x01" + _wkb_body(point(x, y))
+        return out
+    if t == "MultiLineString":
+        out += struct.pack("<I", len(g.coords))
+        for ls in g.coords:
+            out += b"\x01" + _wkb_body(Geom("LineString", ls))
+        return out
+    if t == "MultiPolygon":
+        out += struct.pack("<I", len(g.coords))
+        for p in g.coords:
+            out += b"\x01" + _wkb_body(Geom("Polygon", p))
+        return out
+    if t == "GeometryCollection":
+        out += struct.pack("<I", len(g.coords))
+        for sub in g.coords:
+            out += b"\x01" + _wkb_body(sub)
+        return out
+    raise ValueError(t)
+
+
+def from_wkb(buf: bytes) -> Geom:
+    g, _ = _parse_wkb(memoryview(buf), 0)
+    return g
+
+
+def _parse_wkb(mv, off: int):
+    endian = "<" if mv[off] == 1 else ">"
+    code = struct.unpack_from(endian + "I", mv, off + 1)[0] & 0xFF
+    t = _WKB_NAMES[code]
+    off += 5
+    if t == "Point":
+        x, y = struct.unpack_from(endian + "dd", mv, off)
+        return Geom("Point", None if math.isnan(x) else (x, y)), off + 16
+    if t == "LineString":
+        n = struct.unpack_from(endian + "I", mv, off)[0]
+        off += 4
+        pts = np.frombuffer(mv, dtype=endian + "f8", count=n * 2, offset=off).reshape(n, 2).copy()
+        return Geom("LineString", pts), off + 16 * n
+    if t == "Polygon":
+        nr = struct.unpack_from(endian + "I", mv, off)[0]
+        off += 4
+        rings = []
+        for _ in range(nr):
+            n = struct.unpack_from(endian + "I", mv, off)[0]
+            off += 4
+            rings.append(np.frombuffer(mv, dtype=endian + "f8", count=n * 2, offset=off).reshape(n, 2).copy())
+            off += 16 * n
+        return Geom("Polygon", rings), off
+    # multi / collection types: n sub-geometries each with own header
+    n = struct.unpack_from(endian + "I", mv, off)[0]
+    off += 4
+    subs = []
+    for _ in range(n):
+        sub, off = _parse_wkb(mv, off)
+        subs.append(sub)
+    if t == "MultiPoint":
+        return Geom("MultiPoint", np.array([s.coords for s in subs], dtype=np.float64).reshape(-1, 2)), off
+    if t == "MultiLineString":
+        return Geom("MultiLineString", [s.coords for s in subs]), off
+    if t == "MultiPolygon":
+        return Geom("MultiPolygon", [s.coords for s in subs]), off
+    return Geom("GeometryCollection", subs), off
+
+
+# ---------------------------------------------------------------------------
+# WKT  (enough of the grammar for the operator surface + goldens)
+# ---------------------------------------------------------------------------
+
+def to_wkt(g: Geom, digits: int | None = None) -> str:
+    def fmt(v: float) -> str:
+        if digits is not None:
+            v = round(v, digits)
+        if v == int(v):
+            return str(int(v))
+        return repr(float(v))
+
+    def pts(arr):
+        return ",".join(f"{fmt(p[0])} {fmt(p[1])}" for p in np.asarray(arr).reshape(-1, 2))
+
+    t = g.type
+    if g.is_empty:
+        return f"{t.upper()} EMPTY"
+    if t == "Point":
+        return f"POINT ({fmt(g.coords[0])} {fmt(g.coords[1])})"
+    if t == "LineString":
+        return f"LINESTRING ({pts(g.coords)})"
+    if t == "Polygon":
+        return "POLYGON (" + ",".join(f"({pts(r)})" for r in g.coords) + ")"
+    if t == "MultiPoint":
+        return "MULTIPOINT (" + ",".join(f"({fmt(p[0])} {fmt(p[1])})" for p in g.coords) + ")"
+    if t == "MultiLineString":
+        return "MULTILINESTRING (" + ",".join(f"({pts(ls)})" for ls in g.coords) + ")"
+    if t == "MultiPolygon":
+        return ("MULTIPOLYGON ("
+                + ",".join("(" + ",".join(f"({pts(r)})" for r in p) + ")" for p in g.coords)
+                + ")")
+    if t == "GeometryCollection":
+        return "GEOMETRYCOLLECTION (" + ",".join(to_wkt(s, digits) for s in g.coords) + ")"
+    raise ValueError(t)
+
+
+def from_wkt(s: str) -> Geom:
+    s = s.strip()
+    head = s.split("(", 1)[0].strip().upper()
+    rest = s[len(s.split("(", 1)[0]):].strip() if "(" in s else ""
+    name_map = {k.upper(): k for k in _WKB_CODES}
+    if head.endswith("EMPTY"):
+        return empty(name_map[head.replace("EMPTY", "").strip()])
+    t = name_map[head]
+    body = rest[1:-1]  # strip outer parens
+
+    def parse_pts(txt):
+        pts = []
+        for pair in txt.split(","):
+            xy = pair.split()
+            pts.append((float(xy[0]), float(xy[1])))
+        return np.array(pts, dtype=np.float64)
+
+    def split_groups(txt):
+        """Split on top-level commas."""
+        groups, depth, cur = [], 0, []
+        for ch in txt:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                groups.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            groups.append("".join(cur))
+        return [g.strip() for g in groups]
+
+    if t == "Point":
+        p = parse_pts(body)[0]
+        return point(p[0], p[1])
+    if t == "LineString":
+        return Geom("LineString", parse_pts(body))
+    if t == "Polygon":
+        return Geom("Polygon", [parse_pts(r.strip()[1:-1]) for r in split_groups(body)])
+    if t == "MultiPoint":
+        pts = [parse_pts(gtxt.strip(" ()")) for gtxt in split_groups(body)]
+        return Geom("MultiPoint", np.vstack(pts))
+    if t == "MultiLineString":
+        return Geom("MultiLineString", [parse_pts(gtxt.strip()[1:-1]) for gtxt in split_groups(body)])
+    if t == "MultiPolygon":
+        polys = []
+        for ptxt in split_groups(body):
+            ptxt = ptxt.strip()[1:-1]
+            polys.append([parse_pts(r.strip()[1:-1]) for r in split_groups(ptxt)])
+        return Geom("MultiPolygon", polys)
+    if t == "GeometryCollection":
+        return Geom("GeometryCollection", [from_wkt(gtxt) for gtxt in split_groups(body)])
+    raise ValueError(t)
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON (default 7 significant decimal digits like OGR's RFC7946 writer;
+# reference golden godal_test.go:3067-3076)
+# ---------------------------------------------------------------------------
+
+def to_geojson(g: Geom, digits: int = 7) -> str:
+    def rnd(arr):
+        return [[round(float(x), digits), round(float(y), digits)] for x, y in np.asarray(arr).reshape(-1, 2)]
+
+    t = g.type
+    if t == "Point":
+        coords = rnd([g.coords])[0]
+    elif t in ("LineString", "MultiPoint"):
+        coords = rnd(g.coords)
+    elif t in ("Polygon", "MultiLineString"):
+        coords = [rnd(r) for r in g.coords]
+    elif t == "MultiPolygon":
+        coords = [[rnd(r) for r in p] for p in g.coords]
+    else:
+        return json.dumps({
+            "type": t,
+            "geometries": [json.loads(to_geojson(s, digits)) for s in g.coords],
+        }, separators=(", ", ": "))
+    return json.dumps({"type": t, "coordinates": coords}, separators=(", ", ": "))
+
+
+def from_geojson(s: str) -> Geom:
+    d = json.loads(s)
+    t = d["type"]
+    if t == "GeometryCollection":
+        return Geom(t, [from_geojson(json.dumps(x)) for x in d["geometries"]])
+    c = d["coordinates"]
+    if t == "Point":
+        return point(c[0], c[1])
+    if t in ("LineString", "MultiPoint"):
+        return Geom(t, np.array(c, dtype=np.float64))
+    if t in ("Polygon", "MultiLineString"):
+        return Geom(t, [np.array(r, dtype=np.float64) for r in c])
+    if t == "MultiPolygon":
+        return Geom(t, [[np.array(r, dtype=np.float64) for r in p] for p in c])
+    raise ValueError(t)
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon — the vectorized "prepared geometry" refine stage
+# ---------------------------------------------------------------------------
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast; boundary points count as inside
+    (matches GDAL rasterize center-point inclusion for our goldens)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / np.where(y1 == y0, np.inf, (y1 - y0))
+    inside = np.where(cond, px < xint, False).sum(axis=1) % 2 == 1
+    # boundary: point exactly on a segment
+    on = _on_segment(px, py, x0, y0, x1, y1).any(axis=1)
+    return inside | on
+
+
+def _on_segment(px, py, x0, y0, x1, y1, eps=1e-12):
+    cross = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+    within = ((px >= np.minimum(x0, x1) - eps) & (px <= np.maximum(x0, x1) + eps)
+              & (py >= np.minimum(y0, y1) - eps) & (py <= np.maximum(y0, y1) + eps))
+    return (np.abs(cross) < eps) & within
+
+
+def points_in_polygon(px, py, g: Geom) -> np.ndarray:
+    """Vectorized containment over all polygon parts (shell minus holes)."""
+    px = np.asarray(px, dtype=np.float64)
+    out = np.zeros(len(px), dtype=bool)
+    for rings in g.polygons():
+        m = points_in_ring(px, py, rings[0])
+        for hole in rings[1:]:
+            m &= ~points_in_ring(px, py, hole)
+        out |= m
+    return out
+
+
+class Prepared:
+    """Broadcast-side prepared geometry: bbox pre-test + ring arrays cached."""
+
+    def __init__(self, g: Geom):
+        self.g = g
+        self.bbox = g.bounds()
+
+    def contains_points(self, px, py) -> np.ndarray:
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        minx, miny, maxx, maxy = self.bbox
+        cand = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+        out = np.zeros(len(px), dtype=bool)
+        if cand.any():
+            out[cand] = points_in_polygon(px[cand], py[cand], self.g)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# predicates
+# ---------------------------------------------------------------------------
+
+def bbox_intersects(a: Geom, b: Geom) -> bool:
+    a0, a1, a2, a3 = a.bounds()
+    b0, b1, b2, b3 = b.bounds()
+    return not (a2 < b0 or b2 < a0 or a3 < b1 or b3 < a1)
+
+
+def intersects(a: Geom, b: Geom) -> bool:
+    """Exact intersects for point/polygon/linestring combos (GEOS-present
+    semantics of reference godal.go:2800-2811)."""
+    if not bbox_intersects(a, b):
+        return False
+    if a.type == "Point" and b.type == "Point":
+        return bool(np.allclose(a.coords, b.coords))
+    if a.type == "Point":
+        if b.polygons():
+            return bool(points_in_polygon([a.coords[0]], [a.coords[1]], b)[0])
+        return _any_vertex_touch(a, b)
+    if b.type == "Point":
+        return intersects(b, a)
+    # polygon/polygon or line cases: vertex containment either way, or edge crossing
+    if _any_vertex_in(a, b) or _any_vertex_in(b, a):
+        return True
+    return _edges_cross(a, b)
+
+
+def _any_vertex_in(a: Geom, b: Geom) -> bool:
+    if not b.polygons():
+        return False
+    pts = a._all_points()
+    if len(pts) == 0:
+        return False
+    return bool(points_in_polygon(pts[:, 0], pts[:, 1], b).any())
+
+
+def _any_vertex_touch(a: Geom, b: Geom) -> bool:
+    pts = b._all_points()
+    return bool(np.any(np.all(np.isclose(pts, np.asarray(a.coords)), axis=1)))
+
+
+def _segments(g: Geom):
+    segs = []
+    if g.type in ("LineString",):
+        arr = np.asarray(g.coords)
+        segs.append(arr)
+    for rings in g.polygons():
+        segs.extend(rings)
+    if g.type == "MultiLineString":
+        segs.extend(np.asarray(ls) for ls in g.coords)
+    return segs
+
+
+def _edges_cross(a: Geom, b: Geom) -> bool:
+    for ra in _segments(a):
+        for rb in _segments(b):
+            if _polyline_cross(ra, rb):
+                return True
+    return False
+
+
+def _polyline_cross(p: np.ndarray, q: np.ndarray) -> bool:
+    ax, ay, bx, by = p[:-1, 0], p[:-1, 1], p[1:, 0], p[1:, 1]
+    cx, cy, dx, dy = q[:-1, 0], q[:-1, 1], q[1:, 0], q[1:, 1]
+    # pairwise orientation tests (n × m)
+    def orient(ox, oy, pxx, pyy, qxx, qyy):
+        return (pxx - ox) * (qyy - oy) - (pyy - oy) * (qxx - ox)
+
+    AX, CX = ax[:, None], cx[None, :]
+    AY, CY = ay[:, None], cy[None, :]
+    BX, DX = bx[:, None], dx[None, :]
+    BY, DY = by[:, None], dy[None, :]
+    d1 = orient(AX, AY, BX, BY, CX, CY)
+    d2 = orient(AX, AY, BX, BY, DX, DY)
+    d3 = orient(CX, CY, DX, DY, AX, AY)
+    d4 = orient(CX, CY, DX, DY, BX, BY)
+    return bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0)))
+
+
+def contains(a: Geom, b: Geom) -> bool:
+    """a contains b (vertex-complete test; exact for convex/rectilinear)."""
+    pts = b._all_points()
+    if len(pts) == 0 or not a.polygons():
+        return False
+    return bool(points_in_polygon(pts[:, 0], pts[:, 1], a).all())
+
+
+# ---------------------------------------------------------------------------
+# boolean ops
+# ---------------------------------------------------------------------------
+
+def _is_rectilinear(g: Geom) -> bool:
+    for rings in g.polygons():
+        for r in rings:
+            dx = np.diff(r[:, 0])
+            dy = np.diff(r[:, 1])
+            if not np.all((dx == 0) | (dy == 0)):
+                return False
+    return bool(g.polygons())
+
+
+def _grid_decompose(a: Geom, b: Geom):
+    """Coordinate-grid decomposition: unique xs/ys from both polys carve the
+    plane into cells; classify each cell center against A and B. Exact for
+    axis-aligned rectilinear inputs."""
+    pts = np.vstack([a._all_points(), b._all_points()])
+    xs = np.unique(pts[:, 0])
+    ys = np.unique(pts[:, 1])
+    cx = (xs[:-1] + xs[1:]) / 2.0
+    cy = (ys[:-1] + ys[1:]) / 2.0
+    gx, gy = np.meshgrid(cx, cy)
+    in_a = points_in_polygon(gx.ravel(), gy.ravel(), a).reshape(gx.shape)
+    in_b = points_in_polygon(gx.ravel(), gy.ravel(), b).reshape(gx.shape)
+    return xs, ys, in_a, in_b
+
+
+def _cells_to_geom(xs, ys, mask) -> Geom:
+    """Merge selected grid cells into a MultiPolygon of row-run rectangles.
+    (Area-exact; does not dissolve shared edges between rows — area and
+    containment semantics are what downstream consumers use.)"""
+    polys = []
+    for j in range(mask.shape[0]):
+        i = 0
+        while i < mask.shape[1]:
+            if mask[j, i]:
+                k = i
+                while k + 1 < mask.shape[1] and mask[j, k + 1]:
+                    k += 1
+                polys.append(box(xs[i], ys[j], xs[k + 1], ys[j + 1]).coords)
+                i = k + 1
+            else:
+                i += 1
+    if not polys:
+        return empty("Polygon")
+    if len(polys) == 1:
+        return Geom("Polygon", polys[0])
+    return Geom("MultiPolygon", polys)
+
+
+def _boolean(a: Geom, b: Geom, op: str) -> Geom:
+    if _is_rectilinear(a) and _is_rectilinear(b):
+        xs, ys, in_a, in_b = _grid_decompose(a, b)
+        mask = {"intersection": in_a & in_b, "union": in_a | in_b,
+                "difference": in_a & ~in_b}[op]
+        return _cells_to_geom(xs, ys, mask)
+    if op == "intersection" and _is_convex(a):
+        return _sutherland_hodgman(b, a)
+    if op == "intersection" and _is_convex(b):
+        return _sutherland_hodgman(a, b)
+    raise NotImplementedError(
+        f"{op} implemented for rectilinear polygons and convex clips only "
+        "(general GEOS overlay out of scope in this environment)")
+
+
+def intersection(a: Geom, b: Geom) -> Geom:
+    return _boolean(a, b, "intersection")
+
+
+def union(a: Geom, b: Geom) -> Geom:
+    return _boolean(a, b, "union")
+
+
+def difference(a: Geom, b: Geom) -> Geom:
+    return _boolean(a, b, "difference")
+
+
+def _is_convex(g: Geom) -> bool:
+    polys = g.polygons()
+    if len(polys) != 1 or len(polys[0]) != 1:
+        return False
+    r = polys[0][0]
+    d = np.diff(r, axis=0)
+    cross = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
+    return bool(np.all(cross >= 0) or np.all(cross <= 0))
+
+
+def _sutherland_hodgman(subject: Geom, clip: Geom) -> Geom:
+    crings = clip.polygons()[0][0]
+    # ensure CCW clip ring
+    x, y = crings[:-1, 0], crings[:-1, 1]
+    if (np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) < 0:
+        crings = crings[::-1]
+    out_polys = []
+    for rings in subject.polygons():
+        pts = list(map(tuple, rings[0][:-1]))
+        for i in range(len(crings) - 1):
+            if not pts:
+                break
+            cx0, cy0 = crings[i]
+            cx1, cy1 = crings[i + 1]
+            new_pts = []
+            for j, cur in enumerate(pts):
+                prev = pts[j - 1]
+                side_cur = (cx1 - cx0) * (cur[1] - cy0) - (cy1 - cy0) * (cur[0] - cx0)
+                side_prev = (cx1 - cx0) * (prev[1] - cy0) - (cy1 - cy0) * (prev[0] - cx0)
+                if side_cur >= 0:
+                    if side_prev < 0:
+                        new_pts.append(_seg_line_int(prev, cur, (cx0, cy0), (cx1, cy1)))
+                    new_pts.append(cur)
+                elif side_prev >= 0:
+                    new_pts.append(_seg_line_int(prev, cur, (cx0, cy0), (cx1, cy1)))
+            pts = new_pts
+        if len(pts) >= 3:
+            out_polys.append([_close(np.array(pts, dtype=np.float64))])
+    if not out_polys:
+        return empty("Polygon")
+    if len(out_polys) == 1:
+        return Geom("Polygon", out_polys[0])
+    return Geom("MultiPolygon", out_polys)
+
+
+def _seg_line_int(p, q, a, b):
+    x1, y1 = p
+    x2, y2 = q
+    x3, y3 = a
+    x4, y4 = b
+    den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+    return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+
+
+# ---------------------------------------------------------------------------
+# buffer / simplify
+# ---------------------------------------------------------------------------
+
+def buffer(g: Geom, dist: float, segs: int = 30) -> Geom:
+    """Buffer. Point → arc-segmented circle. Polygon → edge offset (convex
+    exact; concave approximate). Negative dist shrinks; fully-collapsed
+    result is EMPTY (reference golden godal_test.go:2807-2811)."""
+    if g.type == "Point":
+        if dist <= 0:
+            return empty("Polygon")
+        ang = np.linspace(0, 2 * math.pi, max(segs, 8) * 4, endpoint=False)
+        ring = np.stack([g.coords[0] + dist * np.cos(ang), g.coords[1] + dist * np.sin(ang)], axis=1)
+        return Geom("Polygon", [_close(ring)])
+    polys = g.polygons()
+    if not polys:
+        return empty("Polygon")
+    out = []
+    for rings in polys:
+        shell = _offset_ring(rings[0], dist, segs)
+        if shell is not None:
+            out.append([shell])
+    if not out:
+        return empty("Polygon")
+    return Geom("Polygon", out[0]) if len(out) == 1 else Geom("MultiPolygon", out)
+
+
+def _offset_ring(ring: np.ndarray, dist: float, segs: int):
+    r = np.asarray(ring, dtype=np.float64)
+    # normalize to CCW
+    x, y = r[:-1, 0], r[:-1, 1]
+    if (np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) < 0:
+        r = r[::-1]
+    pts = r[:-1]
+    n = len(pts)
+    edges = []
+    for i in range(n):
+        p, q = pts[i], pts[(i + 1) % n]
+        d = q - p
+        ln = math.hypot(d[0], d[1])
+        if ln == 0:
+            continue
+        nx, ny = d[1] / ln, -d[0] / ln  # outward normal for CCW
+        edges.append((p + np.array([nx, ny]) * dist, q + np.array([nx, ny]) * dist))
+    if not edges:
+        return None
+    new_pts = []
+    m = len(edges)
+    for i in range(m):
+        a0, a1 = edges[i - 1]
+        b0, b1 = edges[i]
+        den = (a1[0] - a0[0]) * (b1[1] - b0[1]) - (a1[1] - a0[1]) * (b1[0] - b0[0])
+        if abs(den) < 1e-12:
+            new_pts.append(tuple(b0))
+        else:
+            t = ((b0[0] - a0[0]) * (b1[1] - b0[1]) - (b0[1] - a0[1]) * (b1[0] - b0[0])) / den
+            new_pts.append((a0[0] + t * (a1[0] - a0[0]), a0[1] + t * (a1[1] - a0[1])))
+    out = _close(np.array(new_pts, dtype=np.float64))
+    if shoelace(out) <= 1e-12:
+        return None
+    if dist < 0:
+        # inward offset past collapse produces an inverted ring: detect by
+        # checking the result stays inside the original (convex case)
+        if not points_in_ring(out[:-1, 0], out[:-1, 1], _close(r)).all():
+            return None
+        if shoelace(out) > shoelace(_close(r)):
+            return None
+    return out
+
+
+def simplify(g: Geom, tol: float) -> Geom:
+    """Douglas–Peucker (reference godal.go:2697-2711)."""
+    if g.type == "LineString":
+        return Geom("LineString", _dp(np.asarray(g.coords), tol))
+    if g.type == "Polygon":
+        return Geom("Polygon", [_dp_ring(r, tol) for r in g.coords])
+    if g.type == "MultiPolygon":
+        return Geom("MultiPolygon", [[_dp_ring(r, tol) for r in p] for p in g.coords])
+    return g
+
+
+def _dp_ring(r: np.ndarray, tol: float) -> np.ndarray:
+    open_part = _dp(np.asarray(r)[:-1], tol)
+    return _close(open_part)
+
+
+def _dp(pts: np.ndarray, tol: float) -> np.ndarray:
+    if len(pts) < 3:
+        return pts.copy()
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        p, q = pts[i], pts[j]
+        d = q - p
+        ln = math.hypot(d[0], d[1])
+        seg = pts[i + 1:j]
+        if ln == 0:
+            dist = np.hypot(seg[:, 0] - p[0], seg[:, 1] - p[1])
+        else:
+            dist = np.abs(d[0] * (p[1] - seg[:, 1]) - d[1] * (p[0] - seg[:, 0])) / ln
+        k = int(np.argmax(dist))
+        if dist[k] > tol:
+            keep[i + 1 + k] = True
+            stack.extend([(i, i + 1 + k), (i + 1 + k, j)])
+    return pts[keep].copy()

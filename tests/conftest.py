@@ -1,0 +1,15 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from godal_spark.session import get_spark
+
+    s = get_spark("godal_spark_tests", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+                  shuffle_partitions=8)
+    yield s

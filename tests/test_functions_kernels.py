@@ -1,0 +1,306 @@
+"""Pure-kernel goldens (no Spark) — reference literal expectations."""
+
+import math
+
+import numpy as np
+import pytest
+
+from godal_spark.functions import cellindex, codecs, crs, geom as G
+from godal_spark.functions.resampling import resample
+from godal_spark.operators.tiling import block_grid_list, overview_levels, overview_size
+
+
+# --- BlockIterator golden (godal_test.go:1037-1094; structure.go:30-64) ----
+
+def test_block_grid_63x65_at_32():
+    got = block_grid_list(63, 65, 32, 32)
+    exp = [
+        (0, 0, 0, 0, 32, 32), (1, 0, 32, 0, 31, 32),
+        (0, 1, 0, 32, 32, 32), (1, 1, 32, 32, 31, 32),
+        (0, 2, 0, 64, 32, 1), (1, 2, 32, 64, 31, 1),
+    ]
+    assert got == exp
+
+
+def test_block_grid_exact_fit():
+    got = block_grid_list(64, 64, 32, 32)
+    assert len(got) == 4
+    assert all(t[4] == 32 and t[5] == 32 for t in got)
+
+
+def test_block_grid_positive_sizes():
+    with pytest.raises(ValueError):
+        block_grid_list(0, 10, 32, 32)
+
+
+# --- BuildOverviews auto-level goldens (godal_test.go:2008-2064) -----------
+
+def test_overview_levels_2000_at_256():
+    assert overview_levels(2000, 2000, 256) == [2, 4, 8]
+
+
+def test_overview_levels_minsize_200():
+    levels = overview_levels(2000, 2000, 200)
+    sizes = [overview_size(2000, 2000, lv)[0] for lv in levels]
+    assert sizes[-1] <= 200
+    assert all(s > 100 for s in sizes)
+
+
+def test_overview_levels_explicit():
+    assert overview_levels(2000, 2000, 256, explicit=[2, 4]) == [2, 4]
+    with pytest.raises(ValueError):
+        overview_levels(2000, 2000, 256, explicit=[1, 2])
+
+
+def test_overview_levels_small_image_none():
+    assert overview_levels(100, 100, 256) == []
+
+
+# --- Resampling value tables (godal_test.go:2101-2172) ---------------------
+
+RAMP = np.arange(100, dtype=np.uint8).reshape(10, 10)
+
+IO_EXPECT = {"nearest": (3, 11), "average": (2, 6), "cubic": (3, 12),
+             "bilinear": (3, 14), "cubicspline": (3, 18), "gauss": (3, 22),
+             "lanczos": (3, 11), "mode": (3, 0)}
+
+
+@pytest.mark.parametrize("alg,case", sorted(IO_EXPECT.items()))
+def test_resample_io_goldens(alg, case):
+    wsz, exp = case
+    assert resample(RAMP, 1, 1, alg=alg, path="io", window=(0, 0, wsz, wsz))[0, 0] == exp
+
+
+OVR_EXPECT = {"nearest": 0, "average": 6, "cubic": 6, "bilinear": 8,
+              "cubicspline": 10, "gauss": 11, "lanczos": 6, "mode": 0}
+
+
+@pytest.mark.parametrize("alg,exp", sorted(OVR_EXPECT.items()))
+def test_resample_overview_goldens(alg, exp):
+    assert resample(RAMP, 5, 5, alg=alg, path="overview")[0, 0] == exp
+
+
+@pytest.mark.parametrize("alg", ["max", "min", "median", "q1", "q3", "sum"])
+def test_resample_unsupported_algs_error(alg):
+    with pytest.raises(ValueError):
+        resample(RAMP, 1, 1, alg=alg, path="io")
+    with pytest.raises(ValueError):
+        resample(RAMP, 5, 5, alg=alg, path="overview")
+
+
+# --- codecs -----------------------------------------------------------------
+
+def test_png_roundtrip_gray_and_rgb():
+    gray = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(gray)), gray)
+    rgb = np.random.default_rng(42).integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(rgb)), rgb)
+
+
+def test_raw8_roundtrip():
+    a = np.random.default_rng(1).integers(0, 256, (7, 9, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_raw8(codecs.encode_raw8(a), 9, 7), a)
+
+
+def test_fake_jpeg_psnr_above_40():
+    a = np.random.default_rng(2).integers(0, 256, (32, 32), dtype=np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_fake_jpeg(a))
+    assert codecs.psnr(a, dec) >= 40.0
+
+
+def test_real_jpeg_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        codecs.decode_jpeg(b"\xff\xd8\xff\xe0" + b"0" * 32)
+
+
+# --- geometry goldens --------------------------------------------------------
+
+def test_wkt_point_roundtrip():
+    # godal_test.go:2892-2931
+    wkt = "POINT (30 10)"
+    g = G.from_wkt(wkt)
+    g2 = G.from_wkb(G.to_wkb(g))
+    assert G.to_wkt(g2) == wkt
+
+
+def test_area_ops_goldens():
+    # godal_test.go:2960-3021: squares (0,0)-(2,2) and (1,1)-(3,3)
+    a = G.box(0, 0, 2, 2)
+    b = G.box(1, 1, 3, 3)
+    assert G.intersection(a, b).area() == pytest.approx(1.0)
+    assert G.union(a, b).area() == pytest.approx(7.0)
+    assert G.difference(a, b).area() == pytest.approx(3.0)
+
+
+def test_multipolygon_area_18():
+    # godal_test.go:3113: two disjoint polys area 18 total
+    mp = G.multipolygon([G.box(0, 0, 3, 3), G.box(10, 10, 13, 13)])
+    assert mp.area() == pytest.approx(18.0)
+
+
+def test_bounds_golden():
+    g = G.box(100, 0, 101, 1)
+    assert g.bounds() == (100.0, 0.0, 101.0, 1.0)
+
+
+def test_intersects_goldens():
+    a = G.box(0, 0, 2, 2)
+    assert G.intersects(a, G.box(1, 1, 3, 3))
+    assert not G.intersects(a, G.box(5, 5, 6, 6))
+    assert G.intersects(G.point(1, 1), a)
+    assert not G.intersects(G.point(9, 9), a)
+
+
+def test_contains():
+    a = G.box(0, 0, 4, 4)
+    assert G.contains(a, G.box(1, 1, 2, 2))
+    assert not G.contains(G.box(1, 1, 2, 2), a)
+
+
+def test_buffer_negative_collapses_empty():
+    # godal_test.go:2807-2811
+    sq = G.box(0, 0, 1, 1)
+    assert G.buffer(sq, -2.0).is_empty
+    grown = G.buffer(sq, 1.0)
+    assert grown.area() == pytest.approx(9.0)  # square edge-offset (no arcs)
+
+
+def test_simplify_douglas_peucker():
+    ls = G.Geom("LineString", np.array([[0, 0], [1, 0.01], [2, 0], [3, 0.01], [4, 0]]))
+    out = G.simplify(ls, 0.1)
+    assert len(out.coords) == 2
+
+
+def test_geojson_precision_goldens():
+    # godal_test.go:3067-3076
+    p = G.point(10.123456789, 10)
+    assert "10.1234568" in G.to_geojson(p, 7)
+    assert "10.123" in G.to_geojson(p, 3) and "10.1234" not in G.to_geojson(p, 3)
+
+
+def test_wkt_polygon_roundtrip_and_multi():
+    w = "POLYGON ((100 0,101 0,101 1,100 1,100 0))"
+    assert G.to_wkt(G.from_wkt(w)) == w
+    mp = G.from_wkb(G.to_wkb(G.multipolygon([G.box(0, 0, 1, 1), G.box(2, 2, 3, 3)])))
+    assert mp.type == "MultiPolygon" and mp.area() == pytest.approx(2.0)
+
+
+def test_points_in_polygon_vectorized():
+    g = G.box(0, 0, 10, 10)
+    px = np.array([5.0, 15.0, 0.0, 10.0])
+    py = np.array([5.0, 5.0, 0.0, 10.0])
+    got = G.points_in_polygon(px, py, g)
+    assert got.tolist() == [True, False, True, True]  # boundary inclusive
+
+
+# --- cell index ---------------------------------------------------------------
+
+def test_cell_pack_unpack_roundtrip():
+    x, y = cellindex.cell_xy(11.5, 45.5, 12)
+    cid = cellindex.pack(x, y, 12)
+    x2, y2, r2 = cellindex.unpack(cid)
+    assert (x2, y2, r2) == (x, y, 12)
+
+
+def test_cell_bounds_contains_point():
+    cid = cellindex.cell_of(11.5, 45.5, 12)
+    minlon, minlat, maxlon, maxlat = cellindex.cell_bounds(cid)
+    assert minlon <= 11.5 < maxlon and minlat <= 45.5 < maxlat
+
+
+def test_ring_sizes():
+    assert len(cellindex.ring(100, 100, 12, 0)) == 1
+    assert len(cellindex.ring(100, 100, 12, 1)) == 8
+    assert len(cellindex.ring(100, 100, 12, 2)) == 16
+    assert len(cellindex.disk(100, 100, 12, 2)) == 25
+
+
+def test_cells_covering_bbox():
+    cells = cellindex.cells_covering_bbox(10.0, 45.0, 10.3, 45.3, 10)
+    # res 10 cell ~0.35deg wide: tiny bbox → 1..4 cells
+    assert 1 <= len(cells) <= 4
+    # exact-boundary bbox does not leak into next cell
+    b = cellindex.cell_bounds(cells[0])
+
+
+def test_sql_and_numpy_cell_agree():
+    import duckdb
+    lons = [-170.0, 0.0, 11.33, 179.9]
+    lats = [-80.0, 0.0, 45.77, 89.9]
+    for lon, lat in zip(lons, lats):
+        expr = cellindex.sql_cell_expr(str(lon), str(lat), 12)
+        sql_val = duckdb.sql(f"select {expr}").fetchone()[0]
+        np_val = int(cellindex.cell_of(lon, lat, 12))
+        assert sql_val == np_val
+
+
+# --- CRS ---------------------------------------------------------------------
+
+def test_4326_3857_roundtrip():
+    lon = np.array([-170.0, 0.0, 11.33, 179.0])
+    lat = np.array([-80.0, 0.0, 45.77, 84.0])
+    x, y, ok = crs.transform_points(lon, lat, "EPSG:4326", "EPSG:3857")
+    assert ok.all()
+    lon2, lat2, ok2 = crs.transform_points(x, y, "EPSG:3857", "EPSG:4326")
+    assert ok2.all()
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_3857_known_point():
+    # public anchor: lon 180 -> 20037508.342789244
+    x, y, ok = crs.transform_points([180.0], [0.0], "EPSG:4326", "EPSG:3857")
+    assert ok.all()
+    assert x[0] == pytest.approx(20037508.342789244)
+    assert y[0] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_out_of_domain_flags():
+    # godal_test.go:1767-1776: lat 91 fails
+    _, _, ok = crs.transform_points([0.0], [91.0], "EPSG:4326", "EPSG:3857")
+    assert not ok[0]
+
+
+def test_utm_roundtrip():
+    lon = np.array([9.0, 9.5, 8.7])
+    lat = np.array([48.0, 44.2, 52.9])
+    x, y, ok = crs.transform_points(lon, lat, "EPSG:4326", "EPSG:32632")
+    assert ok.all()
+    lon2, lat2, ok2 = crs.transform_points(x, y, "EPSG:32632", "EPSG:4326")
+    np.testing.assert_allclose(lon2, lon, atol=1e-7)
+    np.testing.assert_allclose(lat2, lat, atol=1e-7)
+
+
+def test_utm_known_anchor():
+    # zone 32N central meridian 9E: easting 500000 at lon=9
+    x, y, ok = crs.transform_points([9.0], [0.0], "EPSG:4326", "EPSG:32632")
+    assert x[0] == pytest.approx(500000.0, abs=1e-3)
+    assert y[0] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_geotransform_bounds():
+    # test.tif analog: gt (45,1,0,35,0,-1), 10x10 ⇒ [45,25,55,35]
+    # (doc_test.go:293-297, godal_test.go:490-500)
+    gt = [45.0, 1.0, 0.0, 35.0, 0.0, -1.0]
+    assert crs.dataset_bounds(gt, 10, 10) == (45.0, 25.0, 55.0, 35.0)
+
+
+def test_geo_pixel_inverse():
+    gt = [45.0, 0.5, 0.0, 35.0, 0.0, -0.25]
+    px, py = crs.geo_to_pixel(gt, *crs.pixel_to_geo(gt, [3.0], [7.0]))
+    assert px[0] == pytest.approx(3.0) and py[0] == pytest.approx(7.0)
+
+
+def test_gcp_fit_golden():
+    # godal_test.go:5191-5241: affine recoverable from >=3 GCPs
+    gt = [100.0, 0.5, 0.1, 200.0, -0.2, -0.5]
+    pts = [(0, 0), (10, 0), (0, 10), (7, 3)]
+    gcps = []
+    for px, py in pts:
+        gx = gt[0] + px * gt[1] + py * gt[2]
+        gy = gt[3] + px * gt[4] + py * gt[5]
+        gcps.append((px, py, gx, gy))
+    fit = crs.fit_gcps(gcps)
+    np.testing.assert_allclose(fit, gt, atol=1e-9)
+    with pytest.raises(ValueError):
+        crs.fit_gcps(gcps[:2])
