@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: the benchmark spine (synthetic image metadata
+                → block-grid tile assignment → cell index → PIP join with
+                footprint boxes → per-nation tile counts) at sf0.001.
+queries()     — engine operators from SURVEY.md §2, each paired with an
+                ANSI-SQL oracle in oracle_sql() (DuckDB-runnable).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tile-assignment + cell-indexed PIP join at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from godal_spark import entry_queries as EQ
+    from godal_spark.operators import pip as pip_op, tiling
+
+    sf_dir = "/root/testdata/sf0.001"
+    img = EQ._images_meta(spark, sf_dir)
+    tiles = tiling.with_block_grid(img, bw=32, bh=32)
+    fps = EQ._nation_footprints(spark, sf_dir)
+    joined = pip_op.pip_join(
+        tiles, fps, lon="lon", lat="lat", res=6, broadcast_footprints=True)
+    return joined.groupBy("n_name", "foo").agg(
+        F.count("*").cast("bigint").alias("n_tiles"),
+        F.countDistinct("image_id").cast("bigint").alias("n_images"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from godal_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from godal_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

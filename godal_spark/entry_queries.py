@@ -1,0 +1,627 @@
+"""Driver-contract queries: engine operators vs ANSI-SQL oracles.
+
+Each entry runs the REAL engine path (tile explode, cell-indexed PIP
+join, ring kNN, Arrow pixel aggregation ...) over deterministic inputs
+derived from the driver's parquet tables; the paired oracle SQL
+recomputes the same answer relationally in DuckDB. Derivation formulas
+are integer arithmetic shared verbatim between both sides.
+
+Conventions (driver compare is column-name + value-hash based):
+  * every computed column aliased identically on both sides;
+  * integer outputs cast to bigint, floats rounded (4-6 dp) on both
+    sides with the SAME formula (e.g. population std via
+    sum(v*v)/n - mean^2, not the builtin stddev, to keep bit parity);
+  * row order irrelevant (driver sorts).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from godal_spark.functions import geom as G
+from godal_spark.operators import knn as knn_op
+from godal_spark.operators import pip as pip_op
+from godal_spark.operators import tiling
+
+# ---------------------------------------------------------------------------
+# shared deterministic derivations (SQL fragments used by BOTH sides)
+# ---------------------------------------------------------------------------
+
+# synthetic image metadata from `part`
+IMG_W = "16 + p_partkey % 113"
+IMG_H = "16 + (p_partkey * 7) % 97"
+IMG_LON = "cast(-175.0 + (p_partkey % 350) as double)"
+IMG_LAT = "cast(-85.0 + ((p_partkey * 13) % 170) as double)"
+
+# synthetic points from `customer` / `supplier` (0.05 offset keeps points
+# off integer box edges)
+CUST_LON = "cast(((c_custkey * 7919) % 3600) as double) / 10.0 - 180.0 + 0.05"
+CUST_LAT = "cast(((c_custkey * 104729) % 1700) as double) / 10.0 - 85.0 + 0.05"
+SUPP_LON = "cast(((s_suppkey * 6151) % 3600) as double) / 10.0 - 180.0 + 0.05"
+SUPP_LAT = "cast(((s_suppkey * 92821) % 1700) as double) / 10.0 - 85.0 + 0.05"
+
+# 5x5 grid of nation boxes (disjoint, inset from the antimeridian/poles)
+NB_MINX = "cast(-180 + (n_nationkey % 5) * 72 + 3 as double)"
+NB_MINY = "cast(-90 + cast(floor(n_nationkey / 5) as bigint) * 36 + 4 as double)"
+NB_W, NB_H = 60.0, 28.0
+
+RASTER_SUBSET = "p_partkey % 40 = 0"  # pixel-level queries: ~n_part/40 images
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _images_meta(spark, sf_dir, where: str | None = None) -> DataFrame:
+    df = _t(spark, sf_dir, "part")
+    if where:
+        df = df.filter(where)
+    return df.selectExpr("cast(p_partkey as bigint) as image_id",
+                         f"cast({IMG_W} as int) as w",
+                         f"cast({IMG_H} as int) as h",
+                         f"{IMG_LON} as lon", f"{IMG_LAT} as lat")
+
+
+def _customer_points(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "customer").selectExpr(
+        "cast(c_custkey as bigint) as pid",
+        f"{CUST_LON} as lon", f"{CUST_LAT} as lat")
+
+
+def _supplier_points(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "supplier").selectExpr(
+        "cast(s_suppkey as bigint) as qid",
+        f"{SUPP_LON} as lon", f"{SUPP_LAT} as lat")
+
+
+def _nation_footprints(spark, sf_dir) -> DataFrame:
+    """Nation boxes as a real WKB footprints table (engine side)."""
+    nat = _t(spark, sf_dir, "nation").selectExpr(
+        "cast(n_nationkey as bigint) as fid", "n_name",
+        f"{NB_MINX} as minx", f"{NB_MINY} as miny",
+        f"{NB_MINX} + {NB_W} as maxx", f"{NB_MINY} + {NB_H} as maxy",
+        "case when n_nationkey % 2 = 0 then 'bar' else 'baz' end as foo")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["geometry"] = [
+                G.to_wkb(G.box(r.minx, r.miny, r.maxx, r.maxy))
+                for r in pdf.itertuples()]
+            yield pdf
+
+    return nat.mapInPandas(
+        gen, schema="fid bigint, n_name string, minx double, miny double, "
+                    "maxx double, maxy double, foo string, geometry binary")
+
+
+_ORACLE_IMG = (f"SELECT cast(p_partkey as bigint) AS image_id, {IMG_W} AS w, "
+               f"{IMG_H} AS h, {IMG_LON} AS lon, {IMG_LAT} AS lat FROM part")
+_ORACLE_NB = (f"SELECT cast(n_nationkey as bigint) AS fid, n_name, {NB_MINX} AS minx, "
+              f"{NB_MINY} AS miny, {NB_MINX} + {NB_W} AS maxx, {NB_MINY} + {NB_H} AS maxy, "
+              "CASE WHEN n_nationkey % 2 = 0 THEN 'bar' ELSE 'baz' END AS foo FROM nation")
+_ORACLE_CUST = (f"SELECT cast(c_custkey as bigint) AS pid, {CUST_LON} AS lon, "
+                f"{CUST_LAT} AS lat FROM customer")
+_ORACLE_SUPP = (f"SELECT cast(s_suppkey as bigint) AS qid, {SUPP_LON} AS lon, "
+                f"{SUPP_LAT} AS lat FROM supplier")
+
+
+# ---------------------------------------------------------------------------
+# 1. block_grid — BlockIterator tile assignment (structure.go:30-64)
+# ---------------------------------------------------------------------------
+
+def q_block_grid(spark, sf_dir):
+    img = _images_meta(spark, sf_dir)
+    out = tiling.with_block_grid(img, bw=32, bh=32)
+    return out.selectExpr("image_id", "cast(block_x as bigint) as block_x",
+                          "cast(block_y as bigint) as block_y",
+                          "cast(x0 as bigint) as x0", "cast(y0 as bigint) as y0",
+                          "cast(bw as bigint) as bw", "cast(bh as bigint) as bh")
+
+
+SQL_BLOCK_GRID = f"""
+WITH img AS ({_ORACLE_IMG}),
+g1 AS (SELECT image_id, w, h, unnest(range(0, cast(ceil(h / 32.0) AS bigint))) AS block_y FROM img),
+g2 AS (SELECT image_id, w, h, block_y, unnest(range(0, cast(ceil(w / 32.0) AS bigint))) AS block_x FROM g1)
+SELECT image_id, block_x, block_y, block_x * 32 AS x0, block_y * 32 AS y0,
+       least(32, w - block_x * 32) AS bw, least(32, h - block_y * 32) AS bh
+FROM g2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. overview_plan — BuildOverviews auto-level loop (godal.go:1104-1116)
+# ---------------------------------------------------------------------------
+
+def q_overview_plan(spark, sf_dir):
+    img = _images_meta(spark, sf_dir)
+    out = tiling.with_overview_levels(img, min_size=16)
+    return out.selectExpr(
+        "image_id", "cast(size(levels) as bigint) as n_levels",
+        "cast(coalesce(try_element_at(levels, -1), 0) as bigint) as max_level")
+
+
+SQL_OVERVIEW_PLAN = f"""
+WITH img AS ({_ORACLE_IMG}),
+ks AS (SELECT image_id, w, h, unnest(range(1, 32)) AS k FROM img),
+lv AS (SELECT image_id, k FROM ks
+       WHERE floor(w / pow(2, k - 1)) > 16 OR floor(h / pow(2, k - 1)) > 16)
+SELECT i.image_id, count(lv.k) AS n_levels,
+       coalesce(cast(pow(2, max(lv.k)) AS bigint), 0) AS max_level
+FROM img i LEFT JOIN lv ON i.image_id = lv.image_id
+GROUP BY i.image_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. overview_tiles — pyramid tile-count rollup per level
+# ---------------------------------------------------------------------------
+
+def q_overview_tiles(spark, sf_dir):
+    img = _images_meta(spark, sf_dir)
+    lv = tiling.with_overview_levels(img, min_size=16)
+    lv = lv.withColumn("level", F.explode("levels"))
+    lv = lv.selectExpr("image_id", "cast(level as bigint) as level",
+                       "cast(ceil(w / cast(level as double) / 32.0) * "
+                       "ceil(h / cast(level as double) / 32.0) as bigint) as n_tiles")
+    return lv.groupBy("level").agg(
+        F.count("*").cast("bigint").alias("n_images"),
+        F.sum("n_tiles").cast("bigint").alias("n_tiles"))
+
+
+SQL_OVERVIEW_TILES = f"""
+WITH img AS ({_ORACLE_IMG}),
+ks AS (SELECT image_id, w, h, unnest(range(1, 32)) AS k FROM img),
+lv AS (SELECT image_id, cast(pow(2, k) AS bigint) AS level,
+              cast(ceil(ceil(w / pow(2, k)) / 32.0) * ceil(ceil(h / pow(2, k)) / 32.0) AS bigint) AS n_tiles
+       FROM ks WHERE floor(w / pow(2, k - 1)) > 16 OR floor(h / pow(2, k - 1)) > 16)
+SELECT level, count(*) AS n_images, sum(n_tiles) AS n_tiles FROM lv GROUP BY level
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. pip_count — the headline cell-indexed point-in-polygon join
+# ---------------------------------------------------------------------------
+
+def q_pip_count(spark, sf_dir):
+    pts = _customer_points(spark, sf_dir)
+    fps = _nation_footprints(spark, sf_dir)
+    joined = pip_op.pip_join(pts, fps, res=6, broadcast_footprints=True)
+    return joined.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("pid").cast("bigint").alias("sum_pid"))
+
+
+SQL_PIP_COUNT = f"""
+WITH pts AS ({_ORACLE_CUST}), nb AS ({_ORACLE_NB})
+SELECT nb.n_name, count(*) AS n_points, sum(pts.pid) AS sum_pid
+FROM pts JOIN nb
+  ON pts.lon >= nb.minx AND pts.lon <= nb.maxx
+ AND pts.lat >= nb.miny AND pts.lat <= nb.maxy
+GROUP BY nb.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. knn — ring-expansion kNN join vs brute-force oracle
+# ---------------------------------------------------------------------------
+
+def q_knn(spark, sf_dir):
+    q = _supplier_points(spark, sf_dir)
+    p = _customer_points(spark, sf_dir)
+    out = knn_op.knn_join(q, p, k=3, q_id="qid", p_id="pid",
+                          res=3, rings=2, broadcast_points=True)
+    return out.selectExpr("qid", "cast(rank as bigint) as rank",
+                          "neighbor_id", "round(dist, 6) as dist_r")
+
+
+SQL_KNN = f"""
+WITH q AS ({_ORACLE_SUPP}), p AS ({_ORACLE_CUST}),
+d AS (SELECT q.qid, p.pid,
+             sqrt(pow(q.lon - p.lon, 2) + pow(q.lat - p.lat, 2)) AS dist
+      FROM q CROSS JOIN p),
+r AS (SELECT qid, pid, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, pid) AS rank
+      FROM d)
+SELECT qid, cast(rank AS bigint) AS rank, pid AS neighbor_id,
+       round(dist, 6) AS dist_r
+FROM r WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. raster_stats — decode → tile → partial agg → final (nodata-free ramp)
+#    (GetStatistics semantics, godal.go:470-542; statistics.go)
+# ---------------------------------------------------------------------------
+
+_PART_SCHEMA = ("image_id bigint, n_px bigint, s double, ss double, "
+                "mn double, mx double")
+
+
+def _ramp_tiles_partial(img: DataFrame) -> DataFrame:
+    """Synthesize ramp pixels per image, tile 32x32, per-tile partials.
+
+    This IS the engine pixel path: the 'decode' stage materializes each
+    tile's numpy block (formula stands in for codec decode), partials are
+    numpy reductions, the final combine is a JVM groupBy — map-side
+    partial aggregation like Band.Histogram's two-phase plan.
+    """
+    grid = tiling.with_block_grid(img, bw=32, bh=32)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "n_px", "s", "ss", "mn", "mx")}
+            for r in pdf.itertuples(index=False):
+                y, x = np.mgrid[r.y0:r.y0 + r.bh, r.x0:r.x0 + r.bw]
+                v = ((y * r.w + x) % 256).astype(np.float64)
+                out["image_id"].append(r.image_id)
+                out["n_px"].append(v.size)
+                out["s"].append(float(v.sum()))
+                out["ss"].append(float((v * v).sum()))
+                out["mn"].append(float(v.min()))
+                out["mx"].append(float(v.max()))
+            yield pd.DataFrame(out)
+
+    return grid.mapInPandas(gen, schema=_PART_SCHEMA)
+
+
+def q_raster_stats(spark, sf_dir):
+    img = _images_meta(spark, sf_dir, where=RASTER_SUBSET)
+    part = _ramp_tiles_partial(img)
+    agg = part.groupBy("image_id").agg(
+        F.sum("n_px").cast("bigint").alias("n_px"),
+        F.sum("s").alias("s"), F.sum("ss").alias("ss"),
+        F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+    return agg.selectExpr(
+        "image_id", "n_px", "mn AS px_min", "mx AS px_max",
+        "round(s / n_px, 4) AS mean",
+        "round(sqrt(ss / n_px - (s / n_px) * (s / n_px)), 4) AS std")
+
+
+SQL_RASTER_STATS = f"""
+WITH img AS (SELECT cast(p_partkey as bigint) AS image_id, {IMG_W} AS w, {IMG_H} AS h
+             FROM part WHERE {RASTER_SUBSET}),
+py AS (SELECT image_id, w, h, unnest(range(0, h)) AS y FROM img),
+px AS (SELECT image_id, w, y, unnest(range(0, w)) AS x FROM py),
+v AS (SELECT image_id, cast((y * w + x) % 256 AS double) AS v FROM px)
+SELECT image_id, count(*) AS n_px, min(v) AS px_min, max(v) AS px_max,
+       round(sum(v) / count(*), 4) AS mean,
+       round(sqrt(sum(v * v) / count(*) - (sum(v) / count(*)) * (sum(v) / count(*))), 4) AS std
+FROM v GROUP BY image_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. histogram — two-phase bucket counts (godal.go:436-461, histogram.go)
+# ---------------------------------------------------------------------------
+
+def q_histogram(spark, sf_dir):
+    img = _images_meta(spark, sf_dir, where=RASTER_SUBSET)
+    grid = tiling.with_block_grid(img, bw=32, bh=32)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bucket": [], "n": []}
+            for r in pdf.itertuples(index=False):
+                y, x = np.mgrid[r.y0:r.y0 + r.bh, r.x0:r.x0 + r.bw]
+                v = ((y * r.w + x) % 256).astype(np.int64)
+                counts = np.bincount((v >> 5).ravel(), minlength=8)
+                for b in range(8):
+                    if counts[b]:
+                        out["image_id"].append(r.image_id)
+                        out["bucket"].append(b)
+                        out["n"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    part = grid.mapInPandas(gen, schema="image_id bigint, bucket bigint, n bigint")
+    return part.groupBy("image_id", "bucket").agg(F.sum("n").cast("bigint").alias("n"))
+
+
+SQL_HISTOGRAM = f"""
+WITH img AS (SELECT cast(p_partkey as bigint) AS image_id, {IMG_W} AS w, {IMG_H} AS h
+             FROM part WHERE {RASTER_SUBSET}),
+py AS (SELECT image_id, w, h, unnest(range(0, h)) AS y FROM img),
+px AS (SELECT image_id, w, y, unnest(range(0, w)) AS x FROM py)
+SELECT image_id, cast(((y * w + x) % 256) // 32 AS bigint) AS bucket, count(*) AS n
+FROM px GROUP BY image_id, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. rasterize — burn nation boxes onto a 24x24 grid (center-point rule;
+#    RasterizeGeometry semantics godal.go:2398-2428)
+# ---------------------------------------------------------------------------
+
+def q_rasterize(spark, sf_dir):
+    fps = _nation_footprints(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"n_name": [], "n_burned": []}
+            for r in pdf.itertuples(index=False):
+                g = G.from_wkb(bytes(r.geometry))
+                gminx, gminy = r.minx - 6.0, r.miny - 6.0
+                pw = (r.maxx + 6.0 - gminx) / 24.0
+                ph = (r.maxy + 6.0 - gminy) / 24.0
+                xs = gminx + (np.arange(24) + 0.5) * pw
+                ys = gminy + (np.arange(24) + 0.5) * ph
+                gx, gy = np.meshgrid(xs, ys)
+                burned = G.points_in_polygon(gx.ravel(), gy.ravel(), g).sum()
+                out["n_name"].append(r.n_name)
+                out["n_burned"].append(int(burned))
+            yield pd.DataFrame(out)
+
+    return fps.mapInPandas(gen, schema="n_name string, n_burned bigint")
+
+
+SQL_RASTERIZE = f"""
+WITH nb AS ({_ORACLE_NB}),
+gy AS (SELECT n_name, minx, miny, maxx, maxy, unnest(range(0, 24)) AS j FROM nb),
+gxy AS (SELECT n_name, minx, miny, maxx, maxy, j, unnest(range(0, 24)) AS i FROM gy),
+c AS (SELECT n_name, minx, miny, maxx, maxy,
+             (minx - 6.0) + (i + 0.5) * ((maxx + 6.0 - (minx - 6.0)) / 24.0) AS cx,
+             (miny - 6.0) + (j + 0.5) * ((maxy + 6.0 - (miny - 6.0)) / 24.0) AS cy
+      FROM gxy)
+SELECT n_name, count(*) FILTER (WHERE cx >= minx AND cx <= maxx
+                                  AND cy >= miny AND cy <= maxy) AS n_burned
+FROM c GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. translate_resize — gdal_translate -outsize 200% grid math
+#    (godal_test.go:1839-1850)
+# ---------------------------------------------------------------------------
+
+def q_translate_resize(spark, sf_dir):
+    img = _images_meta(spark, sf_dir).selectExpr(
+        "image_id", "cast(w * 2 as int) as w", "cast(h * 2 as int) as h")
+    grid = tiling.with_block_grid(img, bw=32, bh=16)
+    return grid.groupBy("image_id").agg(
+        F.max(F.col("w")).cast("bigint").alias("out_w"),
+        F.max(F.col("h")).cast("bigint").alias("out_h"),
+        F.count("*").cast("bigint").alias("n_blocks"))
+
+
+SQL_TRANSLATE_RESIZE = f"""
+WITH img AS ({_ORACLE_IMG})
+SELECT image_id, cast(w * 2 AS bigint) AS out_w, cast(h * 2 AS bigint) AS out_h,
+       cast(ceil(w * 2 / 32.0) * ceil(h * 2 / 16.0) AS bigint) AS n_blocks
+FROM img
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. bounds — layer envelope aggregate (godal.go:2596-2623)
+# ---------------------------------------------------------------------------
+
+def q_bounds(spark, sf_dir):
+    fps = _nation_footprints(spark, sf_dir).drop("minx", "miny", "maxx", "maxy")
+    fps = pip_op.with_bbox(fps)  # bbox derived from WKB by the engine
+    return fps.groupBy("foo").agg(
+        F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+        F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
+        F.count("*").cast("bigint").alias("n_features"))
+
+
+SQL_BOUNDS = f"""
+WITH nb AS ({_ORACLE_NB})
+SELECT foo, min(minx) AS minx, min(miny) AS miny,
+       max(maxx) AS maxx, max(maxy) AS maxy, count(*) AS n_features
+FROM nb GROUP BY foo
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. geom_area — WKB → shoelace area + buffered area through Arrow UDF
+# ---------------------------------------------------------------------------
+
+def q_geom_area(spark, sf_dir):
+    fps = _nation_footprints(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"fid": [], "area": [], "buf_area": []}
+            for r in pdf.itertuples(index=False):
+                g = G.from_wkb(bytes(r.geometry))
+                out["fid"].append(r.fid)
+                out["area"].append(round(g.area(), 4))
+                out["buf_area"].append(round(G.buffer(g, 1.0).area(), 4))
+            yield pd.DataFrame(out)
+
+    return fps.mapInPandas(gen, schema="fid bigint, area double, buf_area double")
+
+
+# square edge-offset buffer: (w+2d)(h+2d)
+SQL_GEOM_AREA = f"""
+WITH nb AS ({_ORACLE_NB})
+SELECT fid, round((maxx - minx) * (maxy - miny), 4) AS area,
+       round((maxx - minx + 2.0) * (maxy - miny + 2.0), 4) AS buf_area
+FROM nb
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. sql_q1 — ExecuteSQL surface = spark.sql (godal.go:3433-3465)
+# ---------------------------------------------------------------------------
+
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(l_quantity) AS bigint) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_q1(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    df = spark.sql(_Q1)
+    return df.withColumn("count_order", F.col("count_order").cast("bigint"))
+
+
+SQL_Q1 = _Q1
+
+
+# ---------------------------------------------------------------------------
+# 13. dedup_exact — hash-groupBy exact dedup over documents
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("text_hash", F.md5(F.col("text")))
+            .groupBy("text_hash")
+            .agg(F.count("*").cast("bigint").alias("n_copies"),
+                 F.min("doc_id").cast("bigint").alias("keep_doc_id")))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies,
+       cast(min(doc_id) AS bigint) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. text_stats — token counting + quality signals over documents
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.array([F.lit(s) for s in ("the", "a", "and", "of", "to")])
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+         .cast("bigint").alias("n_stop"),
+        F.length(F.regexp_replace(F.col("text"), r"[^.,!?]", "")).cast("bigint").alias("n_punct"))
+
+
+SQL_TEXT_STATS = r"""
+WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+SELECT cast(doc_id AS bigint) AS doc_id,
+       cast(len(toks) AS bigint) AS n_tokens,
+       cast(len(list_distinct(toks)) AS bigint) AS n_distinct,
+       cast(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS bigint) AS n_stop,
+       cast(length(regexp_replace(text, '[^.,!?]', '', 'g')) AS bigint) AS n_punct
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15. ann_cosine_topk — brute-force cosine top-k (similarity baseline)
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            pmat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            pnorm = np.sqrt((pmat * pmat).sum(axis=1))
+            sims = (qmat @ pmat.T) / (qnorm[:, None] * pnorm[None, :])
+            qq, pp = np.meshgrid(qids, pids, indexing="ij")
+            mask = qq != pp
+            yield pd.DataFrame({"qid": qq[mask].ravel(), "pid": pp[mask].ravel(),
+                                "sim": sims[mask].ravel()})
+
+    pairs = emb.mapInPandas(gen, schema="qid bigint, pid bigint, sim double")
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("pid").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .selectExpr("qid", "cast(rank as bigint) as rank", "pid",
+                        "round(sim, 4) as sim_r"))
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings),
+d AS (SELECT qid, pid,
+             (SELECT sum(cast(a.e AS double) * cast(b.e AS double))
+              FROM (SELECT unnest(qe) AS e, generate_subscripts(qe, 1) AS i) a
+              JOIN (SELECT unnest(pe) AS e, generate_subscripts(pe, 1) AS i) b USING (i)) /
+             (sqrt((SELECT sum(cast(e AS double) * cast(e AS double)) FROM unnest(qe) AS t(e))) *
+              sqrt((SELECT sum(cast(e AS double) * cast(e AS double)) FROM unnest(pe) AS t(e)))) AS sim
+      FROM q CROSS JOIN p WHERE qid <> pid),
+r AS (SELECT qid, pid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, pid) AS rank FROM d)
+SELECT qid, cast(rank AS bigint) AS rank, pid, round(sim, 4) AS sim_r
+FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16. events_window — tumbling 1-hour windows (streaming-compatible agg)
+# ---------------------------------------------------------------------------
+
+def q_events_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .selectExpr("cast(unix_timestamp(win.start) as bigint) as hour_start",
+                        "event_type", "n", "sum_value"))
+
+
+SQL_EVENTS_WINDOW = """
+SELECT cast(epoch(date_trunc('hour', ts)) AS bigint) AS hour_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "block_grid": q_block_grid,
+    "overview_plan": q_overview_plan,
+    "overview_tiles": q_overview_tiles,
+    "pip_count": q_pip_count,
+    "knn": q_knn,
+    "raster_stats": q_raster_stats,
+    "histogram": q_histogram,
+    "rasterize": q_rasterize,
+    "translate_resize": q_translate_resize,
+    "bounds": q_bounds,
+    "geom_area": q_geom_area,
+    "sql_q1": q_sql_q1,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "ann_topk": q_ann_topk,
+    "events_window": q_events_window,
+}
+
+ORACLES = {
+    "block_grid": SQL_BLOCK_GRID,
+    "overview_plan": SQL_OVERVIEW_PLAN,
+    "overview_tiles": SQL_OVERVIEW_TILES,
+    "pip_count": SQL_PIP_COUNT,
+    "knn": SQL_KNN,
+    "raster_stats": SQL_RASTER_STATS,
+    "histogram": SQL_HISTOGRAM,
+    "rasterize": SQL_RASTERIZE,
+    "translate_resize": SQL_TRANSLATE_RESIZE,
+    "bounds": SQL_BOUNDS,
+    "geom_area": SQL_GEOM_AREA,
+    "sql_q1": SQL_Q1,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_stats": SQL_TEXT_STATS,
+    "ann_topk": SQL_ANN_TOPK,
+    "events_window": SQL_EVENTS_WINDOW,
+}
