@@ -1,0 +1,275 @@
+"""Raster→vector: Polygonize + SieveFilter (reference godal.go:348-413).
+
+Golden contracts (godal_test.go:2175-2281, 3995-4078):
+  * Polygonize: connected components of equal-valued pixels; 4-connected
+    default, EightConnected() option; pixels masked out (nodata mask)
+    excluded by default, NoMask() keeps them, Mask(band) overrides.
+    diag 8x8 → 10 features (4-conn) / 2 (8-conn); masked quarter → 48.
+  * SieveFilter: components smaller than threshold take the value of
+    their largest neighboring component; mask pixels preserved;
+    8-connected diagonal of 10 px survives threshold 3.
+
+Distributed design: the work unit is ONE image band — tiles of an image
+gather to a single task (`groupBy(image_id, band).applyInPandas`). At
+10^12-image scale parallelism comes from image count, and a single
+image/dataset is bounded (the reference's Datasets are in-memory
+rasters), so per-image gather is the right plan; a cross-tile
+border-merge join is only needed for single rasters larger than one
+task's memory, which this engine documents as out of scope for v1.
+
+Geometry emission: components trace to rectilinear rings (interior-left
+directed edge walk). Components whose 8-conn boundary self-touches
+(corner-connected squares) emit MultiPolygon — same feature count and
+area as GDAL's self-touching Polygon, structural deviation documented.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from godal_spark.functions import geom as G
+
+
+# ---------------------------------------------------------------------------
+# connected-component labeling (pure numpy union-find)
+# ---------------------------------------------------------------------------
+
+def label_components(arr: np.ndarray, eight: bool = False,
+                     valid: np.ndarray | None = None) -> tuple[np.ndarray, int]:
+    """Label equal-valued connected regions. Returns (labels, n) where
+    labels[y,x] = component id in [0, n) or -1 for invalid pixels."""
+    h, w = arr.shape
+    if valid is None:
+        valid = np.ones((h, w), dtype=bool)
+    idx = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    parent = np.arange(h * w, dtype=np.int64)
+
+    def pairs(sl_a, sl_b):
+        m = valid[sl_a] & valid[sl_b] & (arr[sl_a] == arr[sl_b])
+        return idx[sl_a][m], idx[sl_b][m]
+
+    links = [
+        pairs(np.s_[:, 1:], np.s_[:, :-1]),   # left
+        pairs(np.s_[1:, :], np.s_[:-1, :]),   # up
+    ]
+    if eight:
+        links.append(pairs(np.s_[1:, 1:], np.s_[:-1, :-1]))   # up-left
+        links.append(pairs(np.s_[1:, :-1], np.s_[:-1, 1:]))   # up-right
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for a_arr, b_arr in links:
+        for a, b in zip(a_arr.tolist(), b_arr.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    flat_valid = valid.ravel()
+    roots = np.full(h * w, -1, dtype=np.int64)
+    for i in np.nonzero(flat_valid)[0].tolist():
+        roots[i] = find(i)
+    uniq, labels_flat = np.unique(roots, return_inverse=True)
+    # shift so that -1 (invalid) stays -1
+    if uniq.size and uniq[0] == -1:
+        labels_flat = labels_flat - 1
+        n = uniq.size - 1
+    else:
+        n = uniq.size
+    return labels_flat.reshape(h, w).astype(np.int64), int(n)
+
+
+# ---------------------------------------------------------------------------
+# boundary tracing: pixel mask → rectilinear rings
+# ---------------------------------------------------------------------------
+
+_DIRS = {(1, 0): 0, (0, 1): 1, (-1, 0): 2, (0, -1): 3}
+
+
+def _trace_rings(mask: np.ndarray) -> list[np.ndarray]:
+    """Directed-edge walk (interior on the right in y-down space → rings
+    are clockwise in y-down = CCW in map space after the gt flip).
+    Saddle vertices take the sharpest clockwise turn → simple rings."""
+    h, w = mask.shape
+    padded = np.zeros((h + 2, w + 2), dtype=bool)
+    padded[1:-1, 1:-1] = mask
+    core = padded[1:-1, 1:-1]
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(x0, y0, x1, y1):
+        edges.setdefault((x0, y0), []).append((x1, y1))
+
+    ys, xs = np.nonzero(core)
+    for x, y in zip(xs.tolist(), ys.tolist()):
+        if not padded[y, x + 1]:          # no neighbor above
+            add(x, y, x + 1, y)
+        if not padded[y + 1, x + 2]:      # no neighbor right
+            add(x + 1, y, x + 1, y + 1)
+        if not padded[y + 2, x + 1]:      # no neighbor below
+            add(x + 1, y + 1, x, y + 1)
+        if not padded[y + 1, x]:          # no neighbor left
+            add(x, y + 1, x, y + 1 - 1)
+
+    rings = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        cur = start
+        prev_dir = None
+        while True:
+            outs = edges.get(cur)
+            if not outs:
+                break
+            if len(outs) == 1 or prev_dir is None:
+                nxt = outs.pop()
+            else:
+                # sharpest clockwise turn relative to incoming direction
+                def turn(cand):
+                    d = (cand[0] - cur[0], cand[1] - cur[1])
+                    return (_DIRS[d] - prev_dir) % 4
+                outs.sort(key=turn)
+                nxt = outs.pop(0)
+            if not edges[cur]:
+                del edges[cur]
+            prev_dir = _DIRS[(nxt[0] - cur[0], nxt[1] - cur[1])]
+            cur = nxt
+            ring.append(cur)
+            if cur == start:
+                break
+        if len(ring) >= 4 and ring[0] == ring[-1]:
+            rings.append(np.array(ring, dtype=np.float64))
+    return rings
+
+
+def mask_to_geom(mask: np.ndarray, gt=None) -> G.Geom:
+    """Pixel mask → Polygon/MultiPolygon in geo coords (or pixel coords
+    when gt is None, y-down)."""
+    rings = _trace_rings(mask)
+    if gt is not None:
+        for r in rings:
+            x = gt[0] + r[:, 0] * gt[1] + r[:, 1] * gt[2]
+            y = gt[3] + r[:, 0] * gt[4] + r[:, 1] * gt[5]
+            r[:, 0], r[:, 1] = x, y
+    shells, holes = [], []
+    for r in rings:
+        x, y = r[:-1, 0], r[:-1, 1]
+        signed = np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)
+        # in y-down pixel space shells are CW (negative signed area);
+        # after a north-up gt flip (dy<0) they become CCW — classify by
+        # majority: the outermost ring is a shell
+        holes.append((abs(signed), r, signed))
+    if not holes:
+        return G.empty("Polygon")
+    # classification: ring is a hole iff strictly inside another ring
+    holes.sort(key=lambda t: -t[0])
+    out_shells: list[list[np.ndarray]] = []
+    for _, r, _ in holes:
+        placed = False
+        mid = r[:-1].mean(axis=0)
+        for poly in out_shells:
+            if G.points_in_ring([mid[0]], [mid[1]], poly[0])[0]:
+                poly.append(r)
+                placed = True
+                break
+        if not placed:
+            out_shells.append([r])
+    if len(out_shells) == 1:
+        return G.Geom("Polygon", out_shells[0])
+    return G.Geom("MultiPolygon", out_shells)
+
+
+def polygonize_array(arr: np.ndarray, *, eight: bool = False,
+                     valid: np.ndarray | None = None, gt=None):
+    """→ list of (value, n_pixels, Geom) per connected component."""
+    labels, n = label_components(arr, eight=eight, valid=valid)
+    out = []
+    for comp in range(n):
+        m = labels == comp
+        val = arr[m][0]
+        out.append((val, int(m.sum()), mask_to_geom(m, gt)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sieve
+# ---------------------------------------------------------------------------
+
+def sieve_array(arr: np.ndarray, threshold: int, *, eight: bool = False,
+                valid: np.ndarray | None = None) -> np.ndarray:
+    """Replace components < threshold px with their largest neighbor's
+    value; masked-out pixels untouched (godal.go:394-413)."""
+    out = arr.copy()
+    labels, n = label_components(arr, eight=eight, valid=valid)
+    if n == 0:
+        return out
+    sizes = np.bincount(labels[labels >= 0].ravel(), minlength=n)
+    small = np.nonzero(sizes < threshold)[0]
+    if small.size == 0:
+        return out
+    # adjacency via 4-neighborhood label pairs (GDAL merges into the
+    # largest 4-adjacent neighbor)
+    adj: dict[int, set[int]] = {int(s): set() for s in small}
+    h, w = arr.shape
+    for sl_a, sl_b in ((np.s_[:, 1:], np.s_[:, :-1]), (np.s_[1:, :], np.s_[:-1, :])):
+        la, lb = labels[sl_a].ravel(), labels[sl_b].ravel()
+        m = (la != lb) & (la >= 0) & (lb >= 0)
+        for a, b in zip(la[m].tolist(), lb[m].tolist()):
+            if a in adj:
+                adj[a].add(b)
+            if b in adj:
+                adj[b].add(a)
+    # iterate smallest-first like GDAL so chains collapse deterministically
+    for s in sorted(small.tolist(), key=lambda s: (sizes[s], s)):
+        nbrs = adj.get(s, set())
+        if not nbrs:
+            continue
+        tgt = max(nbrs, key=lambda nb: (sizes[nb], -nb))
+        out[labels == s] = arr[labels == tgt][0]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+FEATURES_SCHEMA = ("image_id string, band int, value double, n_pixels bigint, "
+                   "geometry binary, area double")
+
+
+def polygonize(tiles: DataFrame, *, eight: bool = False,
+               use_nodata_mask: bool = True, nodata: float | None = None) -> DataFrame:
+    """tiles (level 0) → feature rows, one per connected component.
+
+    Gathers each (image_id, band)'s tiles into one task; see module
+    docstring for why this is the scale-correct plan.
+    """
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id, band = key
+        w, h = int(pdf["w"].iloc[0]), int(pdf["h"].iloc[0])
+        dt = np.dtype(pdf["dtype"].iloc[0])
+        full = np.zeros((h, w), dtype=dt)
+        for r in pdf.itertuples(index=False):
+            full[r.y0:r.y0 + r.bh, r.x0:r.x0 + r.bw] = \
+                np.frombuffer(r.payload, dtype=dt).reshape(r.bh, r.bw)
+        valid = None
+        if use_nodata_mask and nodata is not None:
+            valid = full != nodata
+        feats = polygonize_array(full, eight=eight, valid=valid)
+        return pd.DataFrame({
+            "image_id": [image_id] * len(feats),
+            "band": [band] * len(feats),
+            "value": [float(v) for v, _, _ in feats],
+            "n_pixels": [n for _, n, _ in feats],
+            "geometry": [G.to_wkb(g) for _, _, g in feats],
+            "area": [g.area() for _, _, g in feats],
+        })
+
+    return tiles.groupBy("image_id", "band").applyInPandas(run, schema=FEATURES_SCHEMA)
