@@ -291,31 +291,110 @@ def grid_create(alg: str, px: np.ndarray, py: np.ndarray, pz: np.ndarray,
     raise ValueError(f"unknown grid alg {alg!r}")
 
 
-def _grid_linear(px, py, pz, gx, gy):
-    """Delaunay-free linear interpolation for small point sets: barycentric
-    over all triangles of the point set (exact for the 4-corner golden)."""
-    from itertools import combinations
+def _delaunay(pts: np.ndarray) -> list[tuple[int, int, int]]:
+    """Bowyer–Watson Delaunay triangulation (deterministic insertion in
+    input order; cocircular ties resolve by insertion order like qhull's
+    joggled input — pinned by the 4-corner grid golden)."""
+    n = len(pts)
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    r = max(np.abs(pts[:, 0] - cx).max(), np.abs(pts[:, 1] - cy).max(), 1.0) * 64
+    sup = np.array([[cx - 2 * r, cy - r], [cx + 2 * r, cy - r], [cx, cy + 2 * r]])
+    allp = np.vstack([pts, sup])
+    S0, S1, S2 = n, n + 1, n + 2
+    tris: list[tuple[int, int, int]] = [(S0, S1, S2)]
 
-    out = np.full(gx.shape, np.nan)
+    def incircle(t, p):
+        """+1 strictly inside circumcircle, 0 cocircular (fp tolerance),
+        -1 outside."""
+        ax, ay = allp[t[0]]
+        bx, by = allp[t[1]]
+        cx_, cy_ = allp[t[2]]
+        px_, py_ = allp[p]
+        m = np.array([
+            [ax - px_, ay - py_, (ax - px_) ** 2 + (ay - py_) ** 2],
+            [bx - px_, by - py_, (bx - px_) ** 2 + (by - py_) ** 2],
+            [cx_ - px_, cy_ - py_, (cx_ - px_) ** 2 + (cy_ - py_) ** 2],
+        ])
+        orient = (bx - ax) * (cy_ - ay) - (by - ay) * (cx_ - ax)
+        det = float(np.linalg.det(m)) * (1.0 if orient >= 0 else -1.0)
+        mag = float(np.abs(m[:, :2]).max()) or 1.0
+        eps = 1e-12 * mag ** 4
+        if det > eps:
+            return 1
+        if det < -eps:
+            return -1
+        return 0
+
+    def contains(t, p):
+        a, b, c = allp[t[0]], allp[t[1]], allp[t[2]]
+        det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
+        if abs(det) < 1e-30:
+            return False
+        l1 = ((b[1] - c[1]) * (allp[p][0] - c[0]) + (c[0] - b[0]) * (allp[p][1] - c[1])) / det
+        l2 = ((c[1] - a[1]) * (allp[p][0] - c[0]) + (a[0] - c[0]) * (allp[p][1] - c[1])) / det
+        return l1 >= -1e-12 and l2 >= -1e-12 and (1 - l1 - l2) >= -1e-12
+
+    for p in range(n):
+        # robust carve: BFS from the triangle(s) containing p over shared
+        # edges, adding neighbors whose circumcircle contains p
+        # (>= 0: exact-cocircular neighbors are re-split too, which
+        # resolves the ambiguous square toward the later point's diagonal
+        # — the reference golden's choice, godal_test.go:4279-4332)
+        seed = [t for t in tris if contains(t, p)]
+        if not seed:
+            continue
+        bad_set = set(seed)
+        frontier = list(seed)
+        edge_map: dict[tuple[int, int], list] = {}
+        for t in tris:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                edge_map.setdefault((min(e), max(e)), []).append(t)
+        while frontier:
+            t = frontier.pop()
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                for nb in edge_map[(min(e), max(e))]:
+                    if nb not in bad_set and incircle(nb, p) >= 0:
+                        bad_set.add(nb)
+                        frontier.append(nb)
+        bad = list(bad_set)
+        # polygon boundary of the bad-triangle union
+        edge_count: dict[tuple[int, int], int] = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                key = (min(e), max(e))
+                edge_count[key] = edge_count.get(key, 0) + 1
+        boundary = [e for e, cnt in edge_count.items() if cnt == 1]
+        tris = [t for t in tris if t not in bad]
+        for e in boundary:
+            tris.append((e[0], e[1], p))
+    return [t for t in tris if max(t) < n]
+
+
+def _grid_linear(px, py, pz, gx, gy):
+    """Barycentric interpolation over the Delaunay triangulation (GDAL's
+    linear alg; golden corner values incl. the 1/256 half-pixel offset,
+    godal_test.go:4279-4332)."""
     pts = np.stack([px, py], axis=1)
-    tris = [t for t in combinations(range(len(pts)), 3)]
-    # prefer smaller triangles (Delaunay-ish) so overlapping tris resolve
-    def tri_area(t):
-        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
-        return abs((b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])) / 2
-    tris.sort(key=tri_area)
+    tris = _delaunay(pts)
     gxf, gyf = gx.ravel(), gy.ravel()
     res = np.full(gxf.shape, np.nan)
-    for t in tris:
-        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
-        det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
-        if abs(det) < 1e-12:
-            continue
-        l1 = ((b[1] - c[1]) * (gxf - c[0]) + (c[0] - b[0]) * (gyf - c[1])) / det
-        l2 = ((c[1] - a[1]) * (gxf - c[0]) + (a[0] - c[0]) * (gyf - c[1])) / det
-        l3 = 1 - l1 - l2
-        inside = (l1 >= -1e-12) & (l2 >= -1e-12) & (l3 >= -1e-12) & np.isnan(res)
-        res[inside] = (l1 * pz[t[0]] + l2 * pz[t[1]] + l3 * pz[t[2]])[inside]
+    # two passes: exact assignment, then a relaxed pass that catches
+    # points sitting on shared edges where fp noise makes both triangles
+    # report "slightly outside" (both give the same plane value there)
+    for tol in (1e-12, 1e-7):
+        for t in tris:
+            a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+            det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
+            if abs(det) < 1e-30:
+                continue
+            l1 = ((b[1] - c[1]) * (gxf - c[0]) + (c[0] - b[0]) * (gyf - c[1])) / det
+            l2 = ((c[1] - a[1]) * (gxf - c[0]) + (a[0] - c[0]) * (gyf - c[1])) / det
+            l3 = 1 - l1 - l2
+            inside = (l1 >= -tol) & (l2 >= -tol) & (l3 >= -tol) & np.isnan(res)
+            if inside.any():
+                res[inside] = (l1 * pz[t[0]] + l2 * pz[t[1]] + l3 * pz[t[2]])[inside]
+        if not np.isnan(res).any():
+            break
     return res.reshape(gx.shape)
 
 

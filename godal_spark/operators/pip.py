@@ -50,25 +50,45 @@ def with_point_cells(df: DataFrame, lon: str = "lon", lat: str = "lat",
 _BBOX_SCHEMA = T.StructType([
     T.StructField("minx", T.DoubleType()), T.StructField("miny", T.DoubleType()),
     T.StructField("maxx", T.DoubleType()), T.StructField("maxy", T.DoubleType()),
+    T.StructField("is_rect", T.BooleanType()),
 ])
+
+
+def _geom_is_rect(g: G.Geom) -> bool:
+    """True iff the geometry IS its envelope (axis-aligned rectangle) —
+    then the bbox test is exact and the ray-cast refine can be skipped
+    JVM-side (OGR does the same for envelope filters,
+    reference godal.go:2797-2799 bbox short-circuit)."""
+    polys = g.polygons()
+    if len(polys) != 1 or len(polys[0]) != 1:
+        return False
+    r = polys[0][0]
+    if len(r) != 5:
+        return False
+    minx, miny, maxx, maxy = g.bounds()
+    corners = {(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)}
+    return {(float(p[0]), float(p[1])) for p in r[:-1]} == corners
 
 
 @F.pandas_udf(_BBOX_SCHEMA)
 def wkb_bbox(wkb: pd.Series) -> pd.DataFrame:
-    out = {"minx": [], "miny": [], "maxx": [], "maxy": []}
+    out = {"minx": [], "miny": [], "maxx": [], "maxy": [], "is_rect": []}
     for buf in wkb:
-        b = G.from_wkb(bytes(buf)).bounds()
+        g = G.from_wkb(bytes(buf))
+        b = g.bounds()
         out["minx"].append(b[0])
         out["miny"].append(b[1])
         out["maxx"].append(b[2])
         out["maxy"].append(b[3])
+        out["is_rect"].append(_geom_is_rect(g))
     return pd.DataFrame(out)
 
 
 def with_bbox(df: DataFrame, wkb_col: str = "geometry") -> DataFrame:
     b = wkb_bbox(F.col(wkb_col))
     return (df.withColumn("minx", b["minx"]).withColumn("miny", b["miny"])
-              .withColumn("maxx", b["maxx"]).withColumn("maxy", b["maxy"]))
+              .withColumn("maxx", b["maxx"]).withColumn("maxy", b["maxy"])
+              .withColumn("is_rect", b["is_rect"]))
 
 
 def explode_footprint_cells(df: DataFrame, res: int = 12,
@@ -131,6 +151,13 @@ def pip_join(points: DataFrame, footprints: DataFrame, *,
     joined = joined.filter(
         (F.col(lon) >= F.col("minx")) & (F.col(lon) <= F.col("maxx"))
         & (F.col(lat) >= F.col("miny")) & (F.col(lat) <= F.col("maxy")))
+    if "is_rect" in joined.columns:
+        # rectangle geometries: bbox test IS exact → no Python refine;
+        # only non-rectangular geometries pay the Arrow round trip
+        rect = joined.filter(F.col("is_rect"))
+        other = joined.filter(~F.col("is_rect")).filter(
+            st_contains_point(F.col(geometry), F.col(lon), F.col(lat)))
+        return rect.unionByName(other)
     return joined.filter(st_contains_point(F.col(geometry), F.col(lon), F.col(lat)))
 
 

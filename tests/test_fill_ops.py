@@ -1,0 +1,122 @@
+"""FillNoData / Nearblack / Dem / Viewshed / Grid kernel goldens."""
+
+import numpy as np
+import pytest
+
+from godal_spark.operators.fill import (
+    dem_hillshade, dem_slope, fillnodata, grid_create, nearblack, viewshed)
+
+
+@pytest.fixture(scope="module")
+def patch_image():
+    arr = np.zeros((1000, 1000), np.uint8)
+    arr[495:505, 495:505] = 128
+    return arr, arr != 0
+
+
+def test_fillnodata_default_distance(patch_image):
+    # godal_test.go:2305-2315
+    arr, valid = patch_image
+    out = fillnodata(arr, valid, max_distance=100)
+    assert out[595, 500] == 128
+    assert out[604, 509] == 0
+
+
+def test_fillnodata_max_distance_10(patch_image):
+    # godal_test.go:2317-2327
+    arr, valid = patch_image
+    out = fillnodata(arr, valid, max_distance=10)
+    assert out[595, 500] == 0
+    assert out[510, 510] == 128
+
+
+def test_fillnodata_smoothing_changes_result():
+    # godal_test.go:2329-2345
+    arr = np.zeros((1000, 1000), np.uint8)
+    arr[495:505, 495:505] = (np.arange(100) + 23).reshape(10, 10).astype(np.uint8)
+    valid = arr != 0
+    a = fillnodata(arr, valid)[500, 520]
+    b = fillnodata(arr, valid, smoothing=20)[500, 520]
+    assert a != b
+
+
+def test_nearblack_goldens():
+    # godal_test.go:4703-4707, 4774-4779
+    ramp = np.tile(np.arange(256, dtype=np.uint8), (4, 1))
+    nb = nearblack(ramp, near=10)
+    assert nb[0, :13].tolist() == [0] * 11 + [11, 12]
+    wb = nearblack(255 - ramp, near=10, white=True)
+    assert wb[0, :13].tolist() == [255] * 11 + [244, 243]
+
+
+def test_nearblack_interior_preserved():
+    # interior dark pixels not connected to the border stay
+    arr = np.full((9, 9), 100, np.uint8)
+    arr[4, 4] = 2
+    assert nearblack(arr, near=10)[4, 4] == 2
+
+
+def test_dem_edges_are_nodata_zero():
+    # godal_test.go:5243-5359: edge row/col = 0
+    z = np.outer(np.arange(10), np.ones(10)) * 5
+    s = dem_slope(z)
+    assert (s[0] == 0).all() and (s[-1] == 0).all()
+    assert (s[:, 0] == 0).all() and (s[:, -1] == 0).all()
+    # interior of a constant-gradient plane: constant slope
+    assert np.allclose(s[1:-1, 1:-1], s[1, 1])
+    assert s[1, 1] == pytest.approx(np.degrees(np.arctan(5.0)))
+    hs = dem_hillshade(z)
+    assert (hs[0] == 0).all() and 1 <= hs[1:-1, 1:-1].min()
+
+
+def test_viewshed_basic():
+    # flat dem: everything visible; wall hides what's behind it
+    flat = np.zeros((5, 5))
+    v = viewshed(flat, 2, 2, oz=1.0)
+    assert (v == 127).all()
+    wall = np.zeros((5, 5))
+    wall[2, 3] = 10.0  # wall east of observer
+    v = viewshed(wall, 2, 2, oz=1.0)
+    assert v[2, 3] == 127  # the wall itself is visible
+    assert v[2, 4] == 0    # behind the wall: hidden
+
+
+def test_grid_linear_goldens():
+    # godal_test.go:4279-4332 (incl. the 1/256 half-pixel offsets)
+    px = np.array([0.0, 1.0, 0.0, 1.0])
+    py = np.array([0.0, 0.0, 1.0, 1.0])
+    pz = np.array([1.0, 0.0, 0.0, 1.0])
+    g = grid_create("linear", px, py, pz, 256, 256, 0.0, 1.0, 0.0, 1.0)
+    assert g[0, 0] == 1.0
+    assert g[0, 255] == 0.00390625
+    assert g[255, 0] == 0.00390625
+    assert g[255, 255] == 1.0
+    assert g[127, 255] == 0.5
+
+
+def test_grid_maximum_golden():
+    # godal_test.go:4404-4440: all sampled values 1.0
+    px = np.array([0.0, 1.0, 0.0, 1.0])
+    py = np.array([0.0, 0.0, 1.0, 1.0])
+    pz = np.array([1.0, 1.0, 1.0, 1.0])
+    g = grid_create("maximum", px, py, pz, 64, 64, 0.0, 1.0, 0.0, 1.0, radius=2.0)
+    assert np.allclose(g, 1.0)
+
+
+def test_grid_nearest_and_invdist():
+    px = np.array([0.0, 10.0])
+    py = np.array([0.0, 0.0])
+    pz = np.array([1.0, 9.0])
+    g = grid_create("nearest", px, py, pz, 10, 1, 0.0, 10.0, -0.5, 0.5)
+    assert g[0, 0] == 1.0 and g[0, -1] == 9.0
+    gi = grid_create("invdist", px, py, pz, 10, 1, 0.0, 10.0, -0.5, 0.5)
+    assert 1.0 < gi[0, 4] < 9.0
+
+
+def test_grid_linear_outside_hull_is_nan():
+    px = np.array([0.0, 1.0, 0.5])
+    py = np.array([0.0, 0.0, 1.0])
+    pz = np.array([1.0, 1.0, 1.0])
+    g = grid_create("linear", px, py, pz, 8, 8, -2.0, 3.0, -2.0, 3.0)
+    assert np.isnan(g[0, 0])  # far corner outside the triangle
+    assert np.isfinite(g[3, 3])
