@@ -1,0 +1,103 @@
+"""Translate/Warp goldens (godal_test.go:1817-1982)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from godal_spark import datagen
+from godal_spark.functions import codecs
+from godal_spark.operators import tiling, translate as TR, warp as WP
+
+
+def test_translate_switch_validation():
+    with pytest.raises(ValueError):
+        TR.parse_translate_switches(["-bogus"])
+    with pytest.raises(ValueError):
+        TR.parse_translate_switches(None, creation=["BAR=BAZ"])
+    cfg = TR.parse_translate_switches(
+        ["-outsize", "200%", "200%"],
+        creation=["TILED=YES", "BLOCKXSIZE=32", "BLOCKYSIZE=16"])
+    assert TR.out_size(20, 20, cfg) == (40, 40)
+    assert cfg.block_size == (32, 16)
+
+
+def test_translate_resize_golden(spark):
+    # 20x20 -outsize 200% → 40x40; blocks 32x16 (godal_test.go:1839-1850)
+    arr = np.arange(400, dtype=np.uint8).reshape(20, 20)
+    images = datagen.images_df(spark, [datagen.image_row("t", arr, "raw8",
+                                                         gt=[0, 2, 0, 0, 0, -2])])
+    out = TR.translate(images, ["-outsize", "200%", "200%"],
+                       creation=["TILED=YES", "BLOCKXSIZE=32", "BLOCKYSIZE=16"])
+    row = out.first()
+    assert (row.w, row.h) == (40, 40)
+    assert row.gt[1] == pytest.approx(1.0) and row.gt[5] == pytest.approx(-1.0)
+    tiles = tiling.explode_tiles(out, bw=32, bh=16)
+    grid = {(t.block_x, t.block_y, t.bw, t.bh) for t in tiles.collect()}
+    assert grid == {(0, 0, 32, 16), (1, 0, 8, 16), (0, 1, 32, 16), (1, 1, 8, 16),
+                    (0, 2, 32, 8), (1, 2, 8, 8)}
+
+
+def test_translate_cast_and_window(spark):
+    # CastedIO analog: -ot + -srcwin (godal_test.go:753-778 semantics)
+    arr = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    images = datagen.images_df(spark, [datagen.image_row("c", arr, "raw8")])
+    out = TR.translate(images, ["-srcwin", "2", "3", "4", "4"])
+    row = out.first()
+    got = codecs.decode(row.bytes, "raw8", row.w, row.h)
+    assert np.array_equal(got, arr[3:7, 2:6])
+
+
+def test_warp_switch_validation():
+    with pytest.raises(ValueError):
+        WP.parse_warp_switches(["-bogus"])
+    cfg = WP.parse_warp_switches(["-ts", "40", "40", "-t_srs", "EPSG:3857"])
+    assert cfg.ts == (40, 40) and cfg.t_srs == "EPSG:3857"
+
+
+def test_warp_multi_mosaic_golden(spark):
+    # two 5x5 const @45E/50E → 10x5, left 200 right 100 (godal_test.go:1895-1944)
+    a = np.full((5, 5), 200, np.uint8)
+    b = np.full((5, 5), 100, np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("ds1", a, "raw8", gt=[45, 1, 0, 35, 0, -1], srs="EPSG:4326"),
+        datagen.image_row("ds2", b, "raw8", gt=[50, 1, 0, 35, 0, -1], srs="EPSG:4326"),
+    ])
+    tiles = WP.warp(spark, images, [], block=256)
+    rows = tiles.collect()
+    assert len(rows) == 1
+    t = rows[0]
+    assert (t.w, t.h) == (10, 5)
+    got = np.frombuffer(t.payload, dtype=np.uint8).reshape(5, 10)
+    exp = np.array([[200] * 5 + [100] * 5] * 5, dtype=np.uint8)
+    assert np.array_equal(got, exp)
+
+
+def test_warp_into_golden(spark):
+    # 155 warped into a 200-filled 5x5 on the same grid → px(0,0)=155
+    # (godal_test.go:1945-1982)
+    base = np.full((5, 5), 200, np.uint8)
+    src = np.full((5, 5), 155, np.uint8)
+    base_images = datagen.images_df(spark, [
+        datagen.image_row("out", base, "raw8", gt=[45, 1, 0, 35, 0, -1])])
+    into_tiles = tiling.explode_tiles(base_images, bw=256, bh=256)
+    src_images = datagen.images_df(spark, [
+        datagen.image_row("in", src, "raw8", gt=[45, 1, 0, 35, 0, -1])])
+    out = WP.warp(spark, src_images, [], block=256,
+                  into_tiles=into_tiles,
+                  into_meta={"gt": [45, 1, 0, 35, 0, -1], "w": 5, "h": 5,
+                             "srs": "EPSG:4326"})
+    t = out.first()
+    got = np.frombuffer(t.payload, dtype=np.uint8).reshape(5, 5)
+    assert got[0, 0] == 155 and (got == 155).all()
+
+
+def test_warp_reproject_4326_to_3857(spark):
+    # round-trip sanity: constant image stays constant through reprojection
+    a = np.full((8, 8), 42, np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("r", a, "raw8", gt=[10, 0.1, 0, 45, 0, -0.1], srs="EPSG:4326")])
+    tiles = WP.warp(spark, images, ["-t_srs", "EPSG:3857", "-ts", "8", "8"], block=256)
+    t = tiles.first()
+    got = np.frombuffer(t.payload, dtype=np.uint8).reshape(8, 8)
+    assert (got == 42).all()
+    assert t.srs == "EPSG:3857"
