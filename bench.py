@@ -146,31 +146,45 @@ def run_suite() -> dict:
 
 
 def run_scaling(trials: int = 3) -> None:
-    """Evidence for the N→4N scaling rule: same input, local[8] vs local[32].
+    """Evidence for the N→4N scaling rule: same job, same input, at
+    N=2 and 4N=8 executor JVMs (local-cluster mode — separate executor
+    processes with 4 cores each, the honest stand-in for a real cluster;
+    single-JVM local[n] conflates executor scaling with one shared Arrow
+    allocator and is NOT how multi-executor clusters behave).
 
     The sandbox host is SHARED (load from other tenants fluctuates by
-    several cores), so trials are interleaved 8,32,8,32,... and the
+    many cores), so trials are interleaved N,4N,N,4N,... and the
     best-of-N throughput per config is reported — best-of approximates
-    the unloaded machine, which is what executor-count scaling on a real
-    cluster corresponds to.
+    the unloaded machine.
     """
-    results: dict[int, list[float]] = {8: [], 32: []}
+    # pre-generate the input tables once at full local[32] parallelism so
+    # the (untimed) setup doesn't run under the small cluster
+    setup_env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_SF_DIR=SF_DIR,
+                     BENCH_SETUP_ONLY="1",
+                     BENCH_N_IMAGES=os.environ.get("BENCH_N_IMAGES", "400000"))
+    subprocess.run([sys.executable, __file__], env=setup_env,
+                   capture_output=True, text=True, timeout=3600)
+
+    results: dict[int, list[float]] = {2: [], 8: []}
     for _ in range(trials):
-        for cores in (8, 32):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
-                       SPARK_GRAFT_SF_DIR=SF_DIR, BENCH_HEADLINE_ONLY="1",
-                       BENCH_N_IMAGES=os.environ.get("BENCH_N_IMAGES", "100000"))
+        for n_exec in (2, 8):
+            env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR,
+                       BENCH_HEADLINE_ONLY="1", BENCH_EXECUTORS=str(n_exec),
+                       BENCH_N_IMAGES=os.environ.get("BENCH_N_IMAGES", "400000"))
             p = subprocess.run([sys.executable, __file__], env=env,
                                capture_output=True, text=True, timeout=3600)
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-            results[cores].append(json.loads(line)["throughput_images_per_sec"])
-    r8, r32 = max(results[8]), max(results[32])
-    eff = (r32 / r8) / (32 / 8)
+            lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+            if not lines:
+                sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+                raise RuntimeError(f"scaling subprocess (executors={n_exec}) produced no JSON")
+            results[n_exec].append(json.loads(lines[-1])["throughput_images_per_sec"])
+    rn, r4n = max(results[2]), max(results[8])
+    eff = (r4n / rn) / 4.0
     print(json.dumps({
-        "metric": "scaling efficiency local[8] -> local[32] (proxy for N -> 4N executors)",
+        "metric": "scaling efficiency N=2 -> 4N=8 executors (local-cluster, 4 cores each)",
         "value": round(eff, 3), "unit": "ratio",
-        "images_per_sec_8": r8, "images_per_sec_32": r32,
-        "trials_8": results[8], "trials_32": results[32],
+        "images_per_sec_N": rn, "images_per_sec_4N": r4n,
+        "trials_N": results[2], "trials_4N": results[8],
         "pass_north_rule": eff >= 0.8,
     }))
 
@@ -178,7 +192,9 @@ def run_scaling(trials: int = 3) -> None:
 def run_headline_only() -> dict:
     from godal_spark.session import get_spark
 
-    spark = get_spark("bench-headline", cores=CPUS, shuffle_partitions=max(CPUS, 32))
+    n_exec = os.environ.get("BENCH_EXECUTORS")
+    spark = get_spark("bench-headline", cores=CPUS, shuffle_partitions=max(CPUS, 32),
+                      executors=int(n_exec) if n_exec else None)
     sf = _sf_of(SF_DIR)
     n_images = int(os.environ.get(
         "BENCH_N_IMAGES", max(2000, int(20000 * (sf / 0.1))) if sf > 0 else 20000))
@@ -194,6 +210,13 @@ def run_headline_only() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif os.environ.get("BENCH_SETUP_ONLY"):
+        from godal_spark.session import get_spark
+
+        _sp = get_spark("bench-setup", cores=CPUS)
+        n = int(os.environ.get("BENCH_N_IMAGES", "400000"))
+        _bench_tables(_sp, n, max(500, n // 10))
+        _sp.stop()
     elif os.environ.get("BENCH_HEADLINE_ONLY"):
         print(json.dumps(run_headline_only()))
     else:

@@ -1,0 +1,142 @@
+"""Multimodal-column operators: opaque binary payloads + typed metadata.
+
+Image payloads are REAL for raw8/png (godal_spark.functions.codecs);
+audio/video decode is STUBBED (no codec libraries in this environment)
+behind deterministic fakes so the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is real and tested.
+
+  * decode_image_features — decode → (mean/std/shape/phash64) features
+  * resize_images         — decode → resample → re-encode (batch)
+  * frame_sample_video    — STUB decode: deterministic fake frames from
+    the payload hash; emits one row per sampled frame (the real operator
+    plugs a decoder into `_fake_video_frames` only)
+  * audio_features        — STUB decode: deterministic fake PCM; window
+    RMS features (schema/batching identical to a real implementation)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from godal_spark.functions import codecs
+from godal_spark.functions.resampling import resample
+
+
+def decode_image_features(images: DataFrame) -> DataFrame:
+    """(image_id, w, h, bands, px_mean, px_std, phash64) per image."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "w": [], "h": [], "bands": [],
+                   "px_mean": [], "px_std": [], "phash64": []}
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(r.bytes, r.fmt, r.w, r.h)
+                plane = arr if arr.ndim == 2 else arr.mean(axis=2)
+                # dct-free perceptual hash: 8x8 average-downsample > median
+                small = resample(plane.astype(np.float64), 8, 8, alg="average",
+                                 path="overview", out_dtype=np.float64)
+                bits = (small > np.median(small)).ravel()
+                ph = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        ph |= 1 << i
+                out["image_id"].append(r.image_id)
+                out["w"].append(arr.shape[1])
+                out["h"].append(arr.shape[0])
+                out["bands"].append(1 if arr.ndim == 2 else arr.shape[2])
+                out["px_mean"].append(float(arr.mean()))
+                out["px_std"].append(float(arr.std()))
+                out["phash64"].append(ph - (1 << 64) if ph >= (1 << 63) else ph)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen, schema="image_id string, w int, h int, bands int, "
+                    "px_mean double, px_std double, phash64 long")
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int,
+                  alg: str = "bilinear") -> DataFrame:
+    """Batch resize keeping the images schema (bytes/w/h replaced)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            bs, ws, hs = [], [], []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(r.bytes, r.fmt, r.w, r.h)
+                if arr.ndim == 2:
+                    res = resample(arr, out_w, out_h, alg=alg, path="io")
+                else:
+                    res = np.stack([resample(arr[:, :, b], out_w, out_h, alg=alg,
+                                             path="io") for b in range(arr.shape[2])], axis=2)
+                bs.append(codecs.encode(res, r.fmt))
+                ws.append(out_w)
+                hs.append(out_h)
+            out["bytes"] = bs
+            out["w"] = ws
+            out["h"] = hs
+            yield out
+
+    return images.mapInPandas(gen, schema=images.schema)
+
+
+def _fake_video_frames(payload: bytes, n_frames: int, w: int = 16, h: int = 16):
+    """STUB for a video decoder (NotImplementedError path documented):
+    deterministic frames seeded by the payload hash. A real deployment
+    replaces only this function with e.g. a PyAV frame iterator."""
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+    for i in range(n_frames):
+        yield i, rng.integers(0, 256, (h, w), dtype=np.uint8)
+
+
+def frame_sample_video(videos: DataFrame, every_n: int = 10,
+                       total_frames: int = 100) -> DataFrame:
+    """videos(video_id, bytes, ...) → one row per sampled frame with a
+    frame feature vector. Decode is the stub above; batching real."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "mean": [], "std": []}
+            for r in pdf.itertuples(index=False):
+                n = total_frames // every_n
+                for idx, frame in _fake_video_frames(bytes(r.bytes), n):
+                    out["video_id"].append(r.video_id)
+                    out["frame_idx"].append(idx * every_n)
+                    out["mean"].append(float(frame.mean()))
+                    out["std"].append(float(frame.std()))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(
+        gen, schema="video_id string, frame_idx int, mean double, std double")
+
+
+def _fake_pcm(payload: bytes, n: int = 16000) -> np.ndarray:
+    """STUB audio decoder (same contract note as _fake_video_frames)."""
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(n).astype(np.float32)
+
+
+def audio_features(audio: DataFrame, frame_len: int = 1024) -> DataFrame:
+    """audio(audio_id, bytes) → per-window RMS rows (stub decode)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "win": [], "rms": []}
+            for r in pdf.itertuples(index=False):
+                pcm = _fake_pcm(bytes(r.bytes))
+                nwin = len(pcm) // frame_len
+                w = pcm[:nwin * frame_len].reshape(nwin, frame_len)
+                rms = np.sqrt((w * w).mean(axis=1))
+                for i, v in enumerate(rms):
+                    out["audio_id"].append(r.audio_id)
+                    out["win"].append(i)
+                    out["rms"].append(float(v))
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(gen, schema="audio_id string, win int, rms double")

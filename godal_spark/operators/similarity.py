@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-pipeline extension (no analogue in the reference):
+
+  * brute_force_topk — exact cosine top-k: query matrix broadcast as a
+    numpy constant into an Arrow-batched mapInPandas (one BLAS matmul
+    per batch), then a single row_number() window for the global top-k.
+    The baseline and the verifier for the approximate paths.
+  * with_hyperplane_sketch — random-hyperplane (sign) LSH sketch as an
+    int64 column; JVM-joinable.
+  * ivf_topk — inverted-file ANN: k-means-style coarse centroids
+    (deterministic seeded sample + Lloyd iterations driver-side on a
+    sample), each vector assigned to its nearest centroid (one int
+    column). Queries probe `nprobe` nearest centroids → candidate join
+    on centroid id → exact rerank. The scale path: candidate set is
+    |D| * nprobe / nlist instead of |D|.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+
+def _collect_queries(emb: DataFrame, query_ids, id_col: str, vec_col: str):
+    q = emb.filter(F.col(id_col).isin(list(query_ids))) if query_ids is not None else emb
+    rows = q.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qmat = np.array([r[1] for r in rows], dtype=np.float64)
+    return qids, qmat
+
+
+def brute_force_topk(emb: DataFrame, query_ids, k: int = 10, *,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k of every corpus vector for each query id."""
+    qids, qmat = _collect_queries(emb, query_ids, id_col, vec_col)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pids = pdf[id_col].to_numpy(dtype=np.int64)
+            pmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            pnorm = np.linalg.norm(pmat, axis=1)
+            sims = (qmat @ pmat.T) / (qnorm[:, None] * pnorm[None, :])
+            # per-batch partial top-k keeps the shuffle tiny
+            kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {"qid": [], "pid": [], "sim": []}
+            for qi in range(len(qids)):
+                for pj in idx[qi]:
+                    if exclude_self and pids[pj] == qids[qi]:
+                        continue
+                    rows["qid"].append(qids[qi])
+                    rows["pid"].append(pids[pj])
+                    rows["sim"].append(sims[qi, pj])
+            yield pd.DataFrame(rows)
+
+    partial = emb.mapInPandas(gen, schema="qid long, pid long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("pid").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_hyperplane_sketch(emb: DataFrame, *, vec_col: str = "embedding",
+                           n_planes: int = 16, seed: int = 42) -> DataFrame:
+    dim = len(emb.select(vec_col).first()[0])
+    H = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(T.LongType())
+    def sk(vecs: pd.Series) -> pd.Series:
+        M = np.array(list(vecs), dtype=np.float64)
+        signs = (M @ H.T) > 0
+        val = np.zeros(len(M), dtype=np.int64)
+        for b in range(n_planes):
+            val |= signs[:, b].astype(np.int64) << b
+        return pd.Series(val)
+
+    return emb.withColumn("sketch", sk(F.col(vec_col)))
+
+
+def train_centroids(emb: DataFrame, nlist: int = 16, *, vec_col: str = "embedding",
+                    seed: int = 42, iters: int = 10, sample: int = 4096) -> np.ndarray:
+    """Driver-side Lloyd on a deterministic sample (IVF coarse quantizer).
+    At 10^12 scale this stays a sample-based driver step (nlist·dim is
+    tiny); assignment below is the distributed part."""
+    rows = (emb.select(vec_col).orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+            .limit(sample).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def with_ivf_assignment(emb: DataFrame, centroids: np.ndarray, *,
+                        vec_col: str = "embedding") -> DataFrame:
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.array(list(vecs), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((M @ C.T).argmax(axis=1).astype(np.int32))
+
+    return emb.withColumn("ivf_list", assign(F.col(vec_col)))
+
+
+def ivf_topk(emb: DataFrame, query_ids, k: int = 10, *, nlist: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42, centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN: probe the `nprobe` nearest lists per query, exact rerank.
+
+    Returns (qid, pid, sim, rank). Recall < 1 by design; verified against
+    brute_force_topk in tests.
+    """
+    C = centroids if centroids is not None else train_centroids(
+        emb, nlist, vec_col=vec_col, seed=seed)
+    assigned = with_ivf_assignment(emb, C, vec_col=vec_col)
+
+    qids, qmat = _collect_queries(emb, query_ids, id_col, vec_col)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]
+    probe_rows = [(int(q), [int(p) for p in ps]) for q, ps in zip(qids, probes)]
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(probe_rows, "qid long, probe array<int>")
+    qdf = qdf.select("qid", F.explode("probe").alias("ivf_list"))
+
+    cand = qdf.join(assigned.select(F.col(id_col).alias("pid"), "ivf_list",
+                                    F.col(vec_col).alias("__vec")), "ivf_list")
+    qvecs = {int(q): qmat[i] for i, q in enumerate(qids)}
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"qid": [], "pid": [], "sim": []})
+                continue
+            P = np.array(list(pdf["__vec"]), dtype=np.float64)
+            pn = np.linalg.norm(P, axis=1)
+            Q = np.array([qvecs[int(q)] for q in pdf["qid"]], dtype=np.float64)
+            qn2 = np.linalg.norm(Q, axis=1)
+            sims = (P * Q).sum(axis=1) / (pn * qn2)
+            yield pd.DataFrame({"qid": pdf["qid"], "pid": pdf["pid"], "sim": sims})
+
+    scored = cand.mapInPandas(rerank, schema="qid long, pid long, sim double")
+    scored = scored.filter(F.col("qid") != F.col("pid"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("pid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

