@@ -585,6 +585,231 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# 17. dedup_minhash — LSH near-dup pairs vs exact-jaccard oracle
+#     (bands=32 x rows=2 ⇒ collision prob ≥ 0.9999 at jaccard 0.5, so the
+#     approximate path reproduces the exact pair set)
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash(spark, sf_dir):
+    from godal_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = DD.minhash_lsh_dedup(docs, k=5, num_hashes=64, bands=32, threshold=0.5)
+    return pairs.selectExpr("cast(id_a as bigint) as id_a",
+                            "cast(id_b as bigint) as id_b",
+                            "round(jaccard, 6) as jaccard")
+
+
+SQL_DEDUP_MINHASH = r"""
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+         i -> array_to_string(w[i:i+4], ' '))) AS s FROM d),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+j AS (SELECT id_a, id_b,
+             cast(len(list_intersect(sa, sb)) AS double)
+               / len(list_distinct(list_concat(sa, sb))) AS jac FROM p)
+SELECT cast(id_a AS bigint) AS id_a, cast(id_b AS bigint) AS id_b,
+       round(jac, 6) AS jaccard
+FROM j WHERE jac >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# 18. events_sessions — session windows vs gaps-and-islands oracle
+# ---------------------------------------------------------------------------
+
+def q_events_sessions(spark, sf_dir):
+    from godal_spark.streaming.events import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, gap="30 minutes")
+    return out.selectExpr("cast(user_id as bigint) as user_id",
+                          "cast(unix_timestamp(sess_start) as bigint) as sess_start",
+                          "cast(n_events as bigint) as n_events", "sum_value")
+
+
+SQL_EVENTS_SESSIONS = """
+WITH e AS (SELECT user_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+m AS (SELECT user_id, ts, value,
+             CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m)
+SELECT cast(user_id AS bigint) AS user_id,
+       cast(floor(epoch(min(ts))) AS bigint) AS sess_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sess
+"""
+
+
+# ---------------------------------------------------------------------------
+# 19. warp_mosaic — the multi-source warp golden as per-pixel rows
+#     (godal_test.go:1895-1944: two 5x5 @45E/50E → 10x5, 200 | 100)
+# ---------------------------------------------------------------------------
+
+def q_warp_mosaic(spark, sf_dir):
+    from godal_spark import datagen
+    from godal_spark.operators import warp as WP
+
+    a = np.full((5, 5), 200, np.uint8)
+    b = np.full((5, 5), 100, np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("ds1", a, "raw8", gt=[45, 1, 0, 35, 0, -1]),
+        datagen.image_row("ds2", b, "raw8", gt=[50, 1, 0, 35, 0, -1]),
+    ])
+    tiles = WP.warp(spark, images, [], block=256)
+
+    def px_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"x": [], "y": [], "v": []}
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.payload, dtype=np.dtype(r.dtype)).reshape(r.bh, r.bw)
+                ys, xs = np.mgrid[0:r.bh, 0:r.bw]
+                out["x"].extend((xs.ravel() + r.x0).tolist())
+                out["y"].extend((ys.ravel() + r.y0).tolist())
+                out["v"].extend(arr.ravel().astype(np.int64).tolist())
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(px_rows, schema="x bigint, y bigint, v bigint")
+
+
+SQL_WARP_MOSAIC = """
+WITH gy AS (SELECT unnest(range(0, 5)) AS y),
+g AS (SELECT y, unnest(range(0, 10)) AS x FROM gy)
+SELECT x, y, CASE WHEN x < 5 THEN 200 ELSE 100 END AS v FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# 20. overview_pixels — level-2 average reduce of the 10x10 ramp
+#     (value golden 6 at px 0,0 — godal_test.go:2144-2172)
+# ---------------------------------------------------------------------------
+
+def q_overview_pixels(spark, sf_dir):
+    from godal_spark import datagen
+    from godal_spark.operators import tiling as TL
+
+    arr = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    images = datagen.images_df(spark, [datagen.image_row("ramp", arr, "raw8")])
+    l0 = TL.explode_tiles(images, bw=256, bh=256)
+    ovr = TL.build_overview_level(l0, alg="average", block=256)
+
+    def px_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"x": [], "y": [], "v": []}
+            for r in pdf.itertuples(index=False):
+                a = np.frombuffer(r.payload, dtype=np.dtype(r.dtype)).reshape(r.bh, r.bw)
+                ys, xs = np.mgrid[0:r.bh, 0:r.bw]
+                out["x"].extend((xs.ravel() + r.x0).tolist())
+                out["y"].extend((ys.ravel() + r.y0).tolist())
+                out["v"].extend(a.ravel().astype(np.int64).tolist())
+            yield pd.DataFrame(out)
+
+    return ovr.mapInPandas(px_rows, schema="x bigint, y bigint, v bigint")
+
+
+# 2x2 average of ramp px = 20y+2x+5.5 → floor(+0.5) = 20y+2x+6
+SQL_OVERVIEW_PIXELS = """
+WITH gy AS (SELECT unnest(range(0, 5)) AS y),
+g AS (SELECT y, unnest(range(0, 5)) AS x FROM gy)
+SELECT x, y, 20 * y + 2 * x + 6 AS v FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# 21. translate_window — -srcwin crop pixel parity (CastedIO-style)
+# ---------------------------------------------------------------------------
+
+def q_translate_window(spark, sf_dir):
+    from godal_spark import datagen
+    from godal_spark.functions import codecs
+    from godal_spark.operators import translate as TR
+
+    arr = ((np.arange(400) * 7) % 256).astype(np.uint8).reshape(20, 20)
+    images = datagen.images_df(spark, [datagen.image_row("t", arr, "raw8")])
+    out = TR.translate(images, ["-srcwin", "3", "5", "8", "6"])
+
+    def px_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            o = {"x": [], "y": [], "v": []}
+            for r in pdf.itertuples(index=False):
+                a = codecs.decode(r.bytes, r.fmt, r.w, r.h)
+                ys, xs = np.mgrid[0:r.h, 0:r.w]
+                o["x"].extend(xs.ravel().tolist())
+                o["y"].extend(ys.ravel().tolist())
+                o["v"].extend(a.ravel().astype(np.int64).tolist())
+            yield pd.DataFrame(o)
+
+    return out.mapInPandas(px_rows, schema="x bigint, y bigint, v bigint")
+
+
+SQL_TRANSLATE_WINDOW = """
+WITH gy AS (SELECT unnest(range(0, 6)) AS y),
+g AS (SELECT y, unnest(range(0, 8)) AS x FROM gy)
+SELECT x, y, (((y + 5) * 20 + (x + 3)) * 7) % 256 AS v FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (no SQL-expressible oracle; driver records a weaker
+# rows-only check — approximate/iterative/hash-seeded operators)
+# ---------------------------------------------------------------------------
+
+def q_polygonize_diag(spark, sf_dir):
+    from godal_spark import datagen
+    from godal_spark.operators import polygonize as PZ, tiling as TL
+
+    images = datagen.images_df(spark, [datagen.image_row("diag", datagen.pixels_diag(8), "raw8")])
+    tiles = TL.explode_tiles(images, bw=256, bh=256)
+    feats = PZ.polygonize(tiles, eight=False)
+    return feats.groupBy("value").agg(
+        F.count("*").cast("bigint").alias("n_features"),
+        F.sum("n_pixels").cast("bigint").alias("n_pixels"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from godal_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (docs.limit(50).withColumn("doc_id", F.col("doc_id") + 1000000)
+           .withColumn("text", F.concat(F.col("text"), F.lit(" z"))))
+    return DD.simhash_dedup(docs.unionByName(dup), max_hamming=3) \
+        .selectExpr("id_a", "id_b", "cast(hamming as bigint) as hamming")
+
+
+def q_ann_ivf(spark, sf_dir):
+    from godal_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.ivf_topk(emb, query_ids=list(range(10)), k=5, nlist=8, nprobe=6)
+    return out.selectExpr("qid", "pid", "cast(rank as bigint) as rank",
+                          "round(sim, 4) as sim_r")
+
+
+def q_lang_id(spark, sf_dir):
+    from godal_spark.operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return (TX.with_lang_id(docs).groupBy("lang_pred")
+            .agg(F.count("*").cast("bigint").alias("n")))
+
+
+def q_image_phash(spark, sf_dir):
+    from godal_spark import datagen
+    from godal_spark.operators import multimodal as MM
+
+    images = datagen.synth_images(spark, 64, partitions=4)
+    return MM.decode_image_features(images) \
+        .selectExpr("image_id", "cast(w as bigint) as w", "cast(h as bigint) as h",
+                    "cast(bands as bigint) as bands",
+                    "round(px_mean, 4) as px_mean", "phash64")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -605,6 +830,17 @@ QUERIES = {
     "text_stats": q_text_stats,
     "ann_topk": q_ann_topk,
     "events_window": q_events_window,
+    "dedup_minhash": q_dedup_minhash,
+    "events_sessions": q_events_sessions,
+    "warp_mosaic": q_warp_mosaic,
+    "overview_pixels": q_overview_pixels,
+    "translate_window": q_translate_window,
+    # rows-only (no oracle): approximate / hash-seeded / geometry outputs
+    "polygonize_diag": q_polygonize_diag,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_ivf": q_ann_ivf,
+    "lang_id": q_lang_id,
+    "image_phash": q_image_phash,
 }
 
 ORACLES = {
@@ -624,4 +860,9 @@ ORACLES = {
     "text_stats": SQL_TEXT_STATS,
     "ann_topk": SQL_ANN_TOPK,
     "events_window": SQL_EVENTS_WINDOW,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "warp_mosaic": SQL_WARP_MOSAIC,
+    "overview_pixels": SQL_OVERVIEW_PIXELS,
+    "translate_window": SQL_TRANSLATE_WINDOW,
 }
