@@ -90,9 +90,10 @@ def headline_pipeline(spark, n_images: int, n_footprints: int) -> dict:
         .write.format("noop").mode("overwrite").save()
 
     # --- metric 1: tile-assignment + PIP join (column-pruned scan: no bytes)
+    bw = int(os.environ.get("BENCH_BLOCK", "32"))
     t0 = time.time()
     meta = spark.read.parquet(img_path).select("image_id", "w", "h", "gt")
-    tiles = tiling.with_block_grid(meta, bw=32, bh=32)
+    tiles = tiling.with_block_grid(meta, bw=bw, bh=bw)
     tiles = tiles.withColumn(
         "lon", F.col("gt")[0] + (F.col("x0") + F.col("bw") / 2.0) * F.col("gt")[1]
     ).withColumn(
@@ -104,10 +105,13 @@ def headline_pipeline(spark, n_images: int, n_footprints: int) -> dict:
 
     # --- metric 2: decode → tile payload explode (the Arrow-heavy stage)
     t1 = time.time()
-    images = spark.read.parquet(img_path)
-    n_tiles = tiling.explode_tiles(images, bw=32, bh=32) \
-        .write.format("noop").mode("overwrite").save()
-    decode_wall = time.time() - t1
+    if os.environ.get("BENCH_SKIP_DECODE"):
+        decode_wall = float("nan")
+    else:
+        images = spark.read.parquet(img_path)
+        tiling.explode_tiles(images, bw=32, bh=32) \
+            .write.format("noop").mode("overwrite").save()
+        decode_wall = time.time() - t1
 
     return {"wall_s": join_wall, "images_per_sec": n_images / join_wall,
             "decode_wall_s": decode_wall,
@@ -198,7 +202,8 @@ def run_headline_only() -> dict:
     sf = _sf_of(SF_DIR)
     n_images = int(os.environ.get(
         "BENCH_N_IMAGES", max(2000, int(20000 * (sf / 0.1))) if sf > 0 else 20000))
-    head = headline_pipeline(spark, n_images, max(500, n_images // 10))
+    n_fp = int(os.environ.get("BENCH_N_FOOTPRINTS", max(500, n_images // 10)))
+    head = headline_pipeline(spark, n_images, n_fp)
     out = {"metric": "headline tile+PIP throughput", "value": round(head["wall_s"], 3),
            "unit": "sec", "queries": {"headline_tile_pip": round(head["wall_s"], 3)},
            "sf": sf, "cpus": CPUS,
@@ -215,7 +220,7 @@ if __name__ == "__main__":
 
         _sp = get_spark("bench-setup", cores=CPUS)
         n = int(os.environ.get("BENCH_N_IMAGES", "400000"))
-        _bench_tables(_sp, n, max(500, n // 10))
+        _bench_tables(_sp, n, int(os.environ.get("BENCH_N_FOOTPRINTS", max(500, n // 10))))
         _sp.stop()
     elif os.environ.get("BENCH_HEADLINE_ONLY"):
         print(json.dumps(run_headline_only()))
