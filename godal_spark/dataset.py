@@ -1,0 +1,207 @@
+"""User-facing façade: godal-style Dataset/Band/Layer API over the engine.
+
+A godal user works with `Dataset` handles (Open → Bands → Read /
+Translate / Warp / BuildOverviews / Polygonize...; reference
+godal.go:1517-1568, 157-533). This module offers the same verbs, backed
+by DataFrames: a `RasterCatalog` holds the images + tiles tables; a
+`RasterDataset` is a lightweight handle (catalog, image_id) whose
+methods launch engine stages. Per-dataset reads gather that image's
+tiles (bounded — a godal Dataset is one in-memory raster); bulk
+operations stay fully distributed across the catalog.
+
+Layout contracts of Dataset.Read (reference godal.go:1184-1264;
+goldens godal_test.go:704-751, 832-1035): band subsetting, pixel- vs
+band-interleaved output, dtype casting on read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from godal_spark.functions import codecs, crs as CRS
+from godal_spark.functions.resampling import resample
+from godal_spark.operators import tiling
+from godal_spark.operators.raster_stats import StatsCache, Statistics, compute_statistics_single, histogram_single
+
+
+class RasterCatalog:
+    """The engine's table pair (images, tiles) + stats cache."""
+
+    def __init__(self, spark: SparkSession, images: DataFrame,
+                 block: int = 256):
+        self.spark = spark
+        self.images = images
+        self.block = block
+        self._tiles: DataFrame | None = None
+        self.stats = StatsCache()
+
+    @property
+    def tiles(self) -> DataFrame:
+        if self._tiles is None:
+            self._tiles = tiling.explode_tiles(self.images, bw=self.block, bh=self.block)
+        return self._tiles
+
+    def open(self, image_id: str) -> "RasterDataset":
+        """Open by id (reference Open, godal.go:1532-1568). Missing ids
+        raise — the error-first contract."""
+        row = self.images.filter(F.col("image_id") == image_id).first()
+        if row is None:
+            raise KeyError(f"dataset {image_id!r} not found")
+        return RasterDataset(self, row)
+
+
+class RasterDataset:
+    def __init__(self, catalog: RasterCatalog, row):
+        self.catalog = catalog
+        self.image_id = row["image_id"]
+        self._row = row
+
+    # -- structure (reference structure.go:66-95) --------------------------
+    @property
+    def structure(self) -> dict:
+        return {
+            "w": self._row["w"], "h": self._row["h"],
+            "block_w": self.catalog.block, "block_h": self.catalog.block,
+            "nbands": self._nbands(),
+            "dtype": "uint8",
+        }
+
+    def _nbands(self) -> int:
+        arr = self._decode()
+        return 1 if arr.ndim == 2 else arr.shape[2]
+
+    def _decode(self) -> np.ndarray:
+        return codecs.decode(self._row["bytes"], self._row["fmt"],
+                             self._row["w"], self._row["h"])
+
+    def geotransform(self):
+        return list(self._row["gt"]) if self._row["gt"] is not None else None
+
+    def bounds(self, dst_srs: str | None = None):
+        b = CRS.dataset_bounds(self.geotransform(), self._row["w"], self._row["h"])
+        if dst_srs and dst_srs != self._row["srs"]:
+            b = CRS.reproject_bounds(b, self._row["srs"], dst_srs)
+        return b
+
+    # -- pixel IO (godal.go:1184-1264 layout contracts) ---------------------
+    def read(self, x0: int = 0, y0: int = 0, w: int | None = None,
+             h: int | None = None, *, out_w: int | None = None,
+             out_h: int | None = None, bands: list[int] | None = None,
+             interleave: str = "pixel", dtype=None,
+             resampling: str = "nearest") -> np.ndarray:
+        """Windowed read with optional resample-on-read (Window smaller or
+        larger than out size ⇒ resample with alg — godal_test.go:2100-2142),
+        band subset, cast, and pixel-/band-interleaved layout."""
+        arr = self._decode()
+        full_h, full_w = arr.shape[:2]
+        w = w if w is not None else full_w
+        h = h if h is not None else full_h
+        out_w = out_w or w
+        out_h = out_h or h
+        planes = [arr] if arr.ndim == 2 else [arr[:, :, b] for b in range(arr.shape[2])]
+        if bands is not None:
+            planes = [planes[b] for b in bands]
+        dt = np.dtype(dtype) if dtype is not None else planes[0].dtype
+        out_planes = []
+        for p in planes:
+            if (out_w, out_h) != (w, h):
+                out_planes.append(resample(p, out_w, out_h, alg=resampling,
+                                           path="io", out_dtype=dt,
+                                           window=(x0, y0, w, h)))
+            else:
+                out_planes.append(p[y0:y0 + h, x0:x0 + w].astype(dt))
+        if len(out_planes) == 1:
+            return out_planes[0]
+        if interleave == "pixel":
+            return np.stack(out_planes, axis=2)
+        if interleave == "band":
+            return np.stack(out_planes, axis=0)
+        raise ValueError(f"interleave {interleave!r}")
+
+    # -- engine verbs --------------------------------------------------------
+    def _self_df(self) -> DataFrame:
+        return self.catalog.images.filter(F.col("image_id") == self.image_id)
+
+    def translate(self, switches=None, creation=None) -> "RasterDataset":
+        from godal_spark.operators.translate import translate
+
+        out = translate(self._self_df(), switches, creation)
+        row = out.first()
+        cat = RasterCatalog(self.catalog.spark, out, block=self.catalog.block)
+        return RasterDataset(cat, row)
+
+    def warp(self, switches=None, block: int | None = None) -> DataFrame:
+        from godal_spark.operators.warp import warp
+
+        return warp(self.catalog.spark, self._self_df(), switches,
+                    block=block or self.catalog.block)
+
+    def build_overviews(self, min_size: int | None = None,
+                        alg: str = "average") -> DataFrame:
+        my_tiles = self.catalog.tiles.filter(F.col("image_id") == self.image_id)
+        ms = min_size if min_size is not None else self.catalog.block
+        return tiling.build_overviews(my_tiles, min_size=ms, alg=alg,
+                                      block=self.catalog.block)
+
+    def compute_statistics(self, band: int = 0, approximate: bool = False) -> Statistics:
+        nodata = self._row["nodata"]
+        return compute_statistics_single(
+            self.catalog.tiles, self.image_id, band, nodata=nodata,
+            approximate=approximate, cache=self.catalog.stats)
+
+    def get_statistics(self, band: int = 0, approximate: bool = False):
+        return self.catalog.stats.get(self.image_id, band, approximate)
+
+    def set_statistics(self, mn, mx, mean, std, band: int = 0):
+        self.catalog.stats.set(self.image_id, band,
+                               Statistics(mn, mx, mean, std, False))
+
+    def clear_statistics(self):
+        self.catalog.stats.clear(self.image_id)
+
+    def histogram(self, band: int = 0, **kw):
+        return histogram_single(self.catalog.tiles, self.image_id, band, **kw)
+
+    def polygonize(self, band: int = 0, eight: bool = False) -> DataFrame:
+        from godal_spark.operators.polygonize import polygonize
+
+        t = self.catalog.tiles.filter(
+            (F.col("image_id") == self.image_id) & (F.col("band") == band))
+        nodata = self._row["nodata"]
+        return polygonize(t, eight=eight,
+                          use_nodata_mask=nodata is not None, nodata=nodata)
+
+
+def build_vrt(tile_dfs: list[DataFrame]) -> DataFrame:
+    """BuildVRT (reference godal.go:3962-3995): a virtual mosaic = union
+    of tile DataFrames with source priority — NO data copy, later sources
+    win on (band, level, block) collisions via row_number dedup."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    tagged = [df.withColumn("__src", F.lit(i)) for i, df in enumerate(tile_dfs)]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    w = Window.partitionBy("band", "level", "block_x", "block_y") \
+        .orderBy(F.col("__src").desc())
+    return (u.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn", "__src"))
+
+
+def execute_sql(spark: SparkSession, sql: str, layers: dict[str, DataFrame] | None = None,
+                spatial_filter: bytes | None = None,
+                geometry: str = "geometry") -> DataFrame:
+    """ExecuteSQL (reference godal.go:3433-3465): register layers as temp
+    views, run Spark SQL (the OGRSQL/SQLite dialect superset), then apply
+    the optional SpatialFilter as a cell-prefiltered intersects refine."""
+    from godal_spark.operators.pip import spatial_filter as sf
+    from godal_spark.operators.vector import register_st_functions
+
+    register_st_functions(spark)
+    for name, df in (layers or {}).items():
+        df.createOrReplaceTempView(name)
+    out = spark.sql(sql)
+    if spatial_filter is not None:
+        out = sf(out, spatial_filter, geometry=geometry)
+    return out
