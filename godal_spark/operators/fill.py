@@ -191,40 +191,71 @@ def dem_hillshade(arr: np.ndarray, azimuth: float = 315.0, altitude: float = 45.
 # Viewshed
 # ---------------------------------------------------------------------------
 
-def viewshed(dem: np.ndarray, ox: int, oy: int, oz: float = 0.0,
-             visible_val: int = 127, invisible_val: int = 0,
-             out_dtype=np.int8) -> np.ndarray:
-    """Line-of-sight visibility from observer at pixel (ox, oy) standing
-    oz above the DEM. A pixel is visible iff no earlier sample along the
-    ray subtends a larger elevation angle."""
+def viewshed_ref(dem: np.ndarray, ox: int, oy: int, oz: float = 0.0) -> np.ndarray:
+    """Wang reference-plane viewshed: per-cell minimum observable height
+    (relative to the DEM datum) from observer at (ox, oy, dem+oz).
+
+    Recurrence pinned cell-for-cell by godal_test.go:4472-4592:
+      ring 1:            ref = z (adjacent cells always visible)
+      on-axis/diagonal:  ref = prop(prev) * r / (r - 1)
+      edge cells:        ref = (Za*j + Zb*(i-j)) / (i-1)   [i=major dist,
+                         j=minor dist, Za=prop(major-1, minor),
+                         Zb=prop(major-1, minor-1 toward observer)]
+    where prop(cell) = max(z, ref) propagates occlusion outward.
+    Heights are relative to the observer eye, converted back on return.
+    """
     h, w = dem.shape
+    z = dem.astype(np.float64) - (dem[oy, ox] + oz)
+    ref = np.zeros((h, w), dtype=np.float64)
+    prop = np.zeros((h, w), dtype=np.float64)
+    ref[oy, ox] = z[oy, ox]
+    prop[oy, ox] = z[oy, ox]
+    max_r = max(ox, w - 1 - ox, oy, h - 1 - oy)
+    for r in range(1, max_r + 1):
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                if max(abs(dx), abs(dy)) != r:
+                    continue
+                x, y = ox + dx, oy + dy
+                if not (0 <= x < w and 0 <= y < h):
+                    continue
+                sx = (dx > 0) - (dx < 0)
+                sy = (dy > 0) - (dy < 0)
+                if r == 1:
+                    rv = z[y, x]
+                elif dx == 0 or dy == 0 or abs(dx) == abs(dy):
+                    rv = prop[y - sy, x - sx] * r / (r - 1)
+                else:
+                    i, j = max(abs(dx), abs(dy)), min(abs(dx), abs(dy))
+                    if abs(dx) > abs(dy):
+                        za = prop[y, x - sx]
+                        zb = prop[y - sy, x - sx]
+                    else:
+                        za = prop[y - sy, x]
+                        zb = prop[y - sy, x - sx]
+                    rv = (za * j + zb * (i - j)) / (i - 1)
+                ref[y, x] = rv
+                prop[y, x] = max(z[y, x], rv)
+    return ref + (dem[oy, ox] + oz)
+
+
+def viewshed(dem: np.ndarray, ox: int, oy: int, oz: float = 0.0,
+             mode: str = "normal", visible_val: int = 127,
+             invisible_val: int = 0, out_dtype=np.int8) -> np.ndarray:
+    """Band.Viewshed (godal.go:4188-4219). Modes:
+      normal → visible_val where z ≥ observable else invisible_val;
+      dem    → max(0, observable)            (MinTargetHeightFromDem);
+      ground → max(0, observable - z)        (MinTargetHeightFromGround).
+    """
+    obs = viewshed_ref(dem, ox, oy, oz)
     z = dem.astype(np.float64)
-    eye = z[oy, ox] + oz
-    out = np.full((h, w), invisible_val, dtype=out_dtype)
-    for y in range(h):
-        for x in range(w):
-            if x == ox and y == oy:
-                out[y, x] = visible_val
-                continue
-            dx, dy = x - ox, y - oy
-            n = max(abs(dx), abs(dy))
-            vis = True
-            tgt_ang = (z[y, x] - eye) / math.hypot(dx, dy)
-            for i in range(1, n):
-                sx = ox + dx * i / n
-                sy = oy + dy * i / n
-                x0, y0 = int(math.floor(sx)), int(math.floor(sy))
-                fx, fy = sx - x0, sy - y0
-                x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
-                zi = (z[y0, x0] * (1 - fx) * (1 - fy) + z[y0, x1] * fx * (1 - fy)
-                      + z[y1, x0] * (1 - fx) * fy + z[y1, x1] * fx * fy)
-                d = math.hypot(sx - ox, sy - oy)
-                if (zi - eye) / d > tgt_ang + 1e-12:
-                    vis = False
-                    break
-            if vis:
-                out[y, x] = visible_val
-    return out
+    if mode == "normal":
+        return np.where(z >= obs, visible_val, invisible_val).astype(out_dtype)
+    if mode == "dem":
+        return np.maximum(0.0, obs)
+    if mode == "ground":
+        return np.maximum(0.0, obs - z)
+    raise ValueError(f"viewshed mode {mode!r}")
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,30 @@ def test_dem_edges_are_nodata_zero():
     assert (hs[0] == 0).all() and 1 <= hs[1:-1, 1:-1].min()
 
 
+VS_IN = np.array([
+    -1, 0, 1, 0, -1,
+    -1, 2, 0, 4, -1,
+    -1, 1, 0, -1, -1,
+    0, 3, 0, 2, 0,
+    -1, 0, 0, 3, -1], dtype=np.int8).reshape(5, 5)
+VS_OBSERVABLE = np.array([
+    4, 2, 0, 4, 8,
+    3, 2, 0, 4, 3,
+    2, 1, 0, -1, -2,
+    4, 3, 0, 2, 1,
+    6, 3, 0, 2, 4], dtype=float).reshape(5, 5)
+
+
+def test_viewshed_golden_tables():
+    # godal_test.go:4472-4592: all three height modes, exact tables
+    v = viewshed(VS_IN, 2, 2, 0.0, mode="normal")
+    assert np.array_equal(v, np.where(VS_IN >= VS_OBSERVABLE, 127, 0).astype(np.int8))
+    d = viewshed(VS_IN, 2, 2, 0.0, mode="dem")
+    assert np.array_equal(d, np.maximum(0.0, VS_OBSERVABLE))
+    g = viewshed(VS_IN, 2, 2, 0.0, mode="ground")
+    assert np.array_equal(g, np.maximum(0.0, VS_OBSERVABLE - VS_IN))
+
+
 def test_viewshed_basic():
     # flat dem: everything visible; wall hides what's behind it
     flat = np.zeros((5, 5))
