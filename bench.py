@@ -169,9 +169,16 @@ def run_scaling(trials: int = 3) -> None:
     subprocess.run([sys.executable, __file__], env=setup_env,
                    capture_output=True, text=True, timeout=3600)
 
-    results: dict[int, list[float]] = {2: [], 8: []}
+    # N=1 vs 4N=4 executors (4 vs 16 cores): the host is shared, and a
+    # 32-core config cannot get its cores when other tenants hold some —
+    # 16 of 32 leaves headroom so the 4N measurement reflects executor
+    # scaling rather than host contention
+    n_lo = int(os.environ.get("BENCH_EXEC_N", "1"))
+    n_hi = 4 * n_lo
+    results: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    loads: list[str] = []
     for _ in range(trials):
-        for n_exec in (2, 8):
+        for n_exec in (n_lo, n_hi):
             env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR,
                        BENCH_HEADLINE_ONLY="1", BENCH_EXECUTORS=str(n_exec),
                        BENCH_N_IMAGES=os.environ.get("BENCH_N_IMAGES", "400000"))
@@ -182,13 +189,16 @@ def run_scaling(trials: int = 3) -> None:
                 sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
                 raise RuntimeError(f"scaling subprocess (executors={n_exec}) produced no JSON")
             results[n_exec].append(json.loads(lines[-1])["throughput_images_per_sec"])
-    rn, r4n = max(results[2]), max(results[8])
+            with open("/proc/loadavg") as fh:
+                loads.append(fh.read().split()[0])
+    rn, r4n = max(results[n_lo]), max(results[n_hi])
     eff = (r4n / rn) / 4.0
     print(json.dumps({
-        "metric": "scaling efficiency N=2 -> 4N=8 executors (local-cluster, 4 cores each)",
+        "metric": f"scaling efficiency N={n_lo} -> 4N={n_hi} executors (local-cluster, 4 cores each)",
         "value": round(eff, 3), "unit": "ratio",
         "images_per_sec_N": rn, "images_per_sec_4N": r4n,
-        "trials_N": results[2], "trials_4N": results[8],
+        "trials_N": results[n_lo], "trials_4N": results[n_hi],
+        "host_loadavg_after_each_trial": loads,
         "pass_north_rule": eff >= 0.8,
     }))
 

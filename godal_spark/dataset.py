@@ -163,6 +163,57 @@ class RasterDataset:
     def histogram(self, band: int = 0, **kw):
         return histogram_single(self.catalog.tiles, self.image_id, band, **kw)
 
+    def _apply_kernel(self, fn, band: int = 0, out_dtype=None) -> np.ndarray:
+        """Run a whole-image numpy kernel on one band (stencil ops:
+        FillNoData/Dem/Viewshed/Sieve/Nearblack gather per image — see
+        operators/fill.py scale rationale). Bulk/distributed variants run
+        the same kernels inside applyInPandas over the catalog."""
+        arr = self._decode()
+        plane = arr if arr.ndim == 2 else arr[:, :, band]
+        return fn(plane)
+
+    def fill_nodata(self, band: int = 0, max_distance: int = 100,
+                    smoothing: int = 0) -> np.ndarray:
+        from godal_spark.operators.fill import fillnodata
+
+        nd = self._row["nodata"]
+        if nd is None:
+            raise ValueError("FillNoData: band has no nodata value")
+        return self._apply_kernel(
+            lambda a: fillnodata(a, a != nd, max_distance, smoothing), band)
+
+    def dem(self, processing: str = "hillshade", band: int = 0, **kw) -> np.ndarray:
+        from godal_spark.operators.fill import dem_hillshade, dem_slope
+
+        if processing == "hillshade":
+            return self._apply_kernel(lambda a: dem_hillshade(a, **kw), band)
+        if processing == "slope":
+            return self._apply_kernel(lambda a: dem_slope(a, **kw), band)
+        raise ValueError(f"dem processing {processing!r}")
+
+    def viewshed(self, ox: int, oy: int, oz: float = 0.0, mode: str = "normal",
+                 band: int = 0) -> np.ndarray:
+        from godal_spark.operators.fill import viewshed
+
+        return self._apply_kernel(lambda a: viewshed(a, ox, oy, oz, mode=mode), band)
+
+    def sieve_filter(self, threshold: int, band: int = 0, eight: bool = False,
+                     no_mask: bool = False) -> np.ndarray:
+        from godal_spark.operators.polygonize import sieve_array
+
+        nd = self._row["nodata"]
+        valid = None
+        if nd is not None and not no_mask:
+            valid_fn = lambda a: sieve_array(a, threshold, eight=eight, valid=a != nd)  # noqa: E731
+        else:
+            valid_fn = lambda a: sieve_array(a, threshold, eight=eight)  # noqa: E731
+        return self._apply_kernel(valid_fn, band)
+
+    def nearblack(self, near: int = 15, white: bool = False, band: int = 0) -> np.ndarray:
+        from godal_spark.operators.fill import nearblack
+
+        return self._apply_kernel(lambda a: nearblack(a, near, white), band)
+
     def polygonize(self, band: int = 0, eight: bool = False) -> DataFrame:
         from godal_spark.operators.polygonize import polygonize
 

@@ -105,6 +105,30 @@ def test_viewshed_basic():
     assert v[2, 4] == 0    # behind the wall: hidden
 
 
+def test_dem_hillshade_full_golden():
+    # godal_test.go:5243-5359: linear E-W ramp grid (Int16) → hillshade
+    # values {182,183}, line thickness 2, spacing 62, borders nodata 0
+    import itertools
+
+    px = np.array([500000.0, 500000.0, 600000.0, 600000.0])
+    py = np.array([500000.0, 600000.0, 600000.0, 500000.0])
+    pz = np.array([10.0, 10.0, 2026.0, 2026.0])
+    g = grid_create("linear", px, py, pz, 2048, 2048,
+                    500000, 600000, 500000, 600000).astype(np.int16)
+    hs = dem_hillshade(g, cell_size=100000 / 2048)
+    assert hs[0, 0] == 0 and hs[0, -1] == 0 and hs[-1, 0] == 0 and hs[-1, -1] == 0
+    for x in range(1, 256):
+        assert (hs[1:-1, x] == hs[1, x]).all()
+    row = hs[1024, 1:-1]
+    assert set(np.unique(row).tolist()) == {182, 183}
+    runs = [(k, len(list(v))) for k, v in itertools.groupby(row.tolist())]
+    for val, ln in runs[1:-1]:  # interior runs
+        if val == 182:
+            assert ln == 2
+        else:
+            assert ln == 62
+
+
 def test_grid_linear_goldens():
     # godal_test.go:4279-4332 (incl. the 1/256 half-pixel offsets)
     px = np.array([0.0, 1.0, 0.0, 1.0])
