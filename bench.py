@@ -34,8 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # we force with a cheap count-style action so timing includes full execution)
 BENCH_QUERIES = [
     "block_grid", "overview_tiles", "pip_count", "knn", "raster_stats",
-    "histogram", "rasterize", "sql_q1", "dedup_exact", "text_stats",
-    "ann_topk", "events_window",
+    "histogram", "rasterize", "sql_q1", "dedup_exact", "dedup_minhash",
+    "text_stats", "ann_topk", "events_window", "events_sessions",
+    "warp_mosaic", "overview_pixels", "simhash_pairs", "ann_ivf", "lang_id",
 ]
 
 

@@ -62,21 +62,22 @@ def with_shingles(docs: DataFrame, text_col: str = "text", k: int = 5,
     return docs.withColumn("shingles", F.array_distinct(sh))
 
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _minhash_params(num_hashes: int, seed: int = 42):
+    """Multiply-shift universal hash family over uint64 wrap-around
+    arithmetic (odd multipliers) — fully numpy-vectorizable, unlike the
+    classic (a*x+b) mod (2^61-1) which needs 128-bit intermediates."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    a = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
     return a, b
 
 
 def with_minhash(docs: DataFrame, num_hashes: int = 64, seed: int = 42) -> DataFrame:
     """Adds `minhash: array<long>` from the `shingles` column.
 
-    Base hash is Spark's xxhash64 (JVM); the num_hashes permutations
-    (a*x+b mod p) run vectorized in one Arrow batch over the base hashes.
+    Base hash is Spark's xxhash64 (JVM); the num_hashes mixes run as ONE
+    numpy (num_hashes × n_shingles) uint64 outer product per doc inside
+    the Arrow batch — no per-element Python.
     """
     a, b = _minhash_params(num_hashes, seed)
     docs = docs.withColumn(
@@ -85,15 +86,15 @@ def with_minhash(docs: DataFrame, num_hashes: int = 64, seed: int = 42) -> DataF
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mh(base: pd.Series) -> pd.Series:
         out = []
-        for arr in base:
-            if arr is None or len(arr) == 0:
-                out.append([0] * len(a))
-                continue
-            x = np.asarray(arr, dtype=np.int64).astype(object)  # exact bigint math
-            sigs = []
-            for ai, bi in zip(a.tolist(), b.tolist()):
-                sigs.append(int(min((ai * int(v) + bi) % _MERSENNE for v in x)))
-            out.append(sigs)
+        empty = [0] * len(a)
+        with np.errstate(over="ignore"):
+            for arr in base:
+                if arr is None or len(arr) == 0:
+                    out.append(empty)
+                    continue
+                x = np.asarray(arr, dtype=np.int64).view(np.uint64)
+                mixed = a[:, None] * x[None, :] + b[:, None]  # uint64 wrap
+                out.append(mixed.min(axis=1).view(np.int64).tolist())
         return pd.Series(out)
 
     return docs.withColumn("minhash", mh(F.col("__base"))).drop("__base")

@@ -67,9 +67,11 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
         "dist",
         F.sqrt(F.pow(F.col(q_lon) - F.col("__plon"), 2)
                + F.pow(F.col(q_lat) - F.col("__plat"), 2)))
-    # a point can appear in several candidate cells of the same query
-    # only if query rings overlap (they don't — cells are distinct), so
-    # no dedup needed before ranking
+    # ring cells are distinct, EXCEPT when the ring span wraps the whole
+    # longitude range (2*rings+1 >= 2^res): then the pmod wrap aliases
+    # cells and the same point appears twice for one query — dedup
+    if 2 * rings + 1 >= n:
+        cand = cand.dropDuplicates([q_id, "__pid"])
     w = Window.partitionBy(q_id).orderBy(F.col("dist").asc(), F.col("__pid").asc())
     ranked = (cand.withColumn("rank", F.row_number().over(w))
               .filter(F.col("rank") <= k))
