@@ -56,6 +56,56 @@ class RasterDataset:
         self.catalog = catalog
         self.image_id = row["image_id"]
         self._row = row
+        # per-handle mutable attrs (reference: dataset-level metadata KV
+        # godal.go:1876-1944; color table godal.go:666-739; GCPs
+        # godal.go:4296-4458). In production these are table columns
+        # (map<string,string>, array<array<smallint>>, array<struct>);
+        # the handle caches them for the godal-style accessor surface.
+        self._metadata: dict[str, dict[str, str]] = {"": {}}
+        self._color_tables: dict[int, list[tuple[int, int, int, int]]] = {}
+        self._gcps: list[tuple[float, float, float, float]] = []
+
+    # -- metadata KV (godal.go:1876-1944) -----------------------------------
+    def set_metadata(self, key: str, value: str, domain: str = "") -> None:
+        self._metadata.setdefault(domain, {})[key] = value
+
+    def metadata(self, key: str, domain: str = "") -> str | None:
+        return self._metadata.get(domain, {}).get(key)
+
+    def metadata_domains(self) -> list[str]:
+        return [d for d, kv in self._metadata.items() if kv]
+
+    # -- color table (godal.go:666-739) --------------------------------------
+    def set_color_table(self, band: int, entries: list[tuple[int, int, int, int]]):
+        self._color_tables[band] = list(entries)
+
+    def color_table(self, band: int = 0):
+        return self._color_tables.get(band, [])
+
+    def expand_palette(self, band: int = 0) -> np.ndarray:
+        """Palette-indexed band → RGBA (the palette is a tiny broadcast
+        lookup at scale; numpy fancy-index here)."""
+        ct = self._color_tables.get(band)
+        if not ct:
+            raise ValueError("band has no color table")
+        lut = np.zeros((256, 4), dtype=np.uint8)
+        for i, rgba in enumerate(ct[:256]):
+            lut[i] = rgba
+        plane = self._decode()
+        plane = plane if plane.ndim == 2 else plane[:, :, band]
+        return lut[plane]
+
+    # -- GCPs (godal.go:4296-4458) -------------------------------------------
+    def set_gcps(self, gcps: list[tuple[float, float, float, float]]):
+        self._gcps = list(gcps)
+
+    def gcps(self):
+        return list(self._gcps)
+
+    def gcps_to_geotransform(self) -> list[float]:
+        """Least-squares affine from the attached GCPs (errors with <3 —
+        godal_test.go:5165-5241)."""
+        return CRS.fit_gcps(self._gcps)
 
     # -- structure (reference structure.go:66-95) --------------------------
     @property
