@@ -1,0 +1,120 @@
+"""Property-based kernel tests (hypothesis) — invariants the goldens
+can't pin: totality, round-trips, conservation laws."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from godal_spark.functions import cellindex, codecs, crs, geom as G
+from godal_spark.functions.resampling import resample
+from godal_spark.operators.polygonize import label_components, polygonize_array, sieve_array
+from godal_spark.operators.tiling import block_grid_list, overview_levels
+
+
+@settings(deadline=None)
+@given(st.integers(1, 300), st.integers(1, 300), st.integers(1, 64), st.integers(1, 64))
+def test_block_grid_partitions_exactly(w, h, bw, bh):
+    grid = block_grid_list(w, h, bw, bh)
+    # tiles tile the plane exactly: total area == w*h, no overlaps
+    assert sum(t[4] * t[5] for t in grid) == w * h
+    seen = set()
+    for (bx, by, x0, y0, tw, th) in grid:
+        assert 0 < tw <= bw and 0 < th <= bh
+        assert x0 + tw <= w and y0 + th <= h
+        assert (bx, by) not in seen
+        seen.add((bx, by))
+
+
+@given(st.integers(1, 10**6), st.integers(1, 10**6), st.integers(1, 4096))
+def test_overview_levels_monotone(w, h, m):
+    lv = overview_levels(w, h, m)
+    assert lv == sorted(lv)
+    assert all(b == 2 * a for a, b in zip(lv, lv[1:]))
+    if lv:
+        # final level brings both dims to <= m (by the halving loop def)
+        k = len(lv)
+        assert (w >> k) <= m and (h >> k) <= m
+
+
+@given(st.floats(-180, 180), st.floats(-90, 90), st.integers(0, 20))
+def test_cell_roundtrip_contains(lon, lat, res):
+    cid = cellindex.cell_of(lon, lat, res)
+    minlon, minlat, maxlon, maxlat = cellindex.cell_bounds(cid)
+    assert minlon - 1e-9 <= lon <= maxlon + 1e-9
+    assert minlat - 1e-9 <= lat <= maxlat + 1e-9
+
+
+@given(st.floats(-179, 179), st.floats(-84, 84))
+def test_crs_3857_roundtrip(lon, lat):
+    x, y, ok = crs.transform_points([lon], [lat], "EPSG:4326", "EPSG:3857")
+    assert ok[0]
+    lon2, lat2, ok2 = crs.transform_points(x, y, "EPSG:3857", "EPSG:4326")
+    assert abs(lon2[0] - lon) < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 255))
+def test_png_roundtrip_any_shape(w, h, fill):
+    rng = np.random.default_rng(fill)
+    arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(arr)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(2, 30), st.integers(2, 30), st.integers(1, 10), st.integers(1, 10),
+       st.sampled_from(["nearest", "bilinear", "average", "cubic"]))
+def test_resample_shape_and_range(in_w, in_h, out_w, out_h, alg):
+    src = np.random.default_rng(1).integers(0, 256, (in_h, in_w), dtype=np.uint8)
+    out = resample(src, out_w, out_h, alg=alg, path="io")
+    assert out.shape == (out_h, out_w)
+    # convex kernels can't escape [min, max] by more than rounding
+    assert out.min() >= max(0, src.min() - 1) - 1
+    assert out.max() <= min(255, src.max() + 1) + 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(2, 12), st.integers(0, 3), st.booleans())
+def test_polygonize_conservation(n, nvals, eight):
+    rng = np.random.default_rng(n * 7 + nvals)
+    arr = rng.integers(0, nvals + 2, (n, n)).astype(np.uint8)
+    feats = polygonize_array(arr, eight=eight)
+    # pixel conservation: components partition the raster
+    assert sum(npx for _, npx, _ in feats) == n * n
+    # area equals pixel count for every component (y-down unit pixels)
+    for v, npx, g in feats:
+        assert abs(g.area() - npx) < 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(2, 12), st.booleans())
+def test_labels_agree_with_flood(n, eight):
+    rng = np.random.default_rng(n)
+    arr = (rng.random((n, n)) < 0.5).astype(np.uint8)
+    labels, k = label_components(arr, eight=eight)
+    # same label ⇒ same value; adjacency within label is connected (spot:
+    # every label's pixel set is non-empty and value-uniform)
+    for c in range(k):
+        vals = arr[labels == c]
+        assert len(vals) > 0 and (vals == vals[0]).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(3, 12), st.integers(1, 4))
+def test_sieve_never_increases_component_count(n, thr):
+    rng = np.random.default_rng(n * 13 + thr)
+    arr = rng.integers(0, 3, (n, n)).astype(np.uint8)
+    out = sieve_array(arr, thr)
+    _, k_before = label_components(arr)
+    _, k_after = label_components(out)
+    assert k_after <= k_before
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.floats(-100, 100), st.floats(-100, 100)),
+                min_size=3, max_size=8, unique=True))
+def test_wkt_wkb_roundtrip_polygons(pts):
+    g = G.polygon(pts)
+    g2 = G.from_wkb(G.to_wkb(g))
+    assert g2.type == "Polygon"
+    assert abs(g2.area() - g.area()) < 1e-9
+    g3 = G.from_wkt(G.to_wkt(g))
+    assert abs(g3.area() - g.area()) < 1e-6
