@@ -66,9 +66,11 @@ def test_resample_shape_and_range(in_w, in_h, out_w, out_h, alg):
     src = np.random.default_rng(1).integers(0, 256, (in_h, in_w), dtype=np.uint8)
     out = resample(src, out_w, out_h, alg=alg, path="io")
     assert out.shape == (out_h, out_w)
-    # convex kernels can't escape [min, max] by more than rounding
-    assert out.min() >= max(0, src.min() - 1) - 1
-    assert out.max() <= min(255, src.max() + 1) + 1
+    if alg in ("nearest", "bilinear", "average"):
+        # convex kernels can't escape [min, max] by more than rounding;
+        # cubic/lanczos legitimately overshoot (negative lobes)
+        assert out.min() >= max(0, int(src.min()) - 1)
+        assert out.max() <= min(255, int(src.max()) + 1)
 
 
 @settings(max_examples=20, deadline=None)
