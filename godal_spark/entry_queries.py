@@ -52,7 +52,42 @@ NB_W, NB_H = 60.0, 28.0
 RASTER_SUBSET = "p_partkey % 40 = 0"  # pixel-level queries: ~n_part/40 images
 
 
+_PYFILES_SENT: set[int] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship godal_spark to Python workers via addPyFile.
+
+    The driver process may import this repo from an arbitrary cwd; worker
+    processes only see PYTHONPATH + the session's py-files, so register a
+    zip of the package once per SparkContext (the --py-files mechanism,
+    self-applied)."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PYFILES_SENT:
+        return
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", "godal_spark_pyfiles.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already registered on this context
+    _PYFILES_SENT.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_workers_can_import(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -652,6 +687,7 @@ FROM s GROUP BY user_id, sess
 # ---------------------------------------------------------------------------
 
 def q_warp_mosaic(spark, sf_dir):
+    _ensure_workers_can_import(spark)
     from godal_spark import datagen
     from godal_spark.operators import warp as WP
 
@@ -690,6 +726,7 @@ SELECT x, y, CASE WHEN x < 5 THEN 200 ELSE 100 END AS v FROM g
 # ---------------------------------------------------------------------------
 
 def q_overview_pixels(spark, sf_dir):
+    _ensure_workers_can_import(spark)
     from godal_spark import datagen
     from godal_spark.operators import tiling as TL
 
@@ -725,6 +762,7 @@ SELECT x, y, 20 * y + 2 * x + 6 AS v FROM g
 # ---------------------------------------------------------------------------
 
 def q_translate_window(spark, sf_dir):
+    _ensure_workers_can_import(spark)
     from godal_spark import datagen
     from godal_spark.functions import codecs
     from godal_spark.operators import translate as TR
@@ -760,6 +798,7 @@ SELECT x, y, (((y + 5) * 20 + (x + 3)) * 7) % 256 AS v FROM g
 # ---------------------------------------------------------------------------
 
 def q_polygonize_diag(spark, sf_dir):
+    _ensure_workers_can_import(spark)
     from godal_spark import datagen
     from godal_spark.operators import polygonize as PZ, tiling as TL
 
@@ -799,6 +838,7 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_image_phash(spark, sf_dir):
+    _ensure_workers_can_import(spark)
     from godal_spark import datagen
     from godal_spark.operators import multimodal as MM
 
