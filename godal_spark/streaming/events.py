@@ -47,6 +47,29 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
                     "n_events", "sum_value"))
 
 
+def streaming_ingest_images(spark, src_path: str, out_path: str,
+                            checkpoint: str, bw: int = 32, bh: int = 32):
+    """Incremental tile pipeline: a parquet-file stream of image rows →
+    block-grid tile explode (the SAME operator as batch — mapInPandas
+    works unchanged under Structured Streaming) → append sink.
+
+    Models new imagery landing in object storage: each micro-batch tiles
+    only the new files; exactly-once via the sink checkpoint. Returns the
+    StreamingQuery (caller awaits/stops)."""
+    from godal_spark.datagen import IMAGES_SCHEMA
+    from godal_spark.operators.tiling import explode_tiles
+    from pyspark.sql import types as T
+
+    schema = T._parse_datatype_string(IMAGES_SCHEMA)
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    tiles = explode_tiles(stream, bw=bw, bh=bh)
+    return (tiles.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_events_from_dir(spark, path: str, schema) -> DataFrame:
     """File-source stream (one parquet dir) — the test harness feeds this
     by dropping files in, which models object-store micro-batches."""
