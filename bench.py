@@ -127,6 +127,10 @@ def run_suite() -> dict:
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 32))
     sf = _sf_of(SF_DIR)
     qs = entry_mod.queries()
+    # warm JVM codegen + python worker pool outside the timed region
+    spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+    spark.range(CPUS * 2, numPartitions=CPUS * 2) \
+        .mapInPandas(lambda it: it, "id long").write.format("noop").mode("overwrite").save()
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
