@@ -38,16 +38,22 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 32)
+    # under spark-submit the gateway JVM already carries --master /
+    # --executor-* settings; do NOT override them (the --py-files
+    # deployment contract)
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     if executors is not None:
         master = f"local-cluster[{executors},{executor_cores},{executor_mem}]"
         shuffle_partitions = max(executors * executor_cores, 32)
     else:
         master = f"local[{cores}]"
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    b = (
-        SparkSession.builder.master(master)
-        .config("spark.executorEnv.PYTHONPATH", repo_root)
-        .config("spark.executor.memory", f"{executor_mem}m" if executors else "4g")
+    b = SparkSession.builder
+    if not under_submit:
+        b = (b.master(master)
+             .config("spark.executorEnv.PYTHONPATH", repo_root)
+             .config("spark.executor.memory", f"{executor_mem}m" if executors else "4g"))
+    b = (b
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
