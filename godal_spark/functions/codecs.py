@@ -167,10 +167,32 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 # dispatch
 # ---------------------------------------------------------------------------
 
+# raw formats for the full GDAL dtype table (godal.go:41-69): unsigned
+# and complex types have no Spark scalar — they travel as binary + this
+# fmt tag and decode to native numpy inside Arrow batches (SURVEY §1.1)
+_RAW_DTYPES = {
+    "raw8": np.uint8, "rawi8": np.int8,
+    "raw16": np.uint16, "rawi16": np.int16,
+    "raw32": np.uint32, "rawi32": np.int32,
+    "rawf32": np.float32, "rawf64": np.float64,
+    "rawc64": np.complex64, "rawc128": np.complex128,
+}
+
+
+def decode_raw(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    dt = np.dtype(_RAW_DTYPES[fmt]).newbyteorder("<")
+    arr = np.frombuffer(buf, dtype=dt)
+    bands = arr.size // (w * h)
+    if bands * w * h != arr.size:
+        raise ValueError(f"{fmt} size {arr.size} not divisible by {w}x{h}")
+    out = arr.reshape(h, w) if bands == 1 else arr.reshape(h, w, bands)
+    return out.astype(_RAW_DTYPES[fmt])
+
+
 def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> np.ndarray:
     f = fmt.lower()
-    if f == "raw8":
-        return decode_raw8(buf, w, h)
+    if f in _RAW_DTYPES:
+        return decode_raw(buf, f, w, h)
     if f == "png":
         return decode_png(bytes(buf))
     if f in ("jpeg", "jpg"):
@@ -180,8 +202,9 @@ def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> 
 
 def encode(arr: np.ndarray, fmt: str) -> bytes:
     f = fmt.lower()
-    if f == "raw8":
-        return encode_raw8(arr)
+    if f in _RAW_DTYPES:
+        return np.ascontiguousarray(
+            arr.astype(np.dtype(_RAW_DTYPES[f]).newbyteorder("<"))).tobytes()
     if f == "png":
         return encode_png(arr)
     if f in ("jpeg", "jpg"):

@@ -173,6 +173,12 @@ def explode_tiles(images: DataFrame, bw: int = 256, bh: int = 256) -> DataFrame:
     return images.mapInPandas(gen, schema=TILE_SCHEMA)
 
 
+def clear_overviews(tiles: DataFrame) -> DataFrame:
+    """ClearOverviews (godal.go:1139-1147) = drop level > 0 rows; on an
+    ACID table this is `DELETE FROM tiles WHERE level > 0`."""
+    return tiles.filter(F.col("level") == 0)
+
+
 def _tile_array(row) -> np.ndarray:
     return np.frombuffer(row.payload, dtype=np.dtype(row.dtype)).reshape(row.bh, row.bw)
 
