@@ -175,17 +175,17 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
         pys = np.arange(y0, y0 + bh) + 0.5
         gx, gy = np.meshgrid(pxs, pys)
         tx, ty = CRS.pixel_to_geo(tgt_gt_b, gx.ravel(), gy.ravel())
-        out = None
+        outs: list[np.ndarray] = []
         dt = None
         pdf = pdf.assign(__ord=[order_map.get(i, 0) for i in pdf["image_id"]])
         for r in pdf.sort_values("__ord").itertuples(index=False):
             arr = codecs.decode(r.bytes, r.fmt, r.w, r.h)
-            if arr.ndim == 3:
-                arr = arr[:, :, 0]  # band 0 mosaic (multi-band warp: per-band rows upstream)
+            planes = [arr] if arr.ndim == 2 else [arr[:, :, b] for b in range(arr.shape[2])]
             if dt is None:
-                dt = arr.dtype
-                out = np.zeros(bw * bh, dtype=dt)
-                filled = np.zeros(bw * bh, dtype=bool)
+                dt = planes[0].dtype
+                outs = [np.zeros(bw * bh, dtype=dt) for _ in planes]
+            while len(outs) < len(planes):
+                outs.append(np.zeros(bw * bh, dtype=dt))
             sx, sy = tx, ty
             if r.srs != t_srs:
                 sx, sy, ok = CRS.transform_points(tx, ty, t_srs, r.srs)
@@ -195,15 +195,18 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
             ix = np.floor(ppx).astype(np.int64)
             iy = np.floor(ppy).astype(np.int64)
             inb = ok & (ix >= 0) & (ix < r.w) & (iy >= 0) & (iy < r.h)
-            vals = arr[iy[inb], ix[inb]]
-            out[inb] = vals
-            filled |= inb
+            for b, plane in enumerate(planes):
+                outs[b][inb] = plane[iy[inb], ix[inb]]
         return pd.DataFrame({
-            "image_id": ["warped"], "band": [0], "level": [0],
-            "block_x": [bx], "block_y": [by], "x0": [x0], "y0": [y0],
-            "bw": [bw], "bh": [bh], "w": [tw], "h": [th],
-            "dtype": [str(dt)], "payload": [out.reshape(bh, bw).tobytes()],
-            "caption": [pdf.iloc[0].caption],
+            "image_id": ["warped"] * len(outs), "band": list(range(len(outs))),
+            "level": [0] * len(outs),
+            "block_x": [bx] * len(outs), "block_y": [by] * len(outs),
+            "x0": [x0] * len(outs), "y0": [y0] * len(outs),
+            "bw": [bw] * len(outs), "bh": [bh] * len(outs),
+            "w": [tw] * len(outs), "h": [th] * len(outs),
+            "dtype": [str(dt)] * len(outs),
+            "payload": [o.reshape(bh, bw).tobytes() for o in outs],
+            "caption": [pdf.iloc[0].caption] * len(outs),
         })
 
     out_tiles = pairs.groupBy("block_x", "block_y").applyInPandas(render, schema=TILE_SCHEMA)
