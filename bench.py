@@ -212,8 +212,14 @@ def run_headline_only() -> dict:
     from godal_spark.session import get_spark
 
     n_exec = os.environ.get("BENCH_EXECUTORS")
+    extra = None
+    elog = os.environ.get("BENCH_EVENT_LOG")
+    if elog:
+        from godal_spark.plans.metrics import event_log_conf
+
+        extra = event_log_conf(elog)
     spark = get_spark("bench-headline", cores=CPUS, shuffle_partitions=max(CPUS, 32),
-                      executors=int(n_exec) if n_exec else None)
+                      executors=int(n_exec) if n_exec else None, extra=extra)
     sf = _sf_of(SF_DIR)
     n_images = int(os.environ.get(
         "BENCH_N_IMAGES", max(2000, int(20000 * (sf / 0.1))) if sf > 0 else 20000))
@@ -224,6 +230,10 @@ def run_headline_only() -> dict:
            "sf": sf, "cpus": CPUS,
            "throughput_images_per_sec": round(head["images_per_sec"], 2)}
     spark.stop()
+    if elog:
+        from godal_spark.plans.metrics import task_metrics
+
+        out["task_metrics"] = task_metrics(elog)
     return out
 
 
