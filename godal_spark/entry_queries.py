@@ -793,6 +793,138 @@ SELECT x, y, (((y + 5) * 20 + (x + 3)) * 7) % 256 AS v FROM g
 
 
 # ---------------------------------------------------------------------------
+# 22. spatial_filter — ExecuteSQL + SpatialFilter (godal_test.go:2620-2634)
+# ---------------------------------------------------------------------------
+
+def q_spatial_filter(spark, sf_dir):
+    from godal_spark.dataset import execute_sql
+
+    fps = _nation_footprints(spark, sf_dir)
+    # point filter inside nation 7's box (disk of radius 1 at its center)
+    flt = G.to_wkb(G.buffer(G.point(-180 + 2 * 72 + 3 + 30.0, -90 + 36 + 4 + 14.0), 1.0))
+    out = execute_sql(spark, "SELECT fid, n_name, minx, miny, maxx, maxy, foo "
+                             "FROM footprints_v", layers={"footprints_v": fps},
+                      spatial_filter=flt)
+    return out.selectExpr("fid", "n_name", "foo")
+
+
+SQL_SPATIAL_FILTER = f"""
+WITH nb AS ({_ORACLE_NB})
+SELECT fid, n_name, foo FROM nb
+WHERE minx <= {-180 + 2 * 72 + 3 + 31.0} AND maxx >= {-180 + 2 * 72 + 3 + 29.0}
+  AND miny <= {-90 + 36 + 4 + 15.0} AND maxy >= {-90 + 36 + 4 + 13.0}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 23. stats_approx — approximate statistics block-row sampling
+#     (godal_test.go:4144-4160 semantics at engine tile granularity)
+# ---------------------------------------------------------------------------
+
+def q_stats_approx(spark, sf_dir):
+    from godal_spark.operators.raster_stats import compute_statistics
+
+    img = _images_meta(spark, sf_dir, where=RASTER_SUBSET)
+    part = _ramp_tiles_partial(img)  # reuses exact partials? need tiles; build tiles below
+    # build real tile rows (payload) at 32x32 so the sampler sees block rows
+    grid = tiling.with_block_grid(img, bw=32, bh=32)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "band", "level", "block_x", "block_y",
+                                   "x0", "y0", "bw", "bh", "w", "h", "dtype",
+                                   "payload", "caption")}
+            for r in pdf.itertuples(index=False):
+                y, x = np.mgrid[r.y0:r.y0 + r.bh, r.x0:r.x0 + r.bw]
+                v = ((y * r.w + x) % 256).astype(np.float64)
+                out["image_id"].append(str(r.image_id))
+                out["band"].append(0)
+                out["level"].append(0)
+                out["block_x"].append(r.block_x)
+                out["block_y"].append(r.block_y)
+                out["x0"].append(r.x0)
+                out["y0"].append(r.y0)
+                out["bw"].append(r.bw)
+                out["bh"].append(r.bh)
+                out["w"].append(r.w)
+                out["h"].append(r.h)
+                out["dtype"].append("float64")
+                out["payload"].append(v.tobytes())
+                out["caption"].append("")
+            yield pd.DataFrame(out)
+
+    tiles = grid.mapInPandas(gen, schema=tiling.TILE_SCHEMA)
+    st = compute_statistics(tiles, approximate=True)
+    return st.selectExpr("cast(image_id as bigint) as image_id", "n",
+                         "min as px_min", "max as px_max",
+                         "round(mean, 4) as mean", "round(std, 4) as std")
+
+
+SQL_STATS_APPROX = f"""
+WITH img AS (SELECT cast(p_partkey as bigint) AS image_id, {IMG_W} AS w, {IMG_H} AS h
+             FROM part WHERE {RASTER_SUBSET}),
+meta AS (SELECT image_id, w, h,
+                cast(floor(sqrt(ceil(h / 32.0))) AS bigint) AS rate FROM img),
+py AS (SELECT image_id, w, h, rate, unnest(range(0, h)) AS y FROM meta),
+sel AS (SELECT image_id, w, y FROM py WHERE (y // 32) % rate = 0),
+px AS (SELECT image_id, w, y, unnest(range(0, w)) AS x FROM sel),
+v AS (SELECT image_id, cast((y * w + x) % 256 AS double) AS v FROM px)
+SELECT image_id, count(*) AS n, min(v) AS px_min, max(v) AS px_max,
+       round(sum(v) / count(*), 4) AS mean,
+       round(sqrt(sum(v * v) / count(*) - (sum(v) / count(*)) * (sum(v) / count(*))), 4) AS std
+FROM v GROUP BY image_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 24. events_json — JSON field extraction (props column)
+# ---------------------------------------------------------------------------
+
+def q_events_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("k").cast("bigint").alias("sum_k"),
+                 F.max("k").cast("bigint").alias("max_k")))
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type, count(*) AS n,
+       sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k,
+       max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 25. sql_window — window functions through the ExecuteSQL surface
+# ---------------------------------------------------------------------------
+
+_SQL_WINDOW = """
+SELECT o_custkey,
+       cast(o_orderkey AS bigint) AS o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       cast(row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS bigint) AS rn
+FROM orders
+"""
+
+
+def q_sql_window(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_WINDOW).selectExpr(
+        "cast(o_custkey as bigint) as o_custkey", "o_orderkey",
+        "running_total", "rn")
+
+
+SQL_SQL_WINDOW = _SQL_WINDOW.replace(
+    "SELECT o_custkey,", "SELECT cast(o_custkey AS bigint) AS o_custkey,")
+
+
+# ---------------------------------------------------------------------------
 # rows-only entries (no SQL-expressible oracle; driver records a weaker
 # rows-only check — approximate/iterative/hash-seeded operators)
 # ---------------------------------------------------------------------------
@@ -870,6 +1002,10 @@ QUERIES = {
     "text_stats": q_text_stats,
     "ann_topk": q_ann_topk,
     "events_window": q_events_window,
+    "spatial_filter": q_spatial_filter,
+    "stats_approx": q_stats_approx,
+    "events_json": q_events_json,
+    "sql_window": q_sql_window,
     "dedup_minhash": q_dedup_minhash,
     "events_sessions": q_events_sessions,
     "warp_mosaic": q_warp_mosaic,
@@ -900,6 +1036,10 @@ ORACLES = {
     "text_stats": SQL_TEXT_STATS,
     "ann_topk": SQL_ANN_TOPK,
     "events_window": SQL_EVENTS_WINDOW,
+    "spatial_filter": SQL_SPATIAL_FILTER,
+    "stats_approx": SQL_STATS_APPROX,
+    "events_json": SQL_EVENTS_JSON,
+    "sql_window": SQL_SQL_WINDOW,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "warp_mosaic": SQL_WARP_MOSAIC,
