@@ -134,16 +134,35 @@ def pip_join(points: DataFrame, footprints: DataFrame, *,
              lon: str = "lon", lat: str = "lat",
              geometry: str = "geometry", res: int = 12,
              broadcast_footprints: bool = False,
+             salt: int = 0, salt_by: str | None = None,
              how: str = "inner") -> DataFrame:
     """Join point rows to the footprints that contain them.
 
     Output: point columns + footprint columns for every containing pair.
+    salt > 1 activates explicit hot-cell salting for the shuffle-join
+    path (dense urban footprints — north_rule): the points side salts
+    S ways, the footprint side replicates S ways. Ignored under
+    broadcast (a broadcast join has no per-key reducer to overload).
     """
     pts = with_point_cells(points, lon, lat, res)
     fps = footprints
     if not set(("minx", "miny", "maxx", "maxy")) <= set(fps.columns):
         fps = with_bbox(fps, geometry)
     fps = explode_footprint_cells(fps, res).drop("cell_x", "cell_y")
+    if salt > 1 and not broadcast_footprints:
+        from godal_spark.plans.skew import salted_join
+
+        joined = salted_join(pts.drop("cell_x", "cell_y"), fps, on="cell",
+                             salt=salt, how=how, salt_by=salt_by)
+        joined = joined.filter(
+            (F.col(lon) >= F.col("minx")) & (F.col(lon) <= F.col("maxx"))
+            & (F.col(lat) >= F.col("miny")) & (F.col(lat) <= F.col("maxy")))
+        if "is_rect" in joined.columns:
+            rect = joined.filter(F.col("is_rect"))
+            other = joined.filter(~F.col("is_rect")).filter(
+                st_contains_point(F.col(geometry), F.col(lon), F.col(lat)))
+            return rect.unionByName(other)
+        return joined.filter(st_contains_point(F.col(geometry), F.col(lon), F.col(lat)))
     if "is_rect" in fps.columns:
         # rect rows never reach the exact refine — null their geometry
         # blob so the broadcast ships only bboxes for them (cuts the

@@ -36,6 +36,30 @@ def salted_join(large: DataFrame, small: DataFrame, on: str = "cell",
     return lg.join(sm, [on, "__salt"], how).drop("__salt")
 
 
+def best_available_level(levels: list[int], query_ratio: float) -> int:
+    """LOD choice: a read at `query_ratio`× coarser than full resolution
+    is served by the coarsest pyramid level ≤ 2^floor(log2(ratio))
+    (GDAL's decimated-read overview pick, godal.go:303-346). levels are
+    the pyramid's factors (e.g. [2, 4, 8]); 0 = full res."""
+    import math
+
+    if query_ratio <= 1.0 or not levels:
+        return 0
+    target = 1 << int(math.floor(math.log2(query_ratio)))
+    usable = [lv for lv in levels if lv <= target]
+    return max(usable) if usable else 0
+
+
+def lod_pushdown(tiles: DataFrame, levels: list[int], full_px_size: float,
+                 query_px_size: float, level_col: str = "level") -> DataFrame:
+    """Filter the tiles table to the single level a resampled read needs
+    (SURVEY §4 LOD rule). A plain equality filter on `level` — Catalyst
+    turns it into partition pruning when the table partitions on level,
+    so a zoomed-out query scans 1/level² of the data."""
+    lv = best_available_level(levels, query_px_size / full_px_size)
+    return tiles.filter(F.col(level_col) == lv)
+
+
 def range_repartition_tiles(tiles: DataFrame, num_partitions: int,
                             prefix_bits: int = 12) -> DataFrame:
     """Range-repartition tile rows by (cell prefix, level, block ids) —

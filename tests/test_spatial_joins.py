@@ -127,3 +127,26 @@ def test_checkpoint_resume(spark, tmp_path):
     lin = w.lineage()
     assert {m["key"] for m in lin} == {"a", "b", "c", "d"}
     assert all(m["rows"] == 10 and m["wall_s"] >= 0 for m in lin)
+
+
+def test_pip_join_salted_param_equals_plain(spark):
+    fps = datagen.synth_footprints(spark, 40)
+    pts = _points_df(spark, [(10.0 + i / 40, 45.0 + i / 45) for i in range(80)])
+    plain = {(r.pid, r.fid) for r in pip.pip_join(pts, fps, res=10).collect()}
+    salted = {(r.pid, r.fid) for r in
+              pip.pip_join(pts, fps, res=10, salt=4, salt_by="pid").collect()}
+    assert plain == salted and len(plain) > 0
+
+
+def test_lod_pushdown_levels(spark):
+    from godal_spark.plans.skew import best_available_level, lod_pushdown
+    assert best_available_level([2, 4, 8], 1.0) == 0
+    assert best_available_level([2, 4, 8], 3.9) == 2
+    assert best_available_level([2, 4, 8], 4.0) == 4
+    assert best_available_level([2, 4, 8], 100.0) == 8
+    assert best_available_level([], 10.0) == 0
+    import pandas as pd
+    tiles = spark.createDataFrame(pd.DataFrame(
+        {"level": [0, 0, 2, 4], "x": [1, 2, 3, 4]}))
+    got = lod_pushdown(tiles, [2, 4], 1.0, 5.0)
+    assert [r.level for r in got.collect()] == [4]
