@@ -192,11 +192,31 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
             else:
                 ok = np.ones(tx.shape, dtype=bool)
             ppx, ppy = CRS.geo_to_pixel(list(r.gt), sx, sy)
-            ix = np.floor(ppx).astype(np.int64)
-            iy = np.floor(ppy).astype(np.int64)
-            inb = ok & (ix >= 0) & (ix < r.w) & (iy >= 0) & (iy < r.h)
-            for b, plane in enumerate(planes):
-                outs[b][inb] = plane[iy[inb], ix[inb]]
+            if alg == "bilinear":
+                # sample at pixel centers: fractional coords relative to
+                # the center lattice
+                fx = np.clip(ppx - 0.5, 0, r.w - 1)
+                fy = np.clip(ppy - 0.5, 0, r.h - 1)
+                x0i = np.floor(fx).astype(np.int64)
+                y0i = np.floor(fy).astype(np.int64)
+                x1i = np.minimum(x0i + 1, r.w - 1)
+                y1i = np.minimum(y0i + 1, r.h - 1)
+                wx = fx - x0i
+                wy = fy - y0i
+                inb = ok & (ppx >= 0) & (ppx < r.w) & (ppy >= 0) & (ppy < r.h)
+                for b, plane in enumerate(planes):
+                    p = plane.astype(np.float64)
+                    v = (p[y0i, x0i] * (1 - wx) * (1 - wy) + p[y0i, x1i] * wx * (1 - wy)
+                         + p[y1i, x0i] * (1 - wx) * wy + p[y1i, x1i] * wx * wy)
+                    if np.issubdtype(dt, np.integer):
+                        v = np.clip(np.floor(v + 0.5), np.iinfo(dt).min, np.iinfo(dt).max)
+                    outs[b][inb] = v[inb].astype(dt)
+            else:  # nearest (GDAL warp default)
+                ix = np.floor(ppx).astype(np.int64)
+                iy = np.floor(ppy).astype(np.int64)
+                inb = ok & (ix >= 0) & (ix < r.w) & (iy >= 0) & (iy < r.h)
+                for b, plane in enumerate(planes):
+                    outs[b][inb] = plane[iy[inb], ix[inb]]
         return pd.DataFrame({
             "image_id": ["warped"] * len(outs), "band": list(range(len(outs))),
             "level": [0] * len(outs),
