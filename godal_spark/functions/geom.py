@@ -411,6 +411,69 @@ def from_geojson(s: str) -> Geom:
 
 
 # ---------------------------------------------------------------------------
+# GML 2 (coordinates as "x,y x,y" — the dialect OGR's ExportToGML emits;
+# reference round-trip goldens godal_test.go:3078-3104)
+# ---------------------------------------------------------------------------
+
+def _gml_coords(arr) -> str:
+    return " ".join(f"{_numfmt(p[0])},{_numfmt(p[1])}"
+                    for p in np.asarray(arr).reshape(-1, 2))
+
+
+def _numfmt(v: float) -> str:
+    v = float(v)
+    return str(int(v)) if v == int(v) else repr(v)
+
+
+def to_gml(g: Geom) -> str:
+    t = g.type
+    if t == "Point":
+        return f"<gml:Point><gml:coordinates>{_gml_coords([g.coords])}</gml:coordinates></gml:Point>"
+    if t == "LineString":
+        return f"<gml:LineString><gml:coordinates>{_gml_coords(g.coords)}</gml:coordinates></gml:LineString>"
+    if t == "Polygon":
+        parts = [f"<gml:outerBoundaryIs><gml:LinearRing><gml:coordinates>"
+                 f"{_gml_coords(g.coords[0])}</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs>"]
+        for hole in g.coords[1:]:
+            parts.append(f"<gml:innerBoundaryIs><gml:LinearRing><gml:coordinates>"
+                         f"{_gml_coords(hole)}</gml:coordinates></gml:LinearRing></gml:innerBoundaryIs>")
+        return "<gml:Polygon>" + "".join(parts) + "</gml:Polygon>"
+    if t == "MultiPolygon":
+        inner = "".join(
+            f"<gml:polygonMember>{to_gml(Geom('Polygon', p))}</gml:polygonMember>"
+            for p in g.coords)
+        return f"<gml:MultiPolygon>{inner}</gml:MultiPolygon>"
+    raise NotImplementedError(f"GML export for {t}")
+
+
+def from_gml(s: str) -> Geom:
+    import re
+
+    def coords_in(txt: str) -> np.ndarray:
+        m = re.search(r"<gml:coordinates>([^<]*)</gml:coordinates>", txt)
+        pts = [tuple(map(float, pair.split(","))) for pair in m.group(1).split()]
+        return np.array(pts, dtype=np.float64)
+
+    s = s.strip()
+    if s.startswith("<gml:Point>"):
+        p = coords_in(s)[0]
+        return point(p[0], p[1])
+    if s.startswith("<gml:LineString>"):
+        return Geom("LineString", coords_in(s))
+    if s.startswith("<gml:Polygon>"):
+        import re as _re
+        rings = [coords_in(m) for m in _re.findall(
+            r"<gml:LinearRing>.*?</gml:LinearRing>", s, _re.S)]
+        return Geom("Polygon", [_close(r) for r in rings])
+    if s.startswith("<gml:MultiPolygon>"):
+        import re as _re
+        polys = [from_gml(m).coords for m in _re.findall(
+            r"<gml:Polygon>.*?</gml:Polygon>", s, _re.S)]
+        return Geom("MultiPolygon", polys)
+    raise ValueError("unrecognized GML")
+
+
+# ---------------------------------------------------------------------------
 # point-in-polygon — the vectorized "prepared geometry" refine stage
 # ---------------------------------------------------------------------------
 
