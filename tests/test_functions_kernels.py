@@ -304,3 +304,15 @@ def test_gcp_fit_golden():
     np.testing.assert_allclose(fit, gt, atol=1e-9)
     with pytest.raises(ValueError):
         crs.fit_gcps(gcps[:2])
+
+
+def test_gml_roundtrips():
+    # godal_test.go:3078-3104 GML io family
+    for g in [G.point(30, 10), G.Geom("LineString", np.array([[0, 0], [1, 1], [2, 0]], float)),
+              G.box(100, 0, 101, 1),
+              G.multipolygon([G.box(0, 0, 1, 1), G.box(2, 2, 3, 3)])]:
+        back = G.from_gml(G.to_gml(g))
+        assert back.type == g.type
+        assert back.area() == pytest.approx(g.area())
+    hole = G.Geom("Polygon", [G.box(0, 0, 4, 4).coords[0], G.box(1, 1, 2, 2).coords[0]])
+    assert G.from_gml(G.to_gml(hole)).area() == pytest.approx(15.0)
