@@ -55,14 +55,16 @@ def _bench_tables(spark, n_images: int, n_footprints: int) -> tuple[str, str]:
     metadata join arm never deserializes `bytes`."""
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), f"godal_bench_{n_images}_{n_footprints}")
+    root = os.path.join(tempfile.gettempdir(), f"godal_bench2_{n_images}_{n_footprints}")
     img_path = os.path.join(root, "images")
     fp_path = os.path.join(root, "footprints")
     if not os.path.exists(os.path.join(img_path, "_SUCCESS")):
         from godal_spark import datagen
         from godal_spark.operators import pip as pip_op
 
-        datagen.synth_images(spark, n_images, max_dim=96) \
+        # 128 output files: parquet row groups are the split atoms, so
+        # file count bounds scan parallelism for this small-file table
+        datagen.synth_images(spark, n_images, max_dim=96, partitions=128) \
             .write.mode("overwrite").parquet(img_path)
         pip_op.with_bbox(datagen.synth_footprints(spark, n_footprints)) \
             .write.mode("overwrite").parquet(fp_path)
@@ -212,12 +214,17 @@ def run_headline_only() -> dict:
     from godal_spark.session import get_spark
 
     n_exec = os.environ.get("BENCH_EXECUTORS")
-    extra = None
+    # split-size the input scan to the cluster: the 145 MB bench table
+    # coalesces to 8 splits at the 128 MB default, starving a 16-core
+    # cluster at the probe scan (at 100 TB the default is right; split
+    # sizing tracks per-job parallelism)
+    extra = {"spark.sql.files.maxPartitionBytes": os.environ.get("BENCH_SPLIT", "1m"),
+             "spark.sql.files.openCostInBytes": "262144"}
     elog = os.environ.get("BENCH_EVENT_LOG")
     if elog:
         from godal_spark.plans.metrics import event_log_conf
 
-        extra = event_log_conf(elog)
+        extra.update(event_log_conf(elog))
     spark = get_spark("bench-headline", cores=CPUS, shuffle_partitions=max(CPUS, 32),
                       executors=int(n_exec) if n_exec else None, extra=extra)
     sf = _sf_of(SF_DIR)
