@@ -148,10 +148,25 @@ def _trace_rings(mask: np.ndarray) -> list[np.ndarray]:
     return rings
 
 
+def _merge_collinear(ring: np.ndarray) -> np.ndarray:
+    """Drop interior vertices on straight runs (exact test — rectilinear
+    rings have integer-grid vertices), matching GDAL's minimal rings."""
+    pts = ring[:-1]
+    n = len(pts)
+    keep = []
+    for i in range(n):
+        a, b, c = pts[i - 1], pts[i], pts[(i + 1) % n]
+        cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if cross != 0:
+            keep.append(i)
+    out = pts[keep] if keep else pts
+    return np.vstack([out, out[:1]])
+
+
 def mask_to_geom(mask: np.ndarray, gt=None) -> G.Geom:
     """Pixel mask → Polygon/MultiPolygon in geo coords (or pixel coords
     when gt is None, y-down)."""
-    rings = _trace_rings(mask)
+    rings = [_merge_collinear(r) for r in _trace_rings(mask)]
     if gt is not None:
         for r in rings:
             x = gt[0] + r[:, 0] * gt[1] + r[:, 1] * gt[2]
