@@ -249,7 +249,7 @@ def q_knn(spark, sf_dir):
     q = _supplier_points(spark, sf_dir)
     p = _customer_points(spark, sf_dir)
     out = knn_op.knn_join(q, p, k=3, q_id="qid", p_id="pid",
-                          res=3, rings=2, broadcast_points=True)
+                          res=4, rings=2, broadcast_points=True)
     return out.selectExpr("qid", "cast(rank as bigint) as rank",
                           "neighbor_id", "round(dist, 6) as dist_r")
 
