@@ -131,6 +131,36 @@ def res_for_cell_deg(target_deg: float) -> int:
     return MAX_RES
 
 
+def morton(x, y) -> np.ndarray:
+    """Z-order interleave of two 26-bit coords → 52-bit key. Sorting tile
+    writes by morton(cell_x, cell_y) keeps spatially-adjacent tiles in
+    the same files (better range pruning than x-major packing); the JOIN
+    key stays the plain pack() id — morton is a LAYOUT key."""
+    def spread(v):
+        v = np.asarray(v, dtype=np.uint64)
+        v &= np.uint64((1 << 26) - 1)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+    return (spread(x) | (spread(y) << np.uint64(1))).astype(np.int64)
+
+
+def morton_decode(m) -> tuple[np.ndarray, np.ndarray]:
+    def unspread(v):
+        v = np.asarray(v, dtype=np.uint64) & np.uint64(0x5555555555555555)
+        v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+        v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+        return v.astype(np.int64)
+    m = np.asarray(m, dtype=np.uint64)
+    return unspread(m), unspread(m >> np.uint64(1))
+
+
 # ---------------------------------------------------------------------------
 # Spark Column builders — keep cell computation JVM-side (codegen), so the
 # join key for PIP/kNN never leaves whole-stage codegen. Import pyspark

@@ -316,3 +316,12 @@ def test_gml_roundtrips():
         assert back.area() == pytest.approx(g.area())
     hole = G.Geom("Polygon", [G.box(0, 0, 4, 4).coords[0], G.box(1, 1, 2, 2).coords[0]])
     assert G.from_gml(G.to_gml(hole)).area() == pytest.approx(15.0)
+
+
+def test_morton_roundtrip():
+    from godal_spark.functions.cellindex import morton, morton_decode
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 26, 500)
+    y = rng.integers(0, 1 << 26, 500)
+    x2, y2 = morton_decode(morton(x, y))
+    assert np.array_equal(x, x2) and np.array_equal(y, y2)
