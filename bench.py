@@ -102,7 +102,7 @@ def headline_pipeline(spark, n_images: int, n_footprints: int) -> dict:
     ).withColumn(
         "lat", F.col("gt")[3] + (F.col("y0") + F.col("bh") / 2.0) * F.col("gt")[5]
     ).drop("gt")
-    joined = pip_op.pip_join(tiles, fps, res=9, broadcast_footprints=True)
+    joined = pip_op.pip_join(tiles, fps, res=int(os.environ.get("BENCH_RES", "11")), broadcast_footprints=True)
     n_pairs = joined.groupBy().count().first()[0]
     join_wall = time.time() - t0
 
