@@ -259,12 +259,21 @@ FEATURES_SCHEMA = ("image_id string, band int, value double, n_pixels bigint, "
 
 
 def polygonize(tiles: DataFrame, *, eight: bool = False,
-               use_nodata_mask: bool = True, nodata: float | None = None) -> DataFrame:
+               use_nodata_mask: bool = True, nodata: float | None = None,
+               images: DataFrame | None = None) -> DataFrame:
     """tiles (level 0) → feature rows, one per connected component.
 
     Gathers each (image_id, band)'s tiles into one task; see module
-    docstring for why this is the scale-correct plan.
+    docstring for why this is the scale-correct plan. Pass the images
+    DataFrame to emit geometries in GEO coordinates (its `gt` joins in
+    broadcast-style); otherwise geometries are in pixel space (y-down).
     """
+    from pyspark.sql import functions as F
+
+    if images is not None and "gt" in images.columns:
+        tiles = tiles.join(images.select("image_id", "gt"), "image_id", "left")
+    else:
+        tiles = tiles.withColumn("gt", F.lit(None).cast("array<double>"))
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         image_id, band = key
@@ -277,7 +286,9 @@ def polygonize(tiles: DataFrame, *, eight: bool = False,
         valid = None
         if use_nodata_mask and nodata is not None:
             valid = full != nodata
-        feats = polygonize_array(full, eight=eight, valid=valid)
+        gt0 = pdf["gt"].iloc[0]
+        gt = list(gt0) if gt0 is not None else None
+        feats = polygonize_array(full, eight=eight, valid=valid, gt=gt)
         return pd.DataFrame({
             "image_id": [image_id] * len(feats),
             "band": [band] * len(feats),

@@ -68,3 +68,16 @@ def test_polygonize_geo_coords_through_spark(spark):
     gx = 100.0 + ring[:, 0] * 0.125
     gy = 1.0 + ring[:, 1] * -0.125
     assert (gx.min(), gy.min(), gx.max(), gy.max()) == (100.25, 0.25, 100.75, 0.75)
+
+
+def test_polygonize_emits_geo_coords_with_images(spark):
+    arr = np.zeros((8, 8), np.uint8)
+    arr[2:6, 2:6] = 9
+    images = datagen.images_df(spark, [
+        datagen.image_row("g2", arr, "raw8", gt=[100.0, 0.125, 0, 1.0, 0, -0.125])])
+    tiles = tiling.explode_tiles(images, bw=8, bh=8)
+    feats = PZ.polygonize(tiles, images=images).collect()
+    nine = [f for f in feats if f.value == 9.0]
+    g = G.from_wkb(bytes(nine[0].geometry))
+    assert g.bounds() == (100.25, 0.25, 100.75, 0.75)
+    assert g.area() == pytest.approx(0.25)
