@@ -825,7 +825,6 @@ def q_stats_approx(spark, sf_dir):
     from godal_spark.operators.raster_stats import compute_statistics
 
     img = _images_meta(spark, sf_dir, where=RASTER_SUBSET)
-    part = _ramp_tiles_partial(img)  # reuses exact partials? need tiles; build tiles below
     # build real tile rows (payload) at 32x32 so the sampler sees block rows
     grid = tiling.with_block_grid(img, bw=32, bh=32)
 
