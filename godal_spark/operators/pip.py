@@ -26,7 +26,6 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import Iterator
 
 import numpy as np
 import pandas as pd

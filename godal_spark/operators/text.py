@@ -13,7 +13,6 @@ All JVM-side built-ins except language-ID's score matrix (Arrow batch).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T

@@ -21,7 +21,6 @@ any job — godal_test.go:1872-1875).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
