@@ -214,7 +214,7 @@ ks AS (SELECT image_id, w, h, unnest(range(1, 32)) AS k FROM img),
 lv AS (SELECT image_id, cast(pow(2, k) AS bigint) AS level,
               cast(ceil(ceil(w / pow(2, k)) / 32.0) * ceil(ceil(h / pow(2, k)) / 32.0) AS bigint) AS n_tiles
        FROM ks WHERE floor(w / pow(2, k - 1)) > 16 OR floor(h / pow(2, k - 1)) > 16)
-SELECT level, count(*) AS n_images, sum(n_tiles) AS n_tiles FROM lv GROUP BY level
+SELECT level, count(*) AS n_images, cast(sum(n_tiles) AS bigint) AS n_tiles FROM lv GROUP BY level
 """
 
 
@@ -233,7 +233,7 @@ def q_pip_count(spark, sf_dir):
 
 SQL_PIP_COUNT = f"""
 WITH pts AS ({_ORACLE_CUST}), nb AS ({_ORACLE_NB})
-SELECT nb.n_name, count(*) AS n_points, sum(pts.pid) AS sum_pid
+SELECT nb.n_name, count(*) AS n_points, cast(sum(pts.pid) AS bigint) AS sum_pid
 FROM pts JOIN nb
   ON pts.lon >= nb.minx AND pts.lon <= nb.maxx
  AND pts.lat >= nb.miny AND pts.lat <= nb.maxy
@@ -669,7 +669,9 @@ WITH e AS (SELECT user_id, ts, value,
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
            FROM events),
 m AS (SELECT user_id, ts, value,
-             CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+             -- Spark session_window is right-exclusive: [t, t+gap) — an event at
+             -- exactly prev+gap starts a NEW session, so the break test is >=.
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       FROM e),
 s AS (SELECT user_id, ts, value,
              sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
@@ -890,7 +892,7 @@ def q_events_json(spark, sf_dir):
 
 SQL_EVENTS_JSON = """
 SELECT event_type, count(*) AS n,
-       sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k,
+       cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k,
        max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k
 FROM events GROUP BY event_type
 """

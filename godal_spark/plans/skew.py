@@ -23,15 +23,20 @@ def salted_join(large: DataFrame, small: DataFrame, on: str = "cell",
                 salt_by: str | None = None) -> DataFrame:
     """Equi-join on `on` with an S-way salt.
 
-    salt_by: column of `large` whose hash spreads the salt (defaults to a
-    random-ish deterministic mix of all join-side values via
-    monotonically-increasing id is NOT used — nondeterministic across
-    retries; callers pass a stable id column).
+    salt_by: column of `large` whose hash spreads the salt. Default:
+    a hash over ALL of `large`'s columns — a pure row-content function,
+    so it is stable under task retries and AQE re-partitioning
+    (spark_partition_id()/monotonically_increasing_id are NOT — they
+    change when a stage re-executes, which would silently move rows
+    between salt buckets mid-join).
     """
     if salt <= 1:
         return large.join(small, on, how)
-    key = F.col(salt_by) if salt_by else F.spark_partition_id()
-    lg = large.withColumn("__salt", F.pmod(F.hash(key), F.lit(salt)).cast("int"))
+    if salt_by:
+        key_cols = [F.col(salt_by)]
+    else:
+        key_cols = [F.col(c) for c in large.columns]
+    lg = large.withColumn("__salt", F.pmod(F.hash(*key_cols), F.lit(salt)).cast("int"))
     sm = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return lg.join(sm, [on, "__salt"], how).drop("__salt")
 

@@ -44,11 +44,23 @@ def test_query_matches_oracle(spark, name):
         df = QUERIES[name](spark, SF_DIR)
         assert df.count() >= 0 and len(df.columns) > 0
         return
-    got = _norm(QUERIES[name](spark, SF_DIR).toPandas())
+    got_raw = QUERIES[name](spark, SF_DIR).toPandas()
     con = _duck()
-    exp = _norm(con.execute(ORACLES[name]).fetchdf())
-    assert list(got.columns) == list(exp.columns), \
-        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    exp_raw = con.execute(ORACLES[name]).fetchdf()
+    assert sorted(got_raw.columns) == sorted(exp_raw.columns), \
+        f"{name}: columns {sorted(got_raw.columns)} != {sorted(exp_raw.columns)}"
+    # The driver hashes raw values — an int64 engine column vs a float64
+    # oracle column (e.g. DuckDB sum(BIGINT)→HUGEINT→float64) hash-differs
+    # even when values are equal. Replicate that sensitivity: dtype KINDS
+    # must match before any normalization (round-1 lesson).
+    for c in got_raw.columns:
+        gk = "f" if pd.api.types.is_float_dtype(got_raw[c]) else \
+             "i" if pd.api.types.is_integer_dtype(got_raw[c]) else "o"
+        ek = "f" if pd.api.types.is_float_dtype(exp_raw[c]) else \
+             "i" if pd.api.types.is_integer_dtype(exp_raw[c]) else "o"
+        assert gk == ek, (f"{name}.{c}: dtype kind {got_raw[c].dtype} vs "
+                          f"{exp_raw[c].dtype} — driver value-hash would differ")
+    got, exp = _norm(got_raw), _norm(exp_raw)
     assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
 
