@@ -254,6 +254,20 @@ def q_knn(spark, sf_dir):
                           "neighbor_id", "round(dist, 6) as dist_r")
 
 
+def q_knn_fine(spark, sf_dir):
+    """kNN at res 9 (0.70° cells) where a bare rings=1 pass WOULD drop
+    true neighbors — the distance-bound guarantee (re-probe + brute
+    tiers, knn.py) makes the result exact anyway. Same brute-force
+    oracle as q_knn."""
+    q = _supplier_points(spark, sf_dir)
+    p = _customer_points(spark, sf_dir)
+    out = knn_op.knn_join(q, p, k=3, q_id="qid", p_id="pid",
+                          res=9, rings=1, guarantee=True,
+                          broadcast_points=True)
+    return out.selectExpr("qid", "cast(rank as bigint) as rank",
+                          "neighbor_id", "round(dist, 6) as dist_r")
+
+
 SQL_KNN = f"""
 WITH q AS ({_ORACLE_SUPP}), p AS ({_ORACLE_CUST}),
 d AS (SELECT q.qid, p.pid,
@@ -1012,6 +1026,7 @@ QUERIES = {
     "warp_mosaic": q_warp_mosaic,
     "overview_pixels": q_overview_pixels,
     "translate_window": q_translate_window,
+    "knn_fine": q_knn_fine,
     # rows-only (no oracle): approximate / hash-seeded / geometry outputs
     "polygonize_diag": q_polygonize_diag,
     "simhash_pairs": q_simhash_pairs,
@@ -1046,4 +1061,5 @@ ORACLES = {
     "warp_mosaic": SQL_WARP_MOSAIC,
     "overview_pixels": SQL_OVERVIEW_PIXELS,
     "translate_window": SQL_TRANSLATE_WINDOW,
+    "knn_fine": SQL_KNN,
 }

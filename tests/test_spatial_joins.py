@@ -91,6 +91,55 @@ def test_knn_join_matches_bruteforce(spark):
         np.testing.assert_allclose([m[2] for m in mine], [dd for dd, _ in d], rtol=1e-9)
 
 
+def test_knn_guarantee_fine_res(spark):
+    """At res 10 / rings 1 cells are ~0.35° wide; neighbors ~1° away sit
+    outside the ring block, so the bare ring pass would return wrong
+    top-k — the re-probe tier must recover the exact answer."""
+    rng = np.random.default_rng(7)
+    qs = [(float(x), float(y)) for x, y in zip(rng.uniform(0, 10, 20), rng.uniform(40, 50, 20))]
+    ps = [(float(x), float(y)) for x, y in zip(rng.uniform(0, 10, 60), rng.uniform(40, 50, 60))]
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"qid": range(len(qs)), "lon": [q[0] for q in qs], "lat": [q[1] for q in qs]}))
+    pdf = spark.createDataFrame(
+        pd.DataFrame({"pid": range(len(ps)), "lon": [p[0] for p in ps], "lat": [p[1] for p in ps]}))
+    out = knn.knn_join(qdf, pdf, k=3, q_id="qid", p_id="pid",
+                       res=10, rings=1, guarantee=True).collect()
+    assert all(r.complete for r in out)
+    got = {}
+    for r in out:
+        got.setdefault(r.qid, []).append((r.rank, r.neighbor_id, r.dist))
+    assert len(got) == len(qs)
+    for qid, (qx, qy) in enumerate(qs):
+        d = sorted((np.hypot(qx - px, qy - py), pid) for pid, (px, py) in enumerate(ps))[:3]
+        mine = sorted(got[qid])
+        assert [m[1] for m in mine] == [pid for _, pid in d], f"q{qid}"
+        np.testing.assert_allclose([m[2] for m in mine], [dd for dd, _ in d], rtol=1e-9)
+
+
+def test_knn_no_guarantee_flags_violators(spark):
+    """guarantee=False: the bound check must set complete=False when the
+    kth distance exceeds rings*min_cell (the round-1 bug certified it)."""
+    # query at origin, 3 points ~2 cells away at res 10 (cell ~0.35 deg)
+    qdf = spark.createDataFrame(pd.DataFrame({"qid": [0], "lon": [0.05], "lat": [0.05]}))
+    pdf = spark.createDataFrame(pd.DataFrame(
+        {"pid": [0, 1, 2], "lon": [0.3, 0.31, 0.32], "lat": [0.05, 0.05, 0.05]}))
+    out = knn.knn_join(qdf, pdf, k=3, q_id="qid", p_id="pid",
+                       res=10, rings=1, guarantee=False).collect()
+    # kth dist ~0.27 deg > 1 * 0.1758 (min cell at res 10) -> not certified
+    assert len(out) == 3 and not any(r.complete for r in out)
+
+
+def test_knn_auto_res(spark):
+    pdf = spark.createDataFrame(pd.DataFrame({
+        "pid": range(500),
+        "lon": np.linspace(0, 5, 500), "lat": np.linspace(40, 45, 500)}))
+    r = knn.auto_res(pdf, k=3, rings=2)
+    assert 2 <= r <= 12
+    qdf = spark.createDataFrame(pd.DataFrame({"qid": [0], "lon": [2.5], "lat": [42.5]}))
+    out = knn.knn_join(qdf, pdf, k=3, q_id="qid", p_id="pid", res=None).collect()
+    assert len(out) == 3 and all(r_.complete for r_ in out)
+
+
 def test_knn_incomplete_flag(spark):
     qdf = spark.createDataFrame(pd.DataFrame({"qid": [0], "lon": [0.0], "lat": [0.0]}))
     pdf = spark.createDataFrame(pd.DataFrame({"pid": [0], "lon": [0.1], "lat": [0.1]}))
