@@ -5,14 +5,36 @@ Golden contracts (godal_test.go:1852-1982):
   * -ts 40 40 resize with CRS kept;
   * multi-source mosaic unions extents: two 5x5 @45E/50E → one 10x5,
     left half 200, right half 100;
-  * WarpInto overwrites the overlap of an existing dataset (155 over 200).
+  * WarpInto overwrites ONLY the overlap of an existing dataset (155
+    over 200) — untouched pixels of partially-covered blocks survive.
 
-Distributed shape (north_star): the target grid is computed driver-side
-from source METADATA only (small agg); each target tile inverse-maps to
-the source images whose footprint intersects it via a broadcast
-metadata join; pixel gather + resample happens once per (target tile ×
-source) inside applyInPandas. Sources are applied in input order, later
-sources overwriting valid pixels (GDAL order semantics).
+Distributed shape (round-2 redesign; round 1 collected all source
+metadata driver-side and shipped each source's full bytes to every
+overlapping target tile — an N× byte amplification):
+
+  1. target grid: extent = distributed min/max agg over per-source
+     bounds (metadata-only mapInPandas, bytes column pruned); resolution
+     anchored on the first source (lowest image_id) fetched as ONE row.
+     Driver holds 6 scalars, never a per-image list.
+  2. sources are pre-tiled: one Arrow-batched mapInPandas decodes each
+     image ONCE and slices `block`-sized tiles with a 1-px halo (the
+     halo covers bilinear's anchor+1 reads across tile borders).
+  3. each source tile maps to the target-block RANGE its geo bbox
+     covers — two built-in `sequence` explodes on (block_x, block_y),
+     pure codegen, no bbox broadcast join, no cartesian. A source tile
+     duplicates only across the few target blocks it actually touches
+     (≈1-4×), not across every tile of the output.
+  4. groupBy (block_x, block_y) → applyInPandas renders the block:
+     sources applied in image_id order (GDAL input-order semantics;
+     pass an explicit `order_col` for a different order), later sources
+     overwriting valid pixels. Ownership masks keep tile writes disjoint:
+     a source tile writes exactly the target pixels whose resample
+     anchor falls inside its owned (halo-less) window, so the union over
+     tiles reproduces the whole-image result bit-for-bit.
+  5. WarpInto: existing tiles of covered blocks are unioned into the
+     groups and seed the output buffers (so partially-covered blocks
+     keep their old pixels — round 1 zeroed them); untouched blocks
+     bypass Python entirely via left_anti.
 
 Switches parsed error-first driver-side (invalid switch errors before
 any job — godal_test.go:1872-1875).
@@ -21,6 +43,7 @@ any job — godal_test.go:1872-1875).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -71,33 +94,21 @@ def parse_warp_switches(switches: list[str] | None) -> WarpConfig:
     return cfg
 
 
-def _target_grid(meta: list[dict], cfg: WarpConfig):
-    """Driver-side plan: (gt, w, h, srs) of the output grid.
-
-    Extent = union of source bounds reprojected to t_srs; resolution from
-    the first source (GDAL computes an equivalent-res heuristic; for the
-    axis-aligned goldens they coincide); -ts/-te/-tr override.
-    """
-    t_srs = cfg.t_srs or meta[0]["srs"]
-    minx = miny = np.inf
-    maxx = maxy = -np.inf
-    for m in meta:
-        b = CRS.dataset_bounds(m["gt"], m["w"], m["h"])
-        if m["srs"] != t_srs:
-            b = CRS.reproject_bounds(b, m["srs"], t_srs)
-        minx, miny = min(minx, b[0]), min(miny, b[1])
-        maxx, maxy = max(maxx, b[2]), max(maxy, b[3])
+def _target_grid_scalars(ext, m0, cfg: WarpConfig, t_srs: str):
+    """(gt, w, h) of the output grid from the aggregated extent + the
+    first source's resolution (GDAL's heuristic anchor); -ts/-te/-tr
+    override. Driver-side scalar math only."""
+    minx, miny, maxx, maxy = ext
     if cfg.te:
         minx, miny, maxx, maxy = cfg.te
     if cfg.ts:
         w, h = cfg.ts
         px, py = (maxx - minx) / w, (maxy - miny) / h
     else:
-        m0 = meta[0]
         if m0["srs"] == t_srs:
             px, py = abs(m0["gt"][1]), abs(m0["gt"][5])
         else:
-            b0 = CRS.dataset_bounds(m0["gt"], m0["w"], m0["h"])
+            b0 = CRS.dataset_bounds(list(m0["gt"]), m0["w"], m0["h"])
             rb = CRS.reproject_bounds(b0, m0["srs"], t_srs)
             px = (rb[2] - rb[0]) / m0["w"]
             py = (rb[3] - rb[1]) / m0["h"]
@@ -106,7 +117,112 @@ def _target_grid(meta: list[dict], cfg: WarpConfig):
         w = int(round((maxx - minx) / px))
         h = int(round((maxy - miny) / py))
     gt = [minx, px, 0.0, maxy, 0.0, -py]
-    return gt, w, h, t_srs
+    return gt, w, h
+
+
+_SRC_META_SCHEMA = ("image_id string, sx0 int, sy0 int, sbw int, sbh int, "
+                    "hx0 int, hy0 int, hw int, hh int, sw int, sh int, "
+                    "gminx double, gminy double, gmaxx double, gmaxy double, "
+                    "gt array<double>, srs string, caption string")
+
+_SRC_TILE_SCHEMA = "kind string, band int, dtype string, payload binary, " + _SRC_META_SCHEMA
+
+
+def _tile_meta(rec, block: int, t_srs: str):
+    """Per-source-tile metadata: owned window, halo window, and the geo
+    bbox of the HALO window in target srs (the ±1-px margin also absorbs
+    the half-pixel anchor shift of bilinear ownership)."""
+    out = []
+    for (_, _, sx0, sy0, sbw, sbh) in block_grid_list(rec.w, rec.h, block, block):
+        hx0, hy0 = max(0, sx0 - 1), max(0, sy0 - 1)
+        hx1, hy1 = min(rec.w, sx0 + sbw + 1), min(rec.h, sy0 + sbh + 1)
+        cx = np.array([hx0, hx1, hx0, hx1], dtype=np.float64)
+        cy = np.array([hy0, hy0, hy1, hy1], dtype=np.float64)
+        gx, gy = CRS.pixel_to_geo(list(rec.gt), cx, cy)
+        b = (float(gx.min()), float(gy.min()), float(gx.max()), float(gy.max()))
+        if rec.srs != t_srs:
+            b = CRS.reproject_bounds(b, rec.srs, t_srs)
+        out.append((sx0, sy0, sbw, sbh, hx0, hy0, hx1 - hx0, hy1 - hy0, b))
+    return out
+
+
+def _src_meta_tiles(images: DataFrame, block: int, t_srs: str) -> DataFrame:
+    """Metadata-only pre-tiling (no pixel decode — bytes column pruned)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                cap = getattr(rec, "caption", None)
+                for (sx0, sy0, sbw, sbh, hx0, hy0, hw, hh, b) in _tile_meta(rec, block, t_srs):
+                    rows.append((rec.image_id, sx0, sy0, sbw, sbh, hx0, hy0, hw, hh,
+                                 rec.w, rec.h, b[0], b[1], b[2], b[3],
+                                 [float(v) for v in rec.gt], rec.srs, cap))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "sx0", "sy0", "sbw", "sbh", "hx0", "hy0", "hw", "hh",
+                "sw", "sh", "gminx", "gminy", "gmaxx", "gmaxy", "gt", "srs", "caption"])
+
+    return images.select("image_id", "w", "h", "gt", "srs").mapInPandas(
+        gen, schema=_SRC_META_SCHEMA)
+
+
+def _src_px_tiles(images: DataFrame, block: int, t_srs: str) -> DataFrame:
+    """Decode-once pre-tiling: per (tile × band) rows with halo payload."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                arr = codecs.decode(rec.bytes, rec.fmt, rec.w, rec.h)
+                planes = [arr] if arr.ndim == 2 else \
+                    [arr[:, :, b] for b in range(arr.shape[2])]
+                cap = getattr(rec, "caption", None)
+                for (sx0, sy0, sbw, sbh, hx0, hy0, hw, hh, b) in _tile_meta(rec, block, t_srs):
+                    for band, plane in enumerate(planes):
+                        payload = np.ascontiguousarray(
+                            plane[hy0:hy0 + hh, hx0:hx0 + hw]).tobytes()
+                        rows.append(("s", band, str(plane.dtype), payload,
+                                     rec.image_id, sx0, sy0, sbw, sbh,
+                                     hx0, hy0, hw, hh, rec.w, rec.h,
+                                     b[0], b[1], b[2], b[3],
+                                     [float(v) for v in rec.gt], rec.srs, cap))
+            yield pd.DataFrame(rows, columns=[
+                "kind", "band", "dtype", "payload",
+                "image_id", "sx0", "sy0", "sbw", "sbh", "hx0", "hy0", "hw", "hh",
+                "sw", "sh", "gminx", "gminy", "gmaxx", "gmaxy", "gt", "srs", "caption"])
+
+    cols = ["image_id", "bytes", "fmt", "w", "h", "gt", "srs"]
+    if "caption" in images.columns:
+        cols.append("caption")
+    return images.select(*cols).mapInPandas(gen, schema=_SRC_TILE_SCHEMA)
+
+
+def _with_block_range(df: DataFrame, tgt_gt, tw: int, th: int, block: int) -> DataFrame:
+    """Explode each source tile to the (block_x, block_y) range its geo
+    bbox covers on the target grid — built-in sequence explodes, pure
+    codegen. Requires an axis-aligned target gt (no rotation terms)."""
+    if tgt_gt[2] != 0.0 or tgt_gt[4] != 0.0:
+        raise NotImplementedError("warp: rotated target geotransforms unsupported")
+    ox, px = float(tgt_gt[0]), float(tgt_gt[1])
+    oy, py = float(tgt_gt[3]), float(abs(tgt_gt[5]))
+    nbx = (tw + block - 1) // block
+    nby = (th + block - 1) // block
+    bsx, bsy = px * block, py * block
+    maxx_t, miny_t = ox + px * tw, oy - py * th
+    d = (df.filter((F.col("gmaxx") > ox) & (F.col("gminx") < maxx_t)
+                   & (F.col("gmaxy") > miny_t) & (F.col("gminy") < oy))
+         .withColumn("__bxlo", F.greatest(
+             F.lit(0), F.floor((F.col("gminx") - ox) / bsx)).cast("int"))
+         .withColumn("__bxhi", F.least(
+             F.lit(nbx - 1), (F.ceil((F.col("gmaxx") - ox) / bsx) - 1)).cast("int"))
+         .withColumn("__bylo", F.greatest(
+             F.lit(0), F.floor((oy - F.col("gmaxy")) / bsy)).cast("int"))
+         .withColumn("__byhi", F.least(
+             F.lit(nby - 1), (F.ceil((oy - F.col("gminy")) / bsy) - 1)).cast("int"))
+         .withColumn("block_x", F.explode(F.sequence(F.col("__bxlo"), F.col("__bxhi"))))
+         .withColumn("block_y", F.explode(F.sequence(F.col("__bylo"), F.col("__byhi"))))
+         .drop("__bxlo", "__bxhi", "__bylo", "__byhi"))
+    return d
 
 
 def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = None,
@@ -116,124 +232,161 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
     DataFrame (level 0) whose gt/srs are stamped in extra columns.
 
     into_tiles/into_meta: WarpInto mode — reuse the existing dataset's
-    grid (into_meta = {gt,w,h,srs}) and initialize target tiles from it.
+    grid (into_meta = {gt,w,h,srs}); into_tiles must be exploded at the
+    same `block` size on that grid. Existing pixels survive wherever no
+    source writes (godal_test.go:1945-1982), including inside
+    partially-covered blocks.
     """
     cfg = parse_warp_switches(switches)  # fail-fast
 
-    meta_rows = images.select("image_id", "w", "h", "gt", "srs").collect()
-    src_order = {r.image_id: i for i, r in enumerate(meta_rows)}
-    meta = [{"image_id": r.image_id, "w": r.w, "h": r.h,
-             "gt": list(r.gt), "srs": r.srs} for r in meta_rows]
+    meta_small = images.select("image_id", "w", "h", "gt", "srs")
     if into_meta is not None:
-        tgt_gt, tw, th, t_srs = (into_meta["gt"], into_meta["w"],
-                                 into_meta["h"], into_meta["srs"])
+        tgt_gt, tw, th = (list(map(float, into_meta["gt"])),
+                          into_meta["w"], into_meta["h"])
+        t_srs = into_meta["srs"]
     else:
-        tgt_gt, tw, th, t_srs = _target_grid(meta, cfg)
+        # ONE row for the resolution anchor + srs default — never a
+        # per-image collect. GDAL uses input order; the DataFrame
+        # analogue is ascending image_id (deterministic).
+        m0 = meta_small.orderBy("image_id").first()
+        t_srs = cfg.t_srs or m0["srs"]
 
-    # target tile grid (driver-side; bounded by output size)
-    grid = block_grid_list(tw, th, block, block)
-    tile_rows = []
-    for (bx, by, x0, y0, bw, bh) in grid:
-        gminx, gmaxy = CRS.pixel_to_geo(tgt_gt, np.array([x0]), np.array([y0]))
-        gmaxx, gminy = CRS.pixel_to_geo(tgt_gt, np.array([x0 + bw]), np.array([y0 + bh]))
-        tile_rows.append((bx, by, x0, y0, bw, bh,
-                          float(min(gminx[0], gmaxx[0])), float(min(gminy[0], gmaxy[0])),
-                          float(max(gminx[0], gmaxx[0])), float(max(gminy[0], gmaxy[0]))))
-    tiles = spark.createDataFrame(
-        pd.DataFrame(tile_rows, columns=["block_x", "block_y", "x0", "y0", "bw", "bh",
-                                         "tminx", "tminy", "tmaxx", "tmaxy"]))
+        def bgen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for rec in pdf.itertuples(index=False):
+                    b = CRS.dataset_bounds(list(rec.gt), rec.w, rec.h)
+                    if rec.srs != t_srs:
+                        b = CRS.reproject_bounds(b, rec.srs, t_srs)
+                    rows.append(b)
+                yield pd.DataFrame(rows, columns=["bminx", "bminy", "bmaxx", "bmaxy"])
 
-    # source footprints in target srs (broadcast metadata join)
-    fp_rows = []
-    for m in meta:
-        b = CRS.dataset_bounds(m["gt"], m["w"], m["h"])
-        if m["srs"] != t_srs:
-            b = CRS.reproject_bounds(b, m["srs"], t_srs)
-        fp_rows.append((m["image_id"], b[0], b[1], b[2], b[3]))
-    fps = spark.createDataFrame(
-        pd.DataFrame(fp_rows, columns=["image_id", "sminx", "sminy", "smaxx", "smaxy"]))
-
-    pairs = tiles.join(
-        F.broadcast(fps),
-        (F.col("tminx") < F.col("smaxx")) & (F.col("sminx") < F.col("tmaxx"))
-        & (F.col("tminy") < F.col("smaxy")) & (F.col("sminy") < F.col("tmaxy")),
-        "inner")
-    pairs = pairs.join(images.select("image_id", "bytes", "fmt", "w", "h", "gt", "srs",
-                                     "caption"), "image_id")
-
-    tgt_gt_b = list(map(float, tgt_gt))
+        ext_row = (meta_small.mapInPandas(
+            bgen, schema="bminx double, bminy double, bmaxx double, bmaxy double")
+            .agg(F.min("bminx"), F.min("bminy"), F.max("bmaxx"), F.max("bmaxy"))
+            .first())
+        tgt_gt, tw, th = _target_grid_scalars(tuple(ext_row), m0, cfg, t_srs)
+    tgt_gt_b = [float(v) for v in tgt_gt]
     alg = cfg.resampling
-    order_map = src_order
+    init_nodata = cfg.init_nodata
+
+    pairs = _with_block_range(_src_px_tiles(images, block, t_srs),
+                              tgt_gt_b, tw, th, block)
+
+    if into_tiles is not None:
+        # covered blocks from METADATA-only tiling (no decode)
+        covered = (_with_block_range(_src_meta_tiles(images, block, t_srs),
+                                     tgt_gt_b, tw, th, block)
+                   .select("block_x", "block_y").distinct())
+        into_l0 = into_tiles.filter(F.col("level") == 0)
+        into_cov = (into_l0.join(covered, ["block_x", "block_y"], "left_semi")
+                    .select(F.lit("i").alias("kind"), F.col("band"),
+                            F.col("dtype"), F.col("payload"),
+                            F.col("image_id"),
+                            *[F.lit(-1).cast("int").alias(c) for c in
+                              ("sx0", "sy0", "sbw", "sbh", "hx0", "hy0", "hw", "hh",
+                               "sw", "sh")],
+                            *[F.lit(None).cast("double").alias(c) for c in
+                              ("gminx", "gminy", "gmaxx", "gmaxy")],
+                            F.lit(None).cast("array<double>").alias("gt"),
+                            F.lit(None).cast("string").alias("srs"),
+                            F.col("caption"),
+                            F.col("block_x"), F.col("block_y")))
+        pairs = pairs.select(*into_cov.columns).unionByName(into_cov)
 
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bx, by = key
-        r0 = pdf.iloc[0]
-        x0, y0, bw, bh = int(r0.x0), int(r0.y0), int(r0.bw), int(r0.bh)
-        # target pixel centers in target geo coords
+        bx, by = int(key[0]), int(key[1])
+        x0, y0 = bx * block, by * block
+        bw = min(block, tw - x0)
+        bh = min(block, th - y0)
         pxs = np.arange(x0, x0 + bw) + 0.5
         pys = np.arange(y0, y0 + bh) + 0.5
         gx, gy = np.meshgrid(pxs, pys)
-        tx, ty = CRS.pixel_to_geo(tgt_gt_b, gx.ravel(), gy.ravel())
-        outs: list[np.ndarray] = []
-        dt = None
-        pdf = pdf.assign(__ord=[order_map.get(i, 0) for i in pdf["image_id"]])
-        for r in pdf.sort_values("__ord").itertuples(index=False):
-            arr = codecs.decode(r.bytes, r.fmt, r.w, r.h)
-            planes = [arr] if arr.ndim == 2 else [arr[:, :, b] for b in range(arr.shape[2])]
-            if dt is None:
-                dt = planes[0].dtype
-                outs = [np.zeros(bw * bh, dtype=dt) for _ in planes]
-            while len(outs) < len(planes):
-                outs.append(np.zeros(bw * bh, dtype=dt))
-            sx, sy = tx, ty
-            if r.srs != t_srs:
-                sx, sy, ok = CRS.transform_points(tx, ty, t_srs, r.srs)
-            else:
-                ok = np.ones(tx.shape, dtype=bool)
-            ppx, ppy = CRS.geo_to_pixel(list(r.gt), sx, sy)
+        txg, tyg = CRS.pixel_to_geo(tgt_gt_b, gx.ravel(), gy.ravel())
+
+        outs: dict[int, np.ndarray] = {}
+        cap = None
+        into = pdf[pdf["kind"] == "i"]
+        for r in into.itertuples(index=False):
+            a = np.frombuffer(r.payload, dtype=np.dtype(r.dtype)).reshape(bh, bw)
+            outs[int(r.band)] = a.ravel().copy()
+            if cap is None:
+                cap = r.caption
+
+        src = pdf[pdf["kind"] == "s"].sort_values(
+            ["image_id", "band", "sy0", "sx0"], kind="mergesort")
+        if len(src):
+            cap = src.iloc[0]["caption"]
+        # per-image inverse mapping cache: ppx/ppy depend only on (gt, srs)
+        mcache: dict[str, tuple] = {}
+        for r in src.itertuples(index=False):
+            m = mcache.get(r.image_id)
+            if m is None:
+                if r.srs != t_srs:
+                    sx, sy, ok = CRS.transform_points(txg, tyg, t_srs, r.srs)
+                else:
+                    sx, sy, ok = txg, tyg, np.ones(txg.shape, dtype=bool)
+                ppx, ppy = CRS.geo_to_pixel(list(r.gt), sx, sy)
+                m = mcache[r.image_id] = (ppx, ppy, ok)
+            ppx, ppy, ok = m
+            dt = np.dtype(r.dtype)
+            band = int(r.band)
+            if band not in outs:
+                outs[band] = np.full(bw * bh, init_nodata, dtype=dt)
+            plane = np.frombuffer(r.payload, dtype=dt).reshape(r.hh, r.hw)
+            glob_in = ok & (ppx >= 0) & (ppx < r.sw) & (ppy >= 0) & (ppy < r.sh)
             if alg == "bilinear":
-                # sample at pixel centers: fractional coords relative to
-                # the center lattice
-                fx = np.clip(ppx - 0.5, 0, r.w - 1)
-                fy = np.clip(ppy - 0.5, 0, r.h - 1)
+                fx = np.clip(ppx - 0.5, 0, r.sw - 1)
+                fy = np.clip(ppy - 0.5, 0, r.sh - 1)
                 x0i = np.floor(fx).astype(np.int64)
                 y0i = np.floor(fy).astype(np.int64)
-                x1i = np.minimum(x0i + 1, r.w - 1)
-                y1i = np.minimum(y0i + 1, r.h - 1)
+                # ownership: anchor inside this tile's halo-less window
+                own = ((x0i >= r.sx0) & (x0i < r.sx0 + r.sbw)
+                       & (y0i >= r.sy0) & (y0i < r.sy0 + r.sbh) & glob_in)
+                if not own.any():
+                    continue
+                x1i = np.minimum(x0i + 1, r.sw - 1)
+                y1i = np.minimum(y0i + 1, r.sh - 1)
                 wx = fx - x0i
                 wy = fy - y0i
-                inb = ok & (ppx >= 0) & (ppx < r.w) & (ppy >= 0) & (ppy < r.h)
-                for b, plane in enumerate(planes):
-                    p = plane.astype(np.float64)
-                    v = (p[y0i, x0i] * (1 - wx) * (1 - wy) + p[y0i, x1i] * wx * (1 - wy)
-                         + p[y1i, x0i] * (1 - wx) * wy + p[y1i, x1i] * wx * wy)
-                    if np.issubdtype(dt, np.integer):
-                        v = np.clip(np.floor(v + 0.5), np.iinfo(dt).min, np.iinfo(dt).max)
-                    outs[b][inb] = v[inb].astype(dt)
+                lx0, lx1 = x0i - r.hx0, x1i - r.hx0
+                ly0, ly1 = y0i - r.hy0, y1i - r.hy0
+                o = own
+                p = plane.astype(np.float64)
+                v = (p[ly0[o], lx0[o]] * (1 - wx[o]) * (1 - wy[o])
+                     + p[ly0[o], lx1[o]] * wx[o] * (1 - wy[o])
+                     + p[ly1[o], lx0[o]] * (1 - wx[o]) * wy[o]
+                     + p[ly1[o], lx1[o]] * wx[o] * wy[o])
+                if np.issubdtype(dt, np.integer):
+                    v = np.clip(np.floor(v + 0.5), np.iinfo(dt).min, np.iinfo(dt).max)
+                outs[band][o] = v.astype(dt)
             else:  # nearest (GDAL warp default)
                 ix = np.floor(ppx).astype(np.int64)
                 iy = np.floor(ppy).astype(np.int64)
-                inb = ok & (ix >= 0) & (ix < r.w) & (iy >= 0) & (iy < r.h)
-                for b, plane in enumerate(planes):
-                    outs[b][inb] = plane[iy[inb], ix[inb]]
+                own = ((ix >= r.sx0) & (ix < r.sx0 + r.sbw)
+                       & (iy >= r.sy0) & (iy < r.sy0 + r.sbh) & glob_in)
+                if not own.any():
+                    continue
+                outs[band][own] = plane[iy[own] - r.hy0, ix[own] - r.hx0]
+
+        bands = sorted(outs)
         return pd.DataFrame({
-            "image_id": ["warped"] * len(outs), "band": list(range(len(outs))),
-            "level": [0] * len(outs),
-            "block_x": [bx] * len(outs), "block_y": [by] * len(outs),
-            "x0": [x0] * len(outs), "y0": [y0] * len(outs),
-            "bw": [bw] * len(outs), "bh": [bh] * len(outs),
-            "w": [tw] * len(outs), "h": [th] * len(outs),
-            "dtype": [str(dt)] * len(outs),
-            "payload": [o.reshape(bh, bw).tobytes() for o in outs],
-            "caption": [pdf.iloc[0].caption] * len(outs),
+            "image_id": ["warped"] * len(bands), "band": bands,
+            "level": [0] * len(bands),
+            "block_x": [bx] * len(bands), "block_y": [by] * len(bands),
+            "x0": [x0] * len(bands), "y0": [y0] * len(bands),
+            "bw": [bw] * len(bands), "bh": [bh] * len(bands),
+            "w": [tw] * len(bands), "h": [th] * len(bands),
+            "dtype": [str(outs[b].dtype) for b in bands],
+            "payload": [outs[b].reshape(bh, bw).tobytes() for b in bands],
+            "caption": [cap] * len(bands),
         })
 
     out_tiles = pairs.groupBy("block_x", "block_y").applyInPandas(render, schema=TILE_SCHEMA)
     out_tiles = (out_tiles.withColumn("gt", F.array(*[F.lit(v) for v in tgt_gt_b]))
                  .withColumn("srs", F.lit(t_srs)))
     if into_tiles is not None:
-        # WarpInto: keep existing tiles where no source covered the block
-        covered = out_tiles.select("block_x", "block_y").distinct()
+        # untouched blocks never cross into Python
         keep = into_tiles.join(covered, ["block_x", "block_y"], "left_anti")
         out_tiles = out_tiles.unionByName(keep, allowMissingColumns=True)
     return out_tiles

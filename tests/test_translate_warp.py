@@ -101,3 +101,63 @@ def test_warp_reproject_4326_to_3857(spark):
     got = np.frombuffer(t.payload, dtype=np.uint8).reshape(8, 8)
     assert (got == 42).all()
     assert t.srs == "EPSG:3857"
+
+
+def _mosaic_array(tiles, tw, th, dtype=np.uint8):
+    out = np.zeros((th, tw), dtype=dtype)
+    for t in tiles:
+        a = np.frombuffer(t.payload, dtype=np.dtype(t.dtype)).reshape(t.bh, t.bw)
+        out[t.y0:t.y0 + t.bh, t.x0:t.x0 + t.bw] = a
+    return out
+
+
+def test_warp_into_partial_coverage(spark):
+    """Source covers only the left 3 columns of a 6x4 base: the right
+    columns must KEEP their original values (round-1 zeroed them —
+    reference WarpInto overwrites only the overlap, godal_test.go:1945+)."""
+    base = np.full((4, 6), 200, np.uint8)
+    src = np.full((4, 3), 155, np.uint8)
+    base_images = datagen.images_df(spark, [
+        datagen.image_row("out", base, "raw8", gt=[45, 1, 0, 35, 0, -1])])
+    into_tiles = tiling.explode_tiles(base_images, bw=256, bh=256)
+    src_images = datagen.images_df(spark, [
+        datagen.image_row("in", src, "raw8", gt=[45, 1, 0, 35, 0, -1])])
+    out = WP.warp(spark, src_images, [], block=256,
+                  into_tiles=into_tiles,
+                  into_meta={"gt": [45, 1, 0, 35, 0, -1], "w": 6, "h": 4,
+                             "srs": "EPSG:4326"})
+    t = out.first()
+    got = np.frombuffer(t.payload, dtype=np.uint8).reshape(4, 6)
+    exp = np.concatenate([np.full((4, 3), 155, np.uint8),
+                          np.full((4, 3), 200, np.uint8)], axis=1)
+    assert np.array_equal(got, exp)
+
+
+@pytest.mark.parametrize("alg", ["nearest", "bilinear"])
+def test_warp_tiled_equals_untiled(spark, alg):
+    """Tile decomposition must be invisible: block=8 (multi source/target
+    tiles + halo path) equals block=256 (single tile) bit-for-bit."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, size=(20, 28), dtype=np.uint8).astype(np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("big", arr, "raw8", gt=[10, 0.5, 0, 50, 0, -0.5])])
+    sw = ["-ts", "35", "25", "-r", alg]
+    small = WP.warp(spark, images, sw, block=8).collect()
+    big = WP.warp(spark, images, sw, block=256).collect()
+    a = _mosaic_array(small, 35, 25)
+    b = _mosaic_array(big, 35, 25)
+    assert np.array_equal(a, b)
+    assert len(small) > 1 and len(big) == 1
+
+
+def test_warp_mosaic_order_later_wins(spark):
+    """Overlapping sources: ascending image_id order, later overwrites."""
+    a = np.full((4, 4), 10, np.uint8)
+    b = np.full((4, 4), 20, np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("a_first", a, "raw8", gt=[0, 1, 0, 4, 0, -1]),
+        datagen.image_row("b_second", b, "raw8", gt=[2, 1, 0, 4, 0, -1]),
+    ])
+    tiles = WP.warp(spark, images, [], block=256).collect()
+    got = _mosaic_array(tiles, 6, 4)
+    assert (got[:, :2] == 10).all() and (got[:, 2:6] == 20).all()
