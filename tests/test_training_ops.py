@@ -202,3 +202,49 @@ def test_streaming_sessionize_runs(spark, tmp_path):
     out = STR.sessionize(ev).collect()
     assert len(out) > 0
     assert all(r.n_events >= 1 for r in out)
+
+
+def test_minhash_skew_bucket_identical_docs(spark):
+    """1k identical docs — one degenerate LSH bucket. The self-join path
+    must produce all C(1000,2) true pairs without collecting the bucket
+    into a single row (round-1 collect_set shape)."""
+    n = 1000
+    pdf = pd.DataFrame({"doc_id": range(n),
+                        "text": ["the same exact boilerplate document text"] * n})
+    docs = spark.createDataFrame(pdf)
+    pairs = DD.minhash_lsh_dedup(docs, k=3, num_hashes=64, bands=16, threshold=0.9)
+    assert pairs.count() == n * (n - 1) // 2
+    r = pairs.first()
+    assert r.jaccard == pytest.approx(1.0)
+
+
+def test_jaccard_signature_prefilter_keeps_true_pairs(spark):
+    """Prefilter must not drop pairs at/above the threshold."""
+    texts = ["a b c d e f g h i j", "a b c d e f g h i XX",  # high overlap
+             "q r s t u v w x y z"]                           # unrelated
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1, 2], "text": texts}))
+    d = DD.with_minhash(DD.with_shingles(docs, k=2), num_hashes=64)
+    allpairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 0, 1], "id_b": [1, 2, 2]}))
+    with_f = DD.jaccard_verify(d, allpairs, threshold=0.5, signature_prefilter=True)
+    no_f = DD.jaccard_verify(d, allpairs, threshold=0.5, signature_prefilter=False)
+    assert {tuple(r) for r in with_f.collect()} == {tuple(r) for r in no_f.collect()}
+    assert with_f.count() == 1
+
+
+def test_embedding_dedup_degenerate_bucket_star(spark):
+    """10k near-identical vectors: oversized bucket takes the star path —
+    linear pair count, every member connected to the representative."""
+    n = 10_000
+    pdf = pd.DataFrame({
+        "vec_id": range(n),
+        "embedding": [[1.0, 0.5, 0.25, 0.125]] * n,
+    })
+    emb2 = spark.createDataFrame(pdf)
+    out = DD.embedding_dedup(emb2, threshold=0.999, max_bucket=256)
+    rows = out.collect()
+    # star: exactly n-1 pairs, all anchored at vec_id 0
+    assert len(rows) == n - 1
+    assert all(r.id_a == 0 for r in rows)
+    assert {r.id_b for r in rows} == set(range(1, n))
+    assert all(r.cosine == pytest.approx(1.0) for r in rows)
