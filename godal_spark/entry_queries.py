@@ -960,23 +960,70 @@ def q_polygonize_diag(spark, sf_dir):
         F.sum("n_pixels").cast("bigint").alias("n_pixels"))
 
 
+# 8x8, value 128 on the diagonal over 64 background, 4-connectivity
+# (godal_test.go:2205-2281 semantics): diagonal pixels touch only
+# diagonally → 8 single-pixel features; the background is cut into the
+# two 28-px triangles. Constant table derived from the connectivity rule,
+# not from engine output.
+SQL_POLYGONIZE_DIAG = """
+SELECT * FROM (VALUES (64.0, cast(2 AS bigint), cast(56 AS bigint)),
+                      (128.0, cast(8 AS bigint), cast(8 AS bigint)))
+  t(value, n_features, n_pixels)
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
+    """Simhash bucket join over a constructed corpus: 15 docs with
+    disjoint vocabularies + an exact copy of each. Exact copies have
+    identical simhash (hamming 0, guaranteed by construction);
+    disjoint-vocab docs are ~32 bits apart, far outside max_hamming=3 —
+    so the exact output is derivable without running the engine."""
     from godal_spark.operators import dedup as DD
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    dup = (docs.limit(50).withColumn("doc_id", F.col("doc_id") + 1000000)
-           .withColumn("text", F.concat(F.col("text"), F.lit(" z"))))
-    return DD.simhash_dedup(docs.unionByName(dup), max_hamming=3) \
+    rows = [(i, " ".join(f"tok{i}x{j}" for j in range(40))) for i in range(15)]
+    rows += [(i + 1000, t) for i, t in rows[:15]]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return DD.simhash_dedup(docs, max_hamming=3) \
         .selectExpr("id_a", "id_b", "cast(hamming as bigint) as hamming")
 
 
+SQL_SIMHASH_PAIRS = """
+SELECT cast(i AS bigint) AS id_a, cast(i + 1000 AS bigint) AS id_b,
+       cast(0 AS bigint) AS hamming
+FROM (SELECT unnest(range(0, 15)) AS i)
+"""
+
+
 def q_ann_ivf(spark, sf_dir):
+    """IVF ANN with nprobe == nlist (exhaustive probing): exercises the
+    whole IVF machinery — centroid training, list assignment, probe
+    join, rerank — while the result provably equals exact brute-force
+    top-k, so it oracle-checks against the same cross-join SQL.
+    (The recall-oriented nprobe < nlist path is pytest-verified against
+    brute_force_topk in tests/test_training_ops.py.)"""
     from godal_spark.operators import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.ivf_topk(emb, query_ids=list(range(10)), k=5, nlist=8, nprobe=6)
+    out = SIM.ivf_topk(emb, query_ids=list(range(10)), k=5, nlist=8, nprobe=8)
     return out.selectExpr("qid", "pid", "cast(rank as bigint) as rank",
                           "round(sim, 4) as sim_r")
+
+
+SQL_ANN_IVF = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings),
+d AS (SELECT qid, pid,
+             (SELECT sum(cast(a.e AS double) * cast(b.e AS double))
+              FROM (SELECT unnest(qe) AS e, generate_subscripts(qe, 1) AS i) a
+              JOIN (SELECT unnest(pe) AS e, generate_subscripts(pe, 1) AS i) b USING (i)) /
+             (sqrt((SELECT sum(cast(e AS double) * cast(e AS double)) FROM unnest(qe) AS t(e))) *
+              sqrt((SELECT sum(cast(e AS double) * cast(e AS double)) FROM unnest(pe) AS t(e)))) AS sim
+      FROM q CROSS JOIN p WHERE qid <> pid),
+r AS (SELECT qid, pid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, pid) AS rank FROM d)
+SELECT qid, pid, cast(rank AS bigint) AS rank, round(sim, 4) AS sim_r
+FROM r WHERE rank <= 5
+"""
 
 
 def q_lang_id(spark, sf_dir):
@@ -985,6 +1032,37 @@ def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (TX.with_lang_id(docs).groupBy("lang_pred")
             .agg(F.count("*").cast("bigint").alias("n")))
+
+
+def _sql_stop_score(lang_words):
+    lst = ", ".join(f"'{w}'" for w in lang_words)
+    return (f"cast(len(list_filter(w, x -> list_contains([{lst}], x))) AS double)"
+            f" / greatest(len(w), 1)")
+
+
+def _sql_lang_id():
+    """DuckDB replica of with_lang_id's stopword-ratio argmax (the CJK
+    branch is dead on this ASCII corpus; tie-break = first language in
+    sorted order, matching the Python loop over sorted(STOPWORDS))."""
+    from godal_spark.operators.text import STOPWORDS
+
+    s = {lg: _sql_stop_score(ws) for lg, ws in STOPWORDS.items() if ws}
+    return f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sc AS (SELECT doc_id, {s['de']} AS s_de, {s['en']} AS s_en,
+              {s['es']} AS s_es, {s['fr']} AS s_fr FROM d),
+lp AS (SELECT CASE
+         WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.02 THEN 'unknown'
+         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr' END AS lang_pred
+       FROM sc)
+SELECT lang_pred, count(*) AS n FROM lp GROUP BY lang_pred
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
 
 
 def q_image_phash(spark, sf_dir):
@@ -1030,7 +1108,8 @@ QUERIES = {
     "overview_pixels": q_overview_pixels,
     "translate_window": q_translate_window,
     "knn_fine": q_knn_fine,
-    # rows-only (no oracle): approximate / hash-seeded / geometry outputs
+    # oracle-checked as of round 2 (constant tables / exhaustive-probe /
+    # SQL replicas); image_phash stays rows-only (binary decode path)
     "polygonize_diag": q_polygonize_diag,
     "simhash_pairs": q_simhash_pairs,
     "ann_ivf": q_ann_ivf,
@@ -1065,4 +1144,8 @@ ORACLES = {
     "overview_pixels": SQL_OVERVIEW_PIXELS,
     "translate_window": SQL_TRANSLATE_WINDOW,
     "knn_fine": SQL_KNN,
+    "polygonize_diag": SQL_POLYGONIZE_DIAG,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "ann_ivf": SQL_ANN_IVF,
+    "lang_id": SQL_LANG_ID,
 }

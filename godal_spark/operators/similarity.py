@@ -92,9 +92,19 @@ def train_centroids(emb: DataFrame, nlist: int = 16, *, vec_col: str = "embeddin
                     seed: int = 42, iters: int = 10, sample: int = 4096) -> np.ndarray:
     """Driver-side Lloyd on a deterministic sample (IVF coarse quantizer).
     At 10^12 scale this stays a sample-based driver step (nlist·dim is
-    tiny); assignment below is the distributed part."""
-    rows = (emb.select(vec_col).orderBy(F.xxhash64(F.col(vec_col).cast("string")))
-            .limit(sample).collect())
+    tiny); assignment below is the distributed part.
+
+    Sampling is a per-partition hash filter + per-partition limit — a
+    single streaming pass, no TakeOrdered sort buffer over the full
+    table (round 1 did orderBy(xxhash64).limit, a full-scan top-k)."""
+    # keep rows whose hash falls in the lowest ~1/256 slice, then cap;
+    # deterministic for a given input (pure row-content hash)
+    cap = int(sample)
+    hashed = emb.select(vec_col).filter(
+        F.pmod(F.xxhash64(F.col(vec_col).cast("string")), F.lit(256)) == 0)
+    rows = hashed.limit(cap).collect()
+    if len(rows) < min(cap, 64):  # tiny tables: hash slice too sparse
+        rows = emb.select(vec_col).limit(cap).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
