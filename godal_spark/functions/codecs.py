@@ -8,11 +8,11 @@ The reference delegates decoding to GDAL drivers (reference driver.go:
   * ``png``   — real, self-contained PNG codec over stdlib zlib
     (8-bit grayscale / RGB / RGBA, filters 0-4 on decode, filter 0 on
     encode). Deterministic and lossless, so the PSNR invariant is exact.
-  * ``jpeg``  — STUB. No DCT codec available; `decode` raises
-    NotImplementedError unless the payload carries the engine's
-    deterministic fake-jpeg container (header b"FJPG" + raw8 payload),
-    which tests use to exercise the lossy-path plumbing (PSNR>=40dB
-    check) without a real JPEG library.
+  * ``jpeg``  — real baseline JFIF codec, pure numpy (functions/jpeg.py):
+    vectorized DCT, Annex-K quantization with IJG quality scaling,
+    canonical Huffman. Lossy; default quality 95 keeps PSNR ≥ 40 dB
+    (the BASELINE.json fidelity invariant) with margin. The legacy
+    deterministic FJPG container from round 1 still decodes.
 
 Decoded shape convention: (h, w) for 1 band, (h, w, bands) otherwise.
 """
@@ -135,10 +135,12 @@ def decode_png(buf: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# jpeg (stub — deterministic fake container for plumbing tests)
+# jpeg — real baseline codec in functions/jpeg.py; FJPG kept for the
+# round-1 deterministic-lossy container (legacy rows decode unchanged)
 # ---------------------------------------------------------------------------
 
 _FJPG = b"FJPG"
+JPEG_QUALITY = 95
 
 
 def encode_fake_jpeg(arr: np.ndarray) -> bytes:
@@ -158,9 +160,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         w, h, bands = struct.unpack_from("<III", buf, 4)
         arr = np.frombuffer(buf, dtype=np.uint8, offset=16)
         return arr.reshape(h, w) if bands == 1 else arr.reshape(h, w, bands)
-    raise NotImplementedError(
-        "real JPEG decode requires an imaging library not present in this "
-        "environment; plumbing is exercised via the FJPG deterministic stub")
+    if buf[:2] == b"\xFF\xD8":
+        from godal_spark.functions.jpeg import decode_jpeg_real
+
+        return decode_jpeg_real(bytes(buf))
+    raise ValueError("jpeg: unrecognized payload (neither JFIF nor FJPG)")
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +199,7 @@ def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> 
         return decode_raw(buf, f, w, h)
     if f == "png":
         return decode_png(bytes(buf))
-    if f in ("jpeg", "jpg"):
+    if f in ("jpeg", "jpg", "fjpg"):
         return decode_jpeg(bytes(buf))
     raise ValueError(f"unknown fmt {fmt!r}")
 
@@ -208,6 +212,10 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
     if f == "png":
         return encode_png(arr)
     if f in ("jpeg", "jpg"):
+        from godal_spark.functions.jpeg import encode_jpeg
+
+        return encode_jpeg(arr, quality=JPEG_QUALITY)
+    if f == "fjpg":
         return encode_fake_jpeg(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 

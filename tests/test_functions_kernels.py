@@ -108,9 +108,49 @@ def test_fake_jpeg_psnr_above_40():
     assert codecs.psnr(a, dec) >= 40.0
 
 
-def test_real_jpeg_decode_is_stubbed():
+def test_real_jpeg_roundtrip_gray_psnr():
+    y, x = np.mgrid[0:41, 0:53]
+    a = ((x * 2 + y) % 256).astype(np.uint8)
+    buf = codecs.encode(a, "jpeg")
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    dec = codecs.decode(buf, "jpeg")
+    assert dec.shape == a.shape
+    assert codecs.psnr(a, dec) >= 40.0
+
+
+def test_real_jpeg_roundtrip_rgb_psnr():
+    y, x = np.mgrid[0:32, 0:48]
+    a = np.stack([(x * 3 + y) % 256, (x + 2 * y) % 256,
+                  np.minimum(x + y, 255)], axis=-1).astype(np.uint8)
+    dec = codecs.decode(codecs.encode(a, "jpeg"), "jpeg")
+    assert dec.shape == a.shape
+    assert codecs.psnr(a, dec) >= 40.0
+
+
+def test_real_jpeg_noise_worstcase_psnr():
+    a = np.random.default_rng(3).integers(0, 256, (64, 64), dtype=np.uint8)
+    dec = codecs.decode(codecs.encode(a, "jpeg"), "jpeg")
+    assert codecs.psnr(a, dec) >= 40.0
+
+
+def test_jpeg_quality_scaling_monotone():
+    from godal_spark.functions import jpeg as J
+
+    y, x = np.mgrid[0:40, 0:40]
+    a = ((x + y) * 3 % 256).astype(np.uint8)
+    prev = -1.0
+    for q in (50, 75, 90, 95):
+        dec = J.decode_jpeg_real(J.encode_jpeg(a, quality=q))
+        p = codecs.psnr(a, dec)
+        assert p >= prev
+        prev = p
+    assert prev >= 40.0
+
+
+def test_jpeg_rejects_alpha():
+    a = np.zeros((16, 16, 4), dtype=np.uint8)
     with pytest.raises(NotImplementedError):
-        codecs.decode_jpeg(b"\xff\xd8\xff\xe0" + b"0" * 32)
+        codecs.encode(a, "jpeg")
 
 
 # --- geometry goldens --------------------------------------------------------
