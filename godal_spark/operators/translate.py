@@ -40,6 +40,15 @@ _DTYPES = {
 
 _KNOWN_CREATION_OPTS = {"TILED", "BLOCKXSIZE", "BLOCKYSIZE", "COMPRESS", "BIGTIFF"}
 
+# -ot target → raw fmt tag so the cast SURVIVES re-encode (round 1
+# re-encoded with the source fmt, whose raw8/png coders coerced back to
+# uint8 — '-ot UInt16' silently truncated)
+_FMT_OF_DTYPE = {
+    "byte": "raw8", "int8": "rawi8", "uint16": "raw16", "int16": "rawi16",
+    "uint32": "raw32", "int32": "rawi32", "float32": "rawf32",
+    "float64": "rawf64",
+}
+
 
 @dataclass
 class TranslateConfig:
@@ -130,7 +139,7 @@ def translate(images: DataFrame, switches: list[str] | None = None,
         for pdf in batches:
             out = pdf.copy()
             new_bytes, new_w, new_h, new_gt = [], [], [], []
-            new_srs, new_nodata = [], []
+            new_srs, new_nodata, new_fmt = [], [], []
             for r in pdf.itertuples(index=False):
                 arr = codecs.decode(r.bytes, r.fmt, r.w, r.h)
                 planes = [arr] if arr.ndim == 2 else [arr[:, :, b] for b in range(arr.shape[2])]
@@ -149,7 +158,15 @@ def translate(images: DataFrame, switches: list[str] | None = None,
                 else:
                     planes = [p.astype(dt) for p in planes]
                 img = planes[0] if len(planes) == 1 else np.stack(planes, axis=2)
-                new_bytes.append(codecs.encode(img, r.fmt))
+                fmt_out = r.fmt
+                if cfg.dtype and cfg.dtype != "byte":
+                    if r.fmt.lower() in ("png", "jpeg", "jpg", "fjpg"):
+                        raise ValueError(
+                            f"translate: -ot {cfg.dtype} incompatible with "
+                            f"8-bit codec {r.fmt!r}; source must be a raw format")
+                    fmt_out = _FMT_OF_DTYPE[cfg.dtype]
+                new_fmt.append(fmt_out)
+                new_bytes.append(codecs.encode(img, fmt_out))
                 new_w.append(ow)
                 new_h.append(oh)
                 gt = list(r.gt) if r.gt is not None else None
@@ -160,6 +177,7 @@ def translate(images: DataFrame, switches: list[str] | None = None,
                 new_srs.append(cfg.a_srs if cfg.a_srs else r.srs)
                 new_nodata.append(cfg.a_nodata if cfg.a_nodata is not None else r.nodata)
             out["bytes"] = new_bytes
+            out["fmt"] = new_fmt
             out["w"] = new_w
             out["h"] = new_h
             out["gt"] = new_gt

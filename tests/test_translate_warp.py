@@ -161,3 +161,25 @@ def test_warp_mosaic_order_later_wins(spark):
     tiles = WP.warp(spark, images, [], block=256).collect()
     got = _mosaic_array(tiles, 6, 4)
     assert (got[:, :2] == 10).all() and (got[:, 2:6] == 20).all()
+
+
+def test_translate_ot_cast_survives_reencode(spark):
+    """-ot UInt16/Float64 must change the fmt tag so the cast survives
+    re-encode (ADVICE round 1: raw8 coerced the cast back to uint8)."""
+    arr = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    images = datagen.images_df(spark, [datagen.image_row("c", arr, "raw8")])
+    out = TR.translate(images, ["-ot", "UInt16"]).first()
+    assert out.fmt == "raw16"
+    got = codecs.decode(out.bytes, out.fmt, out.w, out.h)
+    assert got.dtype == np.uint16 and np.array_equal(got, arr.astype(np.uint16))
+    out2 = TR.translate(images, ["-ot", "Float64", "-outsize", "200%", "200%"]).first()
+    assert out2.fmt == "rawf64"
+    got2 = codecs.decode(out2.bytes, out2.fmt, out2.w, out2.h)
+    assert got2.dtype == np.float64 and got2.shape == (20, 20)
+
+
+def test_translate_ot_rejects_8bit_codecs(spark):
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    images = datagen.images_df(spark, [datagen.image_row("p", arr, "png")])
+    with pytest.raises(Exception, match="incompatible"):
+        TR.translate(images, ["-ot", "UInt16"]).first()
