@@ -233,13 +233,19 @@ class RasterDataset:
             lambda a: fillnodata(a, a != nd, max_distance, smoothing), band)
 
     def dem(self, processing: str = "hillshade", band: int = 0, **kw) -> np.ndarray:
-        from godal_spark.operators.fill import dem_hillshade, dem_slope
+        """All gdaldem processings (godal.go:4099-4127 passes the mode
+        string through to gdaldem; same surface here)."""
+        from godal_spark.operators import fill as FL
 
-        if processing == "hillshade":
-            return self._apply_kernel(lambda a: dem_hillshade(a, **kw), band)
-        if processing == "slope":
-            return self._apply_kernel(lambda a: dem_slope(a, **kw), band)
-        raise ValueError(f"dem processing {processing!r}")
+        kernels = {
+            "hillshade": FL.dem_hillshade, "slope": FL.dem_slope,
+            "aspect": FL.dem_aspect, "tri": FL.dem_tri, "tpi": FL.dem_tpi,
+            "roughness": FL.dem_roughness, "color-relief": FL.dem_color_relief,
+        }
+        fn = kernels.get(processing.lower())
+        if fn is None:
+            raise ValueError(f"dem processing {processing!r}")
+        return self._apply_kernel(lambda a: fn(a, **kw), band)
 
     def viewshed(self, ox: int, oy: int, oz: float = 0.0, mode: str = "normal",
                  band: int = 0) -> np.ndarray:

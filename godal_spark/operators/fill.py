@@ -187,6 +187,101 @@ def dem_hillshade(arr: np.ndarray, azimuth: float = 315.0, altitude: float = 45.
     return np.floor(out + 0.5).astype(np.uint8)
 
 
+def _horn_gradients(a: np.ndarray, cell_size: float = 1.0):
+    """Interior Horn 3x3 (dzdx, dzdy) — shared by slope/hillshade/aspect."""
+    z = a
+    dzdx = ((z[:-2, 2:] + 2 * z[1:-1, 2:] + z[2:, 2:])
+            - (z[:-2, :-2] + 2 * z[1:-1, :-2] + z[2:, :-2])) / (8 * cell_size)
+    dzdy = ((z[2:, :-2] + 2 * z[2:, 1:-1] + z[2:, 2:])
+            - (z[:-2, :-2] + 2 * z[:-2, 1:-1] + z[:-2, 2:])) / (8 * cell_size)
+    return dzdx, dzdy
+
+
+def dem_aspect(arr: np.ndarray, flat_nodata: float = -9999.0) -> np.ndarray:
+    """Aspect in degrees clockwise from north (gdaldem aspect formula,
+    godal.go:4099-4127 pass-through). Edges and flat cells → flat_nodata
+    (GDAL's default without -compute_edges / -zero_for_flat)."""
+    a = arr.astype(np.float64)
+    h, w = a.shape
+    out = np.full((h, w), flat_nodata, dtype=np.float64)
+    dzdx, dzdy = _horn_gradients(a)
+    asp = np.degrees(np.arctan2(dzdy, -dzdx))
+    asp = np.where(asp > 90.0, 450.0 - asp, 90.0 - asp)
+    asp = np.where(asp == 360.0, 0.0, asp)
+    flat = (dzdx == 0) & (dzdy == 0)
+    out[1:-1, 1:-1] = np.where(flat, flat_nodata, asp)
+    return out
+
+
+def _neighbors(a: np.ndarray):
+    """The 8 interior-neighborhood views (N, S, E, W + diagonals)."""
+    return [a[:-2, :-2], a[:-2, 1:-1], a[:-2, 2:],
+            a[1:-1, :-2], a[1:-1, 2:],
+            a[2:, :-2], a[2:, 1:-1], a[2:, 2:]]
+
+
+def dem_tri(arr: np.ndarray, alg: str = "Riley") -> np.ndarray:
+    """Terrain Ruggedness Index; Riley (default, gdaldem >= 3.3):
+    sqrt(sum (z_i - z_c)^2); Wilson: mean |z_i - z_c|. Edges 0."""
+    a = arr.astype(np.float64)
+    h, w = a.shape
+    out = np.zeros((h, w), dtype=np.float64)
+    c = a[1:-1, 1:-1]
+    diffs = [n - c for n in _neighbors(a)]
+    if alg.lower() == "riley":
+        out[1:-1, 1:-1] = np.sqrt(sum(d * d for d in diffs))
+    elif alg.lower() == "wilson":
+        out[1:-1, 1:-1] = sum(np.abs(d) for d in diffs) / 8.0
+    else:
+        raise ValueError(f"dem tri: unknown alg {alg!r}")
+    return out
+
+
+def dem_tpi(arr: np.ndarray) -> np.ndarray:
+    """Topographic Position Index: z_center − mean(8 neighbors). Edges 0."""
+    a = arr.astype(np.float64)
+    h, w = a.shape
+    out = np.zeros((h, w), dtype=np.float64)
+    out[1:-1, 1:-1] = a[1:-1, 1:-1] - sum(_neighbors(a)) / 8.0
+    return out
+
+
+def dem_roughness(arr: np.ndarray) -> np.ndarray:
+    """Roughness: max − min over the 3x3 window. Edges 0."""
+    a = arr.astype(np.float64)
+    h, w = a.shape
+    out = np.zeros((h, w), dtype=np.float64)
+    win = _neighbors(a) + [a[1:-1, 1:-1]]
+    out[1:-1, 1:-1] = np.maximum.reduce(win) - np.minimum.reduce(win)
+    return out
+
+
+def dem_color_relief(arr: np.ndarray, ramp: list[tuple[float, int, int, int]],
+                     interpolate: bool = True) -> np.ndarray:
+    """Elevation → RGB via a color ramp (gdaldem color-relief):
+    ramp = [(elev, r, g, b), ...]; linear interpolation between stops by
+    default, nearest-below ('-exact_color_entry'-style stepping) when
+    interpolate=False. Below/above the ramp clamps to the end stops."""
+    if not ramp:
+        raise ValueError("color-relief: empty ramp")
+    ramp = sorted(ramp)
+    elevs = np.array([r[0] for r in ramp], dtype=np.float64)
+    cols = np.array([r[1:4] for r in ramp], dtype=np.float64)
+    a = arr.astype(np.float64)
+    out = np.empty(a.shape + (3,), dtype=np.uint8)
+    idx = np.searchsorted(elevs, a, side="right") - 1
+    idx = np.clip(idx, 0, len(ramp) - 1)
+    if not interpolate or len(ramp) == 1:
+        out[:] = cols[idx].astype(np.uint8)
+        return out
+    nxt = np.clip(idx + 1, 0, len(ramp) - 1)
+    span = elevs[nxt] - elevs[idx]
+    t = np.where(span > 0, (a - elevs[idx]) / np.where(span > 0, span, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    mixed = cols[idx] + t[..., None] * (cols[nxt] - cols[idx])
+    return np.floor(mixed + 0.5).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Viewshed
 # ---------------------------------------------------------------------------

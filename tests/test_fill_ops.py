@@ -168,3 +168,64 @@ def test_grid_linear_outside_hull_is_nan():
     g = grid_create("linear", px, py, pz, 8, 8, -2.0, 3.0, -2.0, 3.0)
     assert np.isnan(g[0, 0])  # far corner outside the triangle
     assert np.isfinite(g[3, 3])
+
+
+def test_dem_aspect_plane_goldens():
+    from godal_spark.operators.fill import dem_aspect
+    # z = x: downslope faces west -> 270; z = y (south-down): north -> 0
+    zx = np.add.outer(np.zeros(6), np.arange(6.0))
+    zy = np.add.outer(np.arange(6.0), np.zeros(6))
+    ax = dem_aspect(zx)
+    ay = dem_aspect(zy)
+    assert np.allclose(ax[1:-1, 1:-1], 270.0)
+    assert np.allclose(ay[1:-1, 1:-1], 0.0)
+    # edges + flat cells are nodata
+    flat = dem_aspect(np.full((5, 5), 7.0))
+    assert (flat == -9999.0).all()
+    assert (ax[0] == -9999.0).all() and (ax[:, 0] == -9999.0).all()
+
+
+def test_dem_tri_tpi_roughness_plane_goldens():
+    from godal_spark.operators.fill import dem_roughness, dem_tpi, dem_tri
+    z = np.add.outer(np.zeros(6), np.arange(6.0))  # plane z = x
+    # Riley: diffs (-1,0,1)x2 diag + (-1,1) lateral -> sum sq 6
+    assert np.allclose(dem_tri(z)[1:-1, 1:-1], np.sqrt(6.0))
+    assert np.allclose(dem_tri(z, alg="Wilson")[1:-1, 1:-1], 0.75)
+    assert np.allclose(dem_tpi(z)[1:-1, 1:-1], 0.0)
+    assert np.allclose(dem_roughness(z)[1:-1, 1:-1], 2.0)
+    # a single spike: TPI at the spike = spike - mean(flat) = 8
+    s = np.zeros((5, 5))
+    s[2, 2] = 8.0
+    assert dem_tpi(s)[2, 2] == 8.0
+    assert dem_roughness(s)[2, 2] == 8.0
+    assert np.isclose(dem_tri(s)[2, 2], np.sqrt(8 * 64.0))
+    assert np.isclose(dem_tri(s, alg="Wilson")[2, 2], 8.0)
+
+
+def test_dem_color_relief_golden():
+    from godal_spark.operators.fill import dem_color_relief
+    ramp = [(0.0, 0, 0, 0), (100.0, 200, 100, 50)]
+    z = np.array([[0.0, 50.0, 100.0, 150.0, -10.0]])
+    rgb = dem_color_relief(z, ramp)
+    assert rgb.shape == (1, 5, 3)
+    assert tuple(rgb[0, 0]) == (0, 0, 0)
+    assert tuple(rgb[0, 1]) == (100, 50, 25)
+    assert tuple(rgb[0, 2]) == (200, 100, 50)
+    assert tuple(rgb[0, 3]) == (200, 100, 50)   # clamp above
+    assert tuple(rgb[0, 4]) == (0, 0, 0)        # clamp below
+    stepped = dem_color_relief(z, ramp, interpolate=False)
+    assert tuple(stepped[0, 1]) == (0, 0, 0)
+
+
+def test_dataset_dem_modes_dispatch(spark):
+    from godal_spark import datagen
+    from godal_spark.dataset import RasterCatalog
+    z = np.add.outer(np.arange(8.0), np.arange(8.0))
+    cat = RasterCatalog(spark, datagen.images_df(spark, [
+        datagen.image_row("dem", z.astype(np.uint8), "raw8")]))
+    ds = cat.open("dem")
+    for mode in ("aspect", "tri", "tpi", "roughness"):
+        out = ds.dem(mode)
+        assert out.shape == (8, 8)
+    rgb = ds.dem("color-relief", ramp=[(0, 0, 0, 0), (14, 255, 255, 255)])
+    assert rgb.shape == (8, 8, 3)
