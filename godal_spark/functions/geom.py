@@ -75,9 +75,20 @@ class Geom:
 
     @property
     def is_valid(self) -> bool:
-        # cheap structural validity (ring closure + ≥4 pts), like OGR's basic check
+        # structural validity (ring closure + ≥4 pts) plus the cheap GEOS
+        # check the container goldens exercise: every interior ring must
+        # lie inside the shell (godal_test.go:3131-3133 asserts the
+        # ForceToPolygon result with an outside ring is invalid)
         if self.type == "Polygon":
-            return all(len(r) >= 4 and np.allclose(r[0], r[-1]) for r in self.coords)
+            if not all(len(r) >= 4 and np.allclose(r[0], r[-1]) for r in self.coords):
+                return False
+            if len(self.coords) > 1:
+                shell = np.asarray(self.coords[0], dtype=np.float64)
+                for hole in self.coords[1:]:
+                    h = np.asarray(hole, dtype=np.float64)
+                    if not points_in_ring(h[:-1, 0], h[:-1, 1], shell).any():
+                        return False
+            return True
         if self.type == "MultiPolygon":
             return all(Geom("Polygon", p).is_valid for p in self.coords)
         return not self.is_empty
@@ -678,13 +689,228 @@ def _boolean(a: Geom, b: Geom, op: str) -> Geom:
         mask = {"intersection": in_a & in_b, "union": in_a | in_b,
                 "difference": in_a & ~in_b}[op]
         return _cells_to_geom(xs, ys, mask)
-    if op == "intersection" and _is_convex(a):
+    def _no_holes(g):
+        return all(len(rings) == 1 for rings in g.polygons())
+
+    if op == "intersection" and _is_convex(a) and _no_holes(b):
         return _sutherland_hodgman(b, a)
-    if op == "intersection" and _is_convex(b):
+    if op == "intersection" and _is_convex(b) and _no_holes(a):
         return _sutherland_hodgman(a, b)
-    raise NotImplementedError(
-        f"{op} implemented for rectilinear polygons and convex clips only "
-        "(general GEOS overlay out of scope in this environment)")
+    return _overlay(a, b, op)
+
+
+# -- general (concave, holes) overlay ----------------------------------------
+#
+# Classic boundary-subdivision overlay (the structure GEOS'
+# OverlayNG implements industrially, godal.go:2814-2853 semantics):
+# split every boundary edge of A at its intersections with B's boundary
+# (and vice versa), classify each sub-edge's midpoint against the other
+# polygon (in / out / on), keep the subset the op calls for, then stitch
+# the kept directed edges back into rings and sort shells/holes by
+# signed area. Exact for polygons in general position incl. shared
+# edges; coincident-boundary degeneracies beyond that are handled by
+# duplicate/opposite edge cancellation + zero-area ring filtering.
+
+def _signed_ring_area(ring: np.ndarray) -> float:
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) / 2.0
+
+
+def _orient_polys(g: Geom) -> list[list[np.ndarray]]:
+    """Canonical orientation: shells CCW, holes CW."""
+    out = []
+    for rings in g.polygons():
+        rr = []
+        for i, r in enumerate(rings):
+            r = np.asarray(r, dtype=np.float64)
+            ccw = _signed_ring_area(r) > 0
+            if ccw != (i == 0):
+                r = r[::-1].copy()
+            rr.append(r)
+        out.append(rr)
+    return out
+
+
+def _directed_edges(polys) -> list[tuple[tuple, tuple]]:
+    edges = []
+    for rings in polys:
+        for r in rings:
+            for i in range(len(r) - 1):
+                p = (float(r[i, 0]), float(r[i, 1]))
+                q = (float(r[i + 1, 0]), float(r[i + 1, 1]))
+                if p != q:
+                    edges.append((p, q))
+    return edges
+
+
+def _split_params(p, q, a, b, eps=1e-12):
+    """t ∈ (0,1) where segment pq meets segment ab (incl. collinear
+    overlap endpoints)."""
+    rx, ry = q[0] - p[0], q[1] - p[1]
+    sx, sy = b[0] - a[0], b[1] - a[1]
+    den = rx * sy - ry * sx
+    wx, wy = a[0] - p[0], a[1] - p[1]
+    scale = max(1.0, abs(rx), abs(ry))
+    if abs(den) < eps * scale:
+        if abs(wx * ry - wy * rx) > eps * scale:
+            return []
+        rr = rx * rx + ry * ry
+        if rr == 0:
+            return []
+        t0 = (wx * rx + wy * ry) / rr
+        t1 = ((b[0] - p[0]) * rx + (b[1] - p[1]) * ry) / rr
+        return [t for t in (t0, t1) if eps < t < 1 - eps]
+    t = (wx * sy - wy * sx) / den
+    u = (wx * ry - wy * rx) / den
+    if -eps <= u <= 1 + eps and eps < t < 1 - eps:
+        return [t]
+    return []
+
+
+def _subdivide(edges, cutters):
+    out = []
+    for (p, q) in edges:
+        ts = {0.0, 1.0}
+        for (a, b) in cutters:
+            for t in _split_params(p, q, a, b):
+                ts.add(round(t, 12))
+        pts = [(p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
+               for t in sorted(ts)]
+        for i in range(len(pts) - 1):
+            if pts[i] != pts[i + 1]:
+                out.append((pts[i], pts[i + 1]))
+    return out
+
+
+def _side_classify(edges, other: Geom, scale: float):
+    """Per sub-edge: (left_in, right_in) — is a point nudged just off the
+    edge's left/right side inside `other`? Uniformly resolves shared
+    boundaries: an edge lying ON the other boundary reports the side the
+    other interior actually occupies, no 'on' special-casing."""
+    if not edges:
+        return []
+    P = np.array([e[0] for e in edges], dtype=np.float64)
+    Q = np.array([e[1] for e in edges], dtype=np.float64)
+    mid = (P + Q) / 2
+    d = Q - P
+    ln = np.hypot(d[:, 0], d[:, 1])
+    ln = np.where(ln == 0, 1.0, ln)
+    nx, ny = -d[:, 1] / ln, d[:, 0] / ln  # unit left normal
+    eps = 1e-7 * max(scale, 1.0)
+    lin = points_in_polygon(mid[:, 0] + nx * eps, mid[:, 1] + ny * eps, other)
+    rin = points_in_polygon(mid[:, 0] - nx * eps, mid[:, 1] - ny * eps, other)
+    return list(zip(lin, rin))
+
+
+def _stitch(edges) -> list[np.ndarray]:
+    """Closed rings from directed edges; at multi-way junctions take the
+    leftmost (most counterclockwise) turn, which closes the tightest
+    consistently-oriented loop."""
+    key = lambda pt: (round(pt[0], 9), round(pt[1], 9))  # noqa: E731
+    # cancel duplicate / opposite directed edges
+    from collections import Counter, defaultdict
+
+    bag = Counter()
+    for p, q in edges:
+        kp, kq = key(p), key(q)
+        if kp == kq:
+            continue
+        if bag[(kq, kp)] > 0:
+            bag[(kq, kp)] -= 1  # opposite edges annihilate
+        else:
+            bag[(kp, kq)] += 1
+    uniq = [e for e, n in bag.items() if n > 0]
+    outs = defaultdict(list)
+    for (p, q) in uniq:
+        outs[p].append((p, q))
+    used = set()
+    rings = []
+    for start in uniq:
+        if start in used:
+            continue
+        ring = [start[0]]
+        cur = start
+        for _ in range(len(uniq) + 1):
+            used.add(cur)
+            ring.append(cur[1])
+            if cur[1] == start[0]:
+                break
+            cands = [e for e in outs[cur[1]] if e not in used]
+            if not cands:
+                ring = None
+                break
+            if len(cands) == 1:
+                cur = cands[0]
+                continue
+            din = (cur[1][0] - cur[0][0], cur[1][1] - cur[0][1])
+
+            def turn(e):
+                d = (e[1][0] - e[0][0], e[1][1] - e[0][1])
+                return math.atan2(din[0] * d[1] - din[1] * d[0],
+                                  din[0] * d[0] + din[1] * d[1])
+
+            cur = max(cands, key=turn)
+        else:
+            ring = None
+        if ring and len(ring) >= 4:
+            rings.append(np.array(ring, dtype=np.float64))
+    return rings
+
+
+def _assemble(rings) -> Geom:
+    rings = [r for r in rings if abs(_signed_ring_area(r)) > 1e-12]
+    shells = [r for r in rings if _signed_ring_area(r) > 0]
+    holes = [r for r in rings if _signed_ring_area(r) < 0]
+    if not shells:
+        return empty("Polygon")
+    polys = [[s] for s in shells]
+    for hole in holes:
+        best, best_area = None, None
+        for i, p in enumerate(polys):
+            inside = points_in_ring(hole[:-1, 0], hole[:-1, 1], p[0])
+            if inside.any():
+                a = abs(_signed_ring_area(p[0]))
+                if best is None or a < best_area:
+                    best, best_area = i, a
+        if best is not None:
+            polys[best].append(hole)
+    if len(polys) == 1:
+        return Geom("Polygon", polys[0])
+    return Geom("MultiPolygon", polys)
+
+
+def _overlay(a: Geom, b: Geom, op: str) -> Geom:
+    pa, pb = _orient_polys(a), _orient_polys(b)
+    if not pa or not pb:
+        if op == "intersection":
+            return empty("Polygon")
+        if op == "union":
+            return a if pa else b
+        return a if op == "difference" else empty("Polygon")
+    ea, eb = _directed_edges(pa), _directed_edges(pb)
+    sa = _subdivide(ea, eb)
+    sb = _subdivide(eb, ea)
+    ba, bb = a.bounds(), b.bounds()
+    scale = max(abs(v) for v in (*ba, *bb, ba[2] - ba[0], ba[3] - ba[1],
+                                 bb[2] - bb[0], bb[3] - bb[1]))
+    ca = _side_classify(sa, b, scale)
+    cb = _side_classify(sb, a, scale)
+    keep = []
+    # A/B edges are oriented with their own interior on the LEFT
+    # (shells CCW, holes CW); result edges must keep the RESULT's
+    # interior on the left:
+    if op == "intersection":
+        keep += [e for e, (left, _) in zip(sa, ca) if left]
+        keep += [e for e, (left, _) in zip(sb, cb) if left]
+    elif op == "union":
+        keep += [e for e, (_, right) in zip(sa, ca) if not right]
+        keep += [e for e, (_, right) in zip(sb, cb) if not right]
+    elif op == "difference":
+        keep += [e for e, (left, _) in zip(sa, ca) if not left]
+        keep += [(q, p) for (p, q), (_, right) in zip(sb, cb) if right]
+    else:
+        raise ValueError(op)
+    return _assemble(_stitch(keep))
 
 
 def intersection(a: Geom, b: Geom) -> Geom:
@@ -755,13 +981,100 @@ def _seg_line_int(p, q, a, b):
 
 
 # ---------------------------------------------------------------------------
+# geometry container API (godal.go:2683-2795; goldens godal_test.go:3106-3151)
+# ---------------------------------------------------------------------------
+
+def geometry_count(g: Geom) -> int:
+    """OGR_G_GetGeometryCount: members for Multi*/collections, rings for
+    Polygon, 0 for points/linestrings."""
+    if g.is_empty:
+        return 0
+    if g.type in ("MultiPolygon", "MultiLineString", "MultiPoint",
+                  "GeometryCollection"):
+        return len(g.coords)
+    if g.type == "Polygon":
+        return len(g.coords)
+    return 0
+
+
+def sub_geometry(g: Geom, i: int) -> Geom:
+    """i-th sub-geometry; out-of-range raises (error-first, the reference
+    golden asserts SubGeometry(2) of a 2-member multipolygon errors)."""
+    n = geometry_count(g)
+    if not 0 <= i < n:
+        raise IndexError(f"sub_geometry: index {i} out of range 0..{n - 1}")
+    if g.type == "MultiPolygon":
+        return Geom("Polygon", [np.asarray(r, dtype=np.float64).copy()
+                                for r in g.coords[i]])
+    if g.type == "MultiLineString":
+        return Geom("LineString", np.asarray(g.coords[i], dtype=np.float64).copy())
+    if g.type == "MultiPoint":
+        return Geom("Point", tuple(g.coords[i]))
+    if g.type == "GeometryCollection":
+        return g.coords[i]
+    if g.type == "Polygon":  # OGR returns the ring as a line
+        return Geom("LineString", np.asarray(g.coords[i], dtype=np.float64).copy())
+    raise ValueError(f"sub_geometry: {g.type} has no sub-geometries")
+
+
+def add_geometry(g: Geom, sub: Geom) -> Geom:
+    """OGR_G_AddGeometry work-alike (returns a NEW Geom; the reference
+    mutates the handle, but engine columns are immutable values)."""
+    if g.type == "MultiPolygon" and sub.type == "Polygon":
+        return Geom("MultiPolygon", list(g.coords) + [sub.coords])
+    if g.type == "MultiPolygon" and sub.type == "MultiPolygon":
+        return Geom("MultiPolygon", list(g.coords) + list(sub.coords))
+    if g.type == "Polygon" and sub.type == "LineString":
+        ring = _close(np.asarray(sub.coords, dtype=np.float64))
+        return Geom("Polygon", list(g.coords) + [ring])
+    if g.type == "GeometryCollection":
+        return Geom("GeometryCollection", list(g.coords) + [sub])
+    if g.type == "MultiPoint" and sub.type == "Point":
+        pts = np.asarray(g.coords, dtype=np.float64).reshape(-1, 2)
+        return Geom("MultiPoint", np.vstack([pts, np.array([sub.coords])]))
+    if g.type == "MultiLineString" and sub.type == "LineString":
+        return Geom("MultiLineString", list(g.coords) + [np.asarray(sub.coords)])
+    raise ValueError(f"add_geometry: cannot add {sub.type} to {g.type}")
+
+
+def force_to_polygon(g: Geom) -> Geom:
+    """OGR_G_ForceToPolygon: a multipolygon collapses to ONE polygon whose
+    ring list is the concatenation of every member's rings — possibly
+    invalid, exactly like the reference golden (godal_test.go:3129-3133)."""
+    if g.type == "Polygon":
+        return g
+    if g.type == "MultiPolygon":
+        rings = [np.asarray(r, dtype=np.float64) for p in g.coords for r in p]
+        return Geom("Polygon", rings)
+    if g.type == "LineString":
+        return Geom("Polygon", [_close(np.asarray(g.coords, dtype=np.float64))])
+    raise ValueError(f"force_to_polygon: unsupported {g.type}")
+
+
+def force_to_multipolygon(g: Geom) -> Geom:
+    """OGR_G_ForceToMultiPolygon: wrap a polygon as a 1-member multi."""
+    if g.type == "MultiPolygon":
+        return g
+    if g.type == "Polygon":
+        return Geom("MultiPolygon", [g.coords])
+    raise ValueError(f"force_to_multipolygon: unsupported {g.type}")
+
+
+# ---------------------------------------------------------------------------
 # buffer / simplify
 # ---------------------------------------------------------------------------
 
 def buffer(g: Geom, dist: float, segs: int = 30) -> Geom:
     """Buffer. Point → arc-segmented circle. Polygon → edge offset (convex
     exact; concave approximate). Negative dist shrinks; fully-collapsed
-    result is EMPTY (reference golden godal_test.go:2807-2811)."""
+    result is EMPTY (reference golden godal_test.go:2807-2811).
+
+    Deviations from GEOS' round-join Buffer (documented): polygon corners
+    use MITRE joins — a rectangle buffered by d gains exactly (w+2d)(h+2d)
+    area (the pinned goldens/oracle assume this) — where GEOS rounds
+    corners with arc segments. Interior rings are offset inward by -dist
+    (holes shrink as the polygon fattens) and dropped when they collapse;
+    a negative-dist buffer grows holes correspondingly."""
     if g.type == "Point":
         if dist <= 0:
             return empty("Polygon")
@@ -774,8 +1087,14 @@ def buffer(g: Geom, dist: float, segs: int = 30) -> Geom:
     out = []
     for rings in polys:
         shell = _offset_ring(rings[0], dist, segs)
-        if shell is not None:
-            out.append([shell])
+        if shell is None:
+            continue
+        new_rings = [shell]
+        for hole in rings[1:]:
+            h2 = _offset_ring(hole, -dist, segs)
+            if h2 is not None:
+                new_rings.append(h2)
+        out.append(new_rings)
     if not out:
         return empty("Polygon")
     return Geom("Polygon", out[0]) if len(out) == 1 else Geom("MultiPolygon", out)

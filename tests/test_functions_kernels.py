@@ -365,3 +365,102 @@ def test_morton_roundtrip():
     y = rng.integers(0, 1 << 26, 500)
     x2, y2 = morton_decode(morton(x, y))
     assert np.array_equal(x, x2) and np.array_equal(y, y2)
+
+
+# --- round 2: general overlay, container API, buffer holes -------------------
+
+def _membership_check(a, b):
+    """Point-membership oracle: for sampled points, in(op(A,B)) must equal
+    the boolean combination of in(A)/in(B)."""
+    rng = np.random.default_rng(11)
+    ba, bb = a.bounds(), b.bounds()
+    x = rng.uniform(min(ba[0], bb[0]) - 0.5, max(ba[2], bb[2]) + 0.5, 3000)
+    y = rng.uniform(min(ba[1], bb[1]) - 0.5, max(ba[3], bb[3]) + 0.5, 3000)
+    ia = G.points_in_polygon(x, y, a)
+    ib = G.points_in_polygon(x, y, b)
+    for op, exp in (("intersection", ia & ib), ("union", ia | ib),
+                    ("difference", ia & ~ib)):
+        res = getattr(G, op)(a, b)
+        got = (G.points_in_polygon(x, y, res) if not res.is_empty
+               else np.zeros_like(ia))
+        assert (got != exp).mean() < 0.005, op
+    ai = G.intersection(a, b).area()
+    assert abs(G.union(a, b).area() - (a.area() + b.area() - ai)) < 1e-6
+    assert abs(G.difference(a, b).area() - (a.area() - ai)) < 1e-6
+
+
+def test_overlay_concave_triangle():
+    a = G.polygon(np.array([[0, 0], [4, 0], [4, 4], [2, 1.5], [0, 4], [0, 0]], float))
+    b = G.polygon(np.array([[1, -1], [5, 2], [1, 5], [1, -1]], float))
+    _membership_check(a, b)
+
+
+def test_overlay_multipart_result():
+    # comb vs slanted quad -> intersection has multiple components
+    a = G.polygon(np.array([[0, 0], [6, 0], [6, 1], [1, 1], [1, 2],
+                            [6, 2], [6, 3], [0, 3], [0, 0]], float))
+    b = G.polygon(np.array([[0.5, -0.5], [5.5, -0.2], [5.2, 2.8],
+                            [0.2, 2.5], [0.5, -0.5]], float))
+    _membership_check(a, b)
+
+
+def test_overlay_with_hole():
+    a = G.polygon(np.array([[0, 0], [6, 0], [6, 6], [0, 6], [0, 0]], float),
+                  holes=[np.array([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]], float)])
+    b = G.polygon(np.array([[3, 1], [7, 1.5], [6.5, 5], [3, 4.5], [3, 1]], float))
+    _membership_check(a, b)
+
+
+def test_overlay_shared_edge_union_dissolves():
+    # force the general path with a slanted pair sharing an edge
+    a = G.polygon(np.array([[0, 0], [2, 0.5], [2, 2.5], [0, 2], [0, 0]], float))
+    b = G.polygon(np.array([[2, 0.5], [4, 0], [4, 2], [2, 2.5], [2, 0.5]], float))
+    u = G.union(a, b)
+    assert abs(u.area() - (a.area() + b.area())) < 1e-9
+    assert G.intersection(a, b).area() < 1e-9
+
+
+def test_geometry_container_goldens():
+    # godal_test.go:3106-3151
+    mp = G.from_wkt("MULTIPOLYGON(((1 1,5 1,5 5,1 5,1 1),(2 2,2 3,3 3,3 2,2 2)),"
+                    "((6 3,9 2,9 4,6 3)))")
+    assert mp.area() == 18.0
+    assert G.geometry_count(mp) == 2
+    sub0 = G.sub_geometry(mp, 0)
+    assert sub0.type == "Polygon" and G.geometry_count(sub0) == 2
+    assert sub0.area() == 15.0
+    sub1 = G.sub_geometry(mp, 1)
+    assert sub1.type == "Polygon" and sub1.area() == 3.0
+    with pytest.raises(IndexError):
+        G.sub_geometry(mp, 2)
+
+    poly = G.force_to_polygon(mp)
+    assert poly.type == "Polygon" and len(poly.coords) == 3
+    assert not poly.is_valid  # third ring lies outside the shell
+
+    p = G.from_wkt("POLYGON((1 1,5 1,5 5,1 5,1 1))")
+    m = G.force_to_multipolygon(p)
+    assert m.type == "MultiPolygon" and G.geometry_count(m) == 1
+    assert p.is_valid
+
+    m1 = G.from_wkt("MULTIPOLYGON (((1 1,5 1,5 5,1 5,1 1)))")
+    tri = G.from_wkt("POLYGON((6 3,9 2,9 4,6 3))")
+    assert not G.contains(m1, tri)
+    m2 = G.add_geometry(m1, tri)
+    assert G.geometry_count(m2) == 2
+    assert G.to_wkt(G.sub_geometry(m2, 1)) == G.to_wkt(tri)
+
+
+def test_buffer_preserves_holes():
+    a = G.polygon(np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float),
+                  holes=[np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)])
+    out = G.buffer(a, 1.0)
+    # mitre: shell 12x12, hole shrinks to 0 -> wait, hole 2x2 - 2*1 = 0 (collapses)
+    assert abs(out.area() - 144.0) < 1e-9
+    out2 = G.buffer(a, 0.5)
+    # shell 11x11 = 121, hole 1x1 = 1
+    assert abs(out2.area() - 120.0) < 1e-9
+    assert len(out2.coords) == 2  # hole survived
+    # negative buffer grows the hole: shell 8x8, hole 4x4
+    out3 = G.buffer(a, -1.0)
+    assert abs(out3.area() - (64.0 - 16.0)) < 1e-9
