@@ -401,7 +401,23 @@ def grid_create(alg: str, px: np.ndarray, py: np.ndarray, pz: np.ndarray,
         if alg == "average_distance":
             return np.nanmean(np.where(inr, np.sqrt(d2), np.nan), axis=-1)
         if alg == "average_distance_pts":
-            raise NotImplementedError("average_distance_pts: pairwise point distances")
+            # GDAL GDALGridAverageDistancePts (gridAlgFromString,
+            # godal.go:1776-1803): mean PAIRWISE distance between the
+            # points inside each node's search radius; 0 when < 2 points
+            pd = np.sqrt((px[:, None] - px[None, :]) ** 2
+                         + (py[:, None] - py[None, :]) ** 2)
+            out = np.zeros(gx.shape, dtype=np.float64)
+            flat_in = inr.reshape(-1, len(px))
+            flat_out = out.reshape(-1)
+            iu = np.triu_indices(len(px), k=1)
+            for node in range(flat_in.shape[0]):
+                m = flat_in[node]
+                if m.sum() < 2:
+                    continue
+                pair_mask = m[iu[0]] & m[iu[1]]
+                if pair_mask.any():
+                    flat_out[node] = pd[iu][pair_mask].mean()
+            return out
     if alg == "nearest":
         return pz[np.argmin(d2, axis=-1)]
     if alg in ("invdist", "invdistnn"):

@@ -229,3 +229,22 @@ def test_dataset_dem_modes_dispatch(spark):
         assert out.shape == (8, 8)
     rgb = ds.dem("color-relief", ramp=[(0, 0, 0, 0), (14, 255, 255, 255)])
     assert rgb.shape == (8, 8, 3)
+
+
+def test_grid_average_distance_pts():
+    from godal_spark.operators.fill import grid_create
+    # 3 collinear points spaced 1 apart: pairwise dists {1,1,2} -> mean 4/3
+    px = np.array([0.0, 1.0, 2.0])
+    py = np.array([0.0, 0.0, 0.0])
+    pz = np.array([5.0, 6.0, 7.0])
+    out = grid_create("average_distance_pts", px, py, pz,
+                      1, 1, 0.0, 2.0, -1.0, 1.0)
+    assert np.isclose(out[0, 0], 4.0 / 3.0)
+    # radius excluding the far point: only the pair (0,1) remains -> 1.0
+    out2 = grid_create("average_distance_pts", px, py, pz,
+                       1, 1, -0.5, 0.5, -0.5, 0.5, radius=1.6)
+    assert np.isclose(out2[0, 0], 1.0)
+    # fewer than 2 points in radius -> 0
+    out3 = grid_create("average_distance_pts", px, py, pz,
+                       1, 1, -3.5, -2.5, -0.5, 0.5, radius=0.4)
+    assert out3[0, 0] == 0.0
