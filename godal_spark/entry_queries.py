@@ -248,8 +248,11 @@ GROUP BY nb.n_name
 def q_knn(spark, sf_dir):
     q = _supplier_points(spark, sf_dir)
     p = _customer_points(spark, sf_dir)
+    # res 6 (5.6° cells): ring block = 25 of 4096 cells — 16x more
+    # selective than round 1's res 4, and the distance-bound guarantee
+    # re-probes the rare queries whose kth neighbor lies further out
     out = knn_op.knn_join(q, p, k=3, q_id="qid", p_id="pid",
-                          res=4, rings=2, broadcast_points=True)
+                          res=6, rings=2, broadcast_points=True)
     return out.selectExpr("qid", "cast(rank as bigint) as rank",
                           "neighbor_id", "round(dist, 6) as dist_r")
 
