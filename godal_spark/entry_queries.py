@@ -975,6 +975,22 @@ SELECT * FROM (VALUES (64.0, cast(2 AS bigint), cast(56 AS bigint)),
 """
 
 
+def q_polygonize_dist(spark, sf_dir):
+    """Cross-tile distributed polygonize (no per-image gather): the same
+    8x8 diag raster split into 4x4 tiles must dissolve border components
+    back to the identical feature table."""
+    _ensure_workers_can_import(spark)
+    from godal_spark import datagen
+    from godal_spark.operators import polygonize as PZ, tiling as TL
+
+    images = datagen.images_df(spark, [datagen.image_row("diag", datagen.pixels_diag(8), "raw8")])
+    tiles = TL.explode_tiles(images, bw=4, bh=4)
+    feats = PZ.polygonize_tiles(tiles, eight=False)
+    return feats.groupBy("value").agg(
+        F.count("*").cast("bigint").alias("n_features"),
+        F.sum("n_pixels").cast("bigint").alias("n_pixels"))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Simhash bucket join over a constructed corpus: 15 docs with
     disjoint vocabularies + an exact copy of each. Exact copies have
@@ -1114,6 +1130,7 @@ QUERIES = {
     # oracle-checked as of round 2 (constant tables / exhaustive-probe /
     # SQL replicas); image_phash stays rows-only (binary decode path)
     "polygonize_diag": q_polygonize_diag,
+    "polygonize_dist": q_polygonize_dist,
     "simhash_pairs": q_simhash_pairs,
     "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
@@ -1148,6 +1165,7 @@ ORACLES = {
     "translate_window": SQL_TRANSLATE_WINDOW,
     "knn_fine": SQL_KNN,
     "polygonize_diag": SQL_POLYGONIZE_DIAG,
+    "polygonize_dist": SQL_POLYGONIZE_DIAG,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_ivf": SQL_ANN_IVF,
     "lang_id": SQL_LANG_ID,

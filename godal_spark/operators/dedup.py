@@ -308,18 +308,18 @@ def simhash_candidates(docs: DataFrame, id_col: str = "doc_id",
         F.explode(chunks).alias("chunk"))
     banded = banded.withColumn(
         "key", F.expr("shiftright(simhash, chunk * 16) & 65535"))
-    grp = (banded.groupBy("chunk", "key")
-           .agg(F.sort_array(F.collect_set(F.struct("__id", "simhash"))).alias("items"))
-           .filter(F.size("items") > 1))
-    pairs = grp.select(F.explode(F.expr(
-        "flatten(transform(items, (x, i) -> "
-        "transform(slice(items, i + 2, size(items) - i - 1), "
-        "y -> struct(x.__id as id_a, y.__id as id_b, x.simhash as h_a, y.simhash as h_b))))"
-    )).alias("p")).select("p.*").distinct()
+    # self-join on (chunk, key) — like minhash_lsh_candidates, no
+    # collect_set of a whole bucket into one row (spill-safe, AQE-split)
+    a = banded.select("chunk", "key", F.col("__id").alias("id_a"),
+                      F.col("simhash").alias("h_a"))
+    b = banded.select("chunk", "key", F.col("__id").alias("id_b"),
+                      F.col("simhash").alias("h_b"))
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (pairs.withColumn("hamming", ham.cast("int"))
+    return (a.join(b, ["chunk", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .select("id_a", "id_b", "hamming").distinct())
 
 
 def simhash_dedup(docs: DataFrame, *, id_col: str = "doc_id",

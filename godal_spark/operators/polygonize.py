@@ -299,3 +299,213 @@ def polygonize(tiles: DataFrame, *, eight: bool = False,
         })
 
     return tiles.groupBy("image_id", "band").applyInPandas(run, schema=FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# cross-tile distributed polygonize (round 2; closes the "single raster
+# larger than one task" gap — reference handles any GDAL raster size)
+# ---------------------------------------------------------------------------
+
+_P1_SCHEMA = ("kind string, image_id string, band int, cid long, value double, "
+              "n_pixels long, wkb binary, area double, "
+              "key string, side string, vals array<double>, cids array<long>")
+
+_FEATURES2_SCHEMA = ("image_id string, band int, value double, n_pixels bigint, "
+                     "n_parts int, geometry binary, area double")
+
+
+def _cid_base(bx: int, by: int) -> int:
+    """Globally-unique component id prefix: 21 bits each for block x/y
+    (tile grids to 2M x 2M blocks), 21 bits of per-tile local labels."""
+    return (bx << 42) | (by << 21)
+
+
+def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
+                     use_nodata_mask: bool = True, nodata: float | None = None,
+                     max_geom_parts: int = 256,
+                     max_border_edges: int = 5_000_000) -> DataFrame:
+    """Distributed polygonize that NEVER gathers an image into one task:
+
+      1. per-tile labeling (mapInPandas): local connected components,
+         per-component partial stats + rectilinear rings in GLOBAL pixel
+         coords, plus the tile's border strips (values + component ids);
+      2. border equivalences: strips groupBy their shared border line —
+         vectorized equality per pixel (±1 offsets and tile-corner keys
+         for 8-connectivity) → (cid_a, cid_b) edges;
+      3. the edge graph (bounded by border-component count, ~data/tile_w
+         — it is collected and union-found driver-side, guarded by
+         max_border_edges; beyond that scale, raise with guidance to
+         re-tile coarser) maps every provisional id to its root;
+      4. merge: one row per root — n_pixels summed, area summed, and the
+         part rings concatenated into a MultiPolygon when the component
+         spans ≤ max_geom_parts tiles (geometry NULL beyond that:
+         a continent-sized component's outline is not a row).
+
+    Runs eagerly (phases 2-3 require an action). Geometry parts are
+    area- and containment-exact but not edge-dissolved across tile
+    boundaries (same documented semantics as _cells_to_geom).
+    """
+    from pyspark.sql import functions as F
+
+    spark = tiles.sparkSession
+
+    def phase1(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                dt = np.dtype(r.dtype)
+                arr = np.frombuffer(r.payload, dtype=dt).reshape(r.bh, r.bw)
+                valid = None
+                if use_nodata_mask and nodata is not None:
+                    valid = arr != nodata
+                labels, n = label_components(arr, eight=eight, valid=valid)
+                base = _cid_base(int(r.block_x), int(r.block_y))
+                for ci in range(n):
+                    m = labels == ci
+                    g = mask_to_geom(m, gt=[float(r.x0), 1.0, 0.0,
+                                            float(r.y0), 0.0, 1.0])
+                    rows.append(("comp", r.image_id, int(r.band), base | ci,
+                                 float(arr[m][0]), int(m.sum()),
+                                 G.to_wkb(g), g.area(),
+                                 None, None, None, None))
+
+                def cids_of(lab_line):
+                    return [int(base | v) if v >= 0 else -1 for v in lab_line]
+
+                def strip(key, side, vals, labs):
+                    rows.append(("strip", r.image_id, int(r.band), 0, 0.0, 0,
+                                 None, 0.0, key, side,
+                                 [float(v) for v in vals], cids_of(labs)))
+
+                x0, y0, bw, bh = int(r.x0), int(r.y0), int(r.bw), int(r.bh)
+                W, H = int(r.w), int(r.h)
+                if x0 + bw < W:   # right border exists
+                    strip(f"v:{x0 + bw}:{y0}", "a", arr[:, -1], labels[:, -1])
+                if x0 > 0:
+                    strip(f"v:{x0}:{y0}", "b", arr[:, 0], labels[:, 0])
+                if y0 + bh < H:   # bottom border
+                    strip(f"h:{x0}:{y0 + bh}", "a", arr[-1, :], labels[-1, :])
+                if y0 > 0:
+                    strip(f"h:{x0}:{y0}", "b", arr[0, :], labels[0, :])
+                if eight:  # tile-corner diagonals between diagonal tiles
+                    if x0 + bw < W and y0 + bh < H:
+                        strip(f"cd:{x0 + bw}:{y0 + bh}", "a",
+                              arr[-1:, -1], labels[-1:, -1])
+                    if x0 > 0 and y0 > 0:
+                        strip(f"cd:{x0}:{y0}", "b", arr[:1, 0], labels[:1, 0])
+                    if x0 > 0 and y0 + bh < H:
+                        strip(f"ca:{x0}:{y0 + bh}", "a",
+                              arr[-1:, 0], labels[-1:, 0])
+                    if x0 + bw < W and y0 > 0:
+                        strip(f"ca:{x0 + bw}:{y0}", "b",
+                              arr[:1, -1], labels[:1, -1])
+            cols = ["kind", "image_id", "band", "cid", "value", "n_pixels",
+                    "wkb", "area", "key", "side", "vals", "cids"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    raw = tiles.select("image_id", "band", "block_x", "block_y",
+                       "x0", "y0", "bw", "bh", "w", "h", "dtype",
+                       "payload").mapInPandas(phase1, schema=_P1_SCHEMA)
+    raw = raw.persist()
+    try:
+        raw.count()
+        comps = raw.filter(F.col("kind") == "comp") \
+                   .select("image_id", "band", "cid", "value",
+                           "n_pixels", "wkb", "area")
+        strips = raw.filter(F.col("kind") == "strip") \
+                    .select("image_id", "band", "key", "side", "vals", "cids")
+
+        def make_edges(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            a = pdf[pdf["side"] == "a"]
+            b = pdf[pdf["side"] == "b"]
+            if len(a) != 1 or len(b) != 1:
+                return pd.DataFrame({"image_id": [], "band": [],
+                                     "cid_a": [], "cid_b": []})
+            va = np.asarray(a["vals"].iloc[0], dtype=np.float64)
+            ca = np.asarray(a["cids"].iloc[0], dtype=np.int64)
+            vb = np.asarray(b["vals"].iloc[0], dtype=np.float64)
+            cb = np.asarray(b["cids"].iloc[0], dtype=np.int64)
+            offs = (0,) if not eight or key[2].startswith(("cd", "ca")) \
+                else (-1, 0, 1)
+            pairs = set()
+            n = min(len(va), len(vb))
+            for off in offs:
+                lo, hi = max(0, -off), min(n, n - off)
+                if hi <= lo:
+                    continue
+                ia = np.arange(lo, hi)
+                ib = ia + off
+                m = ((va[ia] == vb[ib]) & (ca[ia] >= 0) & (cb[ib] >= 0))
+                for x, y in zip(ca[ia][m].tolist(), cb[ib][m].tolist()):
+                    pairs.add((x, y))
+            if not pairs:
+                return pd.DataFrame({"image_id": [], "band": [],
+                                     "cid_a": [], "cid_b": []})
+            arr = np.array(sorted(pairs), dtype=np.int64)
+            return pd.DataFrame({"image_id": key[0], "band": key[1],
+                                 "cid_a": arr[:, 0], "cid_b": arr[:, 1]})
+
+        edges = strips.groupBy("image_id", "band", "key").applyInPandas(
+            make_edges,
+            schema="image_id string, band int, cid_a long, cid_b long"
+        ).distinct()
+
+        edge_rows = edges.limit(max_border_edges + 1).collect()
+        if len(edge_rows) > max_border_edges:
+            raise RuntimeError(
+                f"polygonize_tiles: > {max_border_edges} border equivalences; "
+                "re-tile with larger blocks or raise max_border_edges")
+
+        # driver union-find per (image_id, band)
+        parent: dict = {}
+
+        def find(k):
+            while parent[k] != k:
+                parent[k] = parent[parent[k]]
+                k = parent[k]
+            return k
+
+        for e in edge_rows:
+            ka = (e.image_id, e.band, e.cid_a)
+            kb = (e.image_id, e.band, e.cid_b)
+            for k in (ka, kb):
+                if k not in parent:
+                    parent[k] = k
+            ra, rb = find(ka), find(kb)
+            if ra != rb:
+                parent[max(ra, rb, key=lambda t: t[2])] = min(
+                    ra, rb, key=lambda t: t[2])
+        mapping = [(k[0], k[1], k[2], find(k)[2]) for k in list(parent)]
+        if mapping:
+            mdf = spark.createDataFrame(
+                mapping, "image_id string, band int, cid long, root long")
+            comps = (comps.join(F.broadcast(mdf), ["image_id", "band", "cid"],
+                                "left")
+                     .withColumn("root", F.coalesce("root", "cid")))
+        else:
+            comps = comps.withColumn("root", F.col("cid"))
+
+        def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            image_id, band, _ = key
+            n_parts = len(pdf)
+            geom = None
+            if n_parts <= max_geom_parts:
+                polys = []
+                for buf in pdf["wkb"]:
+                    polys.extend(G.from_wkb(bytes(buf)).polygons())
+                g = (G.Geom("Polygon", polys[0]) if len(polys) == 1
+                     else G.Geom("MultiPolygon", polys))
+                geom = G.to_wkb(g)
+            return pd.DataFrame({
+                "image_id": [image_id], "band": [band],
+                "value": [float(pdf["value"].iloc[0])],
+                "n_pixels": [int(pdf["n_pixels"].sum())],
+                "n_parts": [n_parts], "geometry": [geom],
+                "area": [float(pdf["area"].sum())]})
+
+        out = comps.groupBy("image_id", "band", "root").applyInPandas(
+            merge, schema=_FEATURES2_SCHEMA)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        raw.unpersist()
+    return out

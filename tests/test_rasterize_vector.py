@@ -116,3 +116,36 @@ def test_loose_casts(spark):
     assert got == [12, 3, 0, 0]
     gotf = [r.f for r in df.select(V.loose_float("v").alias("f")).collect()]
     assert gotf == [12.0, 3.7, 0.0, 0.0]
+
+
+@pytest.mark.parametrize("eight", [False, True])
+def test_polygonize_tiles_matches_gathered(spark, eight):
+    """Cross-tile distributed polygonize == per-image gather on feature
+    (value, n_pixels) multisets and total area, incl. components that
+    snake across many tiles."""
+    from godal_spark.operators import polygonize as PZ, tiling as TL
+    from godal_spark import datagen
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 4, (24, 33), dtype=np.uint8) * 50
+    arr[5, :] = 200     # full-width stripe crossing all tile columns
+    arr[:, 11] = 200    # full-height stripe -> one big cross component
+    images = datagen.images_df(spark, [datagen.image_row("big", arr, "raw8")])
+    tiles = TL.explode_tiles(images, bw=8, bh=8)
+    assert tiles.count() > 8  # genuinely multi-tile
+
+    gathered = PZ.polygonize(tiles, eight=eight).collect()
+    dist = PZ.polygonize_tiles(tiles, eight=eight).collect()
+
+    gm = sorted((r.value, r.n_pixels) for r in gathered)
+    dm = sorted((r.value, r.n_pixels) for r in dist)
+    assert gm == dm
+    assert sum(r.area for r in gathered) == pytest.approx(sum(r.area for r in dist))
+    # the cross component spans many tiles and must come back as ONE row
+    big = [r for r in dist if r.n_pixels >= 24 + 33 - 1]
+    assert len(big) == 1 and big[0].value == 200.0
+    assert big[0].n_parts > 4
+    # geometry assembled (<= max_geom_parts): pixel-count == area
+    from godal_spark.functions import geom as G
+    g = G.from_wkb(bytes(big[0].geometry))
+    assert g.area() == pytest.approx(big[0].n_pixels)
