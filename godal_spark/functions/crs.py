@@ -63,6 +63,9 @@ def _to_4326(xs, ys, epsg: int):
         south = epsg // 100 == 327
         lon, lat = _utm_to_ll(xs, ys, zone, south)
         return lon, lat, ok
+    if epsg in _PROJ_REGISTRY:
+        lon, lat = _PROJ_REGISTRY[epsg][1](xs, ys)
+        return lon, lat, ok
     raise NotImplementedError(f"EPSG:{epsg} not supported (no PROJ in this env)")
 
 
@@ -80,6 +83,9 @@ def _from_4326(lon, lat, epsg: int):
         zone = epsg % 100
         south = epsg // 100 == 327
         x, y = _ll_to_utm(lon, lat, zone, south)
+        return x, y, ok
+    if epsg in _PROJ_REGISTRY:
+        x, y = _PROJ_REGISTRY[epsg][0](lon, lat)
         return x, y, ok
     raise NotImplementedError(f"EPSG:{epsg} not supported (no PROJ in this env)")
 
@@ -141,6 +147,190 @@ def _utm_to_ll(x, y, zone: int, south: bool):
 
 
 R_a = 6378137.0  # WGS84 semi-major for TM series
+
+
+# ---------------------------------------------------------------------------
+# equal-area + polar families (round 2: the codes large-scale pipelines
+# warp into — EASE-Grid 2.0, LAEA Europe, Albers CONUS, polar stereo).
+# Snyder/EPSG-guidance ellipsoidal formulas; shared authalic machinery.
+# NAD83/ETRS89 are treated as WGS84 (datum shifts are centimetric —
+# documented deviation; reference delegates datum handling to PROJ).
+# ---------------------------------------------------------------------------
+
+_E = math.sqrt(E2)
+_E8 = _E6 * E2
+
+
+def _q_authalic(sinphi):
+    """Snyder's q: the authalic-latitude integral."""
+    sinphi = np.asarray(sinphi, dtype=np.float64)
+    return (1 - E2) * (sinphi / (1 - E2 * sinphi ** 2)
+                       - (1 / (2 * _E)) * np.log((1 - _E * sinphi)
+                                                 / (1 + _E * sinphi)))
+
+
+_QP = float(_q_authalic(1.0))
+
+
+def _phi_from_beta(beta):
+    """Inverse authalic latitude (series, Snyder 3-18)."""
+    return (beta
+            + (E2 / 3 + 31 * _E4 / 180 + 517 * _E6 / 5040) * np.sin(2 * beta)
+            + (23 * _E4 / 360 + 251 * _E6 / 3780) * np.sin(4 * beta)
+            + (761 * _E6 / 45360) * np.sin(6 * beta))
+
+
+def _m_of(phi):
+    return np.cos(phi) / np.sqrt(1 - E2 * np.sin(phi) ** 2)
+
+
+def _wrap_lon(deg):
+    return (np.asarray(deg, dtype=np.float64) + 180.0) % 360.0 - 180.0
+
+
+def _cea(lat_ts_deg: float):
+    """Cylindrical equal-area (EASE-Grid 2.0 family)."""
+    ts = math.radians(lat_ts_deg)
+    k0 = math.cos(ts) / math.sqrt(1 - E2 * math.sin(ts) ** 2)
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        return R_a * k0 * lam, R_a * _q_authalic(np.sin(phi)) / (2 * k0)
+
+    def inv(x, y):
+        beta = np.arcsin(np.clip(2 * np.asarray(y, np.float64) * k0 / (R_a * _QP), -1, 1))
+        return (np.degrees(np.asarray(x, np.float64) / (R_a * k0)),
+                np.degrees(_phi_from_beta(beta)))
+
+    return fwd, inv
+
+
+def _laea(lat0_deg: float, lon0_deg: float, fe: float, fn: float):
+    """Lambert azimuthal equal-area, ellipsoidal (EPSG guidance 7-2)."""
+    phi0 = math.radians(lat0_deg)
+    lam0 = math.radians(lon0_deg)
+    q0 = float(_q_authalic(math.sin(phi0)))
+    beta0 = math.asin(q0 / _QP)
+    rq = R_a * math.sqrt(_QP / 2)
+    d = R_a * float(_m_of(phi0)) / (rq * math.cos(beta0))
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - lam0
+        phi = np.radians(np.asarray(lat, np.float64))
+        beta = np.arcsin(np.clip(_q_authalic(np.sin(phi)) / _QP, -1, 1))
+        b = rq * np.sqrt(2 / (1 + math.sin(beta0) * np.sin(beta)
+                              + math.cos(beta0) * np.cos(beta) * np.cos(lam)))
+        x = fe + b * d * np.cos(beta) * np.sin(lam)
+        y = fn + (b / d) * (math.cos(beta0) * np.sin(beta)
+                            - math.sin(beta0) * np.cos(beta) * np.cos(lam))
+        return x, y
+
+    def inv(x, y):
+        xp = (np.asarray(x, np.float64) - fe) / d
+        yp = (np.asarray(y, np.float64) - fn) * d
+        rho = np.hypot(xp, yp)
+        ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1, 1))
+        rho = np.where(rho == 0, 1.0, rho)
+        beta = np.arcsin(np.clip(np.cos(ce) * math.sin(beta0)
+                                 + yp * np.sin(ce) * math.cos(beta0) / rho, -1, 1))
+        lam = np.arctan2(xp * np.sin(ce),
+                         rho * math.cos(beta0) * np.cos(ce)
+                         - yp * math.sin(beta0) * np.sin(ce))
+        return _wrap_lon(np.degrees(lam0 + lam)), np.degrees(_phi_from_beta(beta))
+
+    return fwd, inv
+
+
+def _albers(lat1_deg, lat2_deg, lat0_deg, lon0_deg, fe, fn):
+    """Albers equal-area conic, ellipsoidal (Snyder 14-1..14-11)."""
+    p1, p2 = math.radians(lat1_deg), math.radians(lat2_deg)
+    phi0, lam0 = math.radians(lat0_deg), math.radians(lon0_deg)
+    m1, m2 = float(_m_of(p1)), float(_m_of(p2))
+    q1, q2 = float(_q_authalic(math.sin(p1))), float(_q_authalic(math.sin(p2)))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = R_a * math.sqrt(c - n * float(_q_authalic(math.sin(phi0)))) / n
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - lam0
+        phi = np.radians(np.asarray(lat, np.float64))
+        rho = R_a * np.sqrt(np.maximum(c - n * _q_authalic(np.sin(phi)), 0)) / n
+        th = n * lam
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inv(x, y):
+        xp = np.asarray(x, np.float64) - fe
+        yp = rho0 - (np.asarray(y, np.float64) - fn)
+        rho = np.hypot(xp, yp)
+        th = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+        q = (c - (rho * n / R_a) ** 2) / n
+        beta = np.arcsin(np.clip(q / _QP, -1, 1))
+        return (_wrap_lon(np.degrees(lam0 + th / n)),
+                np.degrees(_phi_from_beta(beta)))
+
+    return fwd, inv
+
+
+def _polar_stereo(lat_ts_deg: float, lon0_deg: float, fe: float, fn: float,
+                  south: bool):
+    """Polar stereographic variant B; south aspect = north mirrored."""
+    lam0 = math.radians(lon0_deg)
+    phi_f = math.radians(abs(lat_ts_deg))
+    e = _E
+
+    def _t(phi):
+        return (np.tan(math.pi / 4 - phi / 2)
+                * ((1 + e * np.sin(phi)) / (1 - e * np.sin(phi))) ** (e / 2))
+
+    tf = float(_t(np.array(phi_f)))
+    mf = float(_m_of(phi_f))
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - lam0
+        phi = np.radians(np.asarray(lat, np.float64))
+        if south:
+            phi = -phi
+        rho = R_a * mf * _t(phi) / tf
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+        if south:
+            y = -y
+        return fe + x, fn + y
+
+    def inv(x, y):
+        xp = np.asarray(x, np.float64) - fe
+        yp = np.asarray(y, np.float64) - fn
+        if south:
+            yp = -yp
+        rho = np.hypot(xp, yp)
+        t = rho * tf / (R_a * mf)
+        chi = math.pi / 2 - 2 * np.arctan(t)
+        phi = (chi
+               + (E2 / 2 + 5 * _E4 / 24 + _E6 / 12 + 13 * _E8 / 360) * np.sin(2 * chi)
+               + (7 * _E4 / 48 + 29 * _E6 / 240 + 811 * _E8 / 11520) * np.sin(4 * chi)
+               + (7 * _E6 / 120 + 81 * _E8 / 1120) * np.sin(6 * chi)
+               + (4279 * _E8 / 161280) * np.sin(8 * chi))
+        lam = np.arctan2(xp, -yp)
+        if south:
+            phi = -phi
+        return _wrap_lon(np.degrees(lam0 + lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
+_PROJ_REGISTRY = {
+    6933: _cea(30.0),                                # WGS84 / EASE-Grid 2.0 Global
+    3035: _laea(52.0, 10.0, 4321000.0, 3210000.0),   # ETRS89 / LAEA Europe
+    5070: _albers(29.5, 45.5, 23.0, -96.0, 0.0, 0.0),  # NAD83 / CONUS Albers
+    3031: _polar_stereo(-71.0, 0.0, 0.0, 0.0, True),   # Antarctic PS
+    3413: _polar_stereo(70.0, -45.0, 0.0, 0.0, False),  # NSIDC Arctic PS
+}
+
+
+def supported_epsg() -> list[int]:
+    """Registry-backed EPSG codes (plus 4326/3857/UTM 326xx/327xx)."""
+    return sorted([4326, 3857, *_PROJ_REGISTRY])
 
 
 # ---------------------------------------------------------------------------

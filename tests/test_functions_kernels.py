@@ -464,3 +464,67 @@ def test_buffer_preserves_holes():
     # negative buffer grows the hole: shell 8x8, hole 4x4
     out3 = G.buffer(a, -1.0)
     assert abs(out3.area() - (64.0 - 16.0)) < 1e-9
+
+
+# --- round 2: equal-area / polar CRS families ---------------------------------
+
+def test_crs_registry_defining_anchors():
+    def pt(epsg, lon, lat):
+        x, y, ok = crs.transform_points([lon], [lat], "EPSG:4326", f"EPSG:{epsg}")
+        assert ok.all()
+        return float(x[0]), float(y[0])
+    # projection centers / false origins are exact by definition
+    assert pt(3035, 10, 52) == (4321000.0, 3210000.0)
+    assert pt(5070, -96, 23) == (0.0, 0.0)
+    assert pt(3031, 0, -90) == (0.0, 0.0)
+    assert pt(3413, -45, 90) == (0.0, 0.0)
+    assert pt(6933, 0, 0) == (0.0, 0.0)
+    # IOGP Guidance Note 7-2 LAEA worked example (ETRS89): 50N 5E
+    x, y = pt(3035, 5, 50)
+    assert x == pytest.approx(3962799.45, abs=0.01)
+    assert y == pytest.approx(2999718.85, abs=0.01)
+
+
+@pytest.mark.parametrize("epsg,lonr,latr", [
+    (6933, (-179, 179), (-84, 84)), (3035, (-10, 30), (35, 70)),
+    (5070, (-125, -65), (23, 50)), (3031, (-179, 179), (-89, -60)),
+    (3413, (-179, 179), (60, 89))])
+def test_crs_registry_roundtrip(epsg, lonr, latr):
+    rng = np.random.default_rng(1)
+    lons = rng.uniform(*lonr, 300)
+    lats = rng.uniform(*latr, 300)
+    x, y, ok = crs.transform_points(lons, lats, "EPSG:4326", f"EPSG:{epsg}")
+    lo, la, ok2 = crs.transform_points(x, y, f"EPSG:{epsg}", "EPSG:4326")
+    assert ok.all() and ok2.all()
+    assert max(np.abs(lo - lons).max(), np.abs(la - lats).max()) < 1e-7
+
+
+@pytest.mark.parametrize("epsg,cell", [
+    (6933, (10, 11, 45, 46)), (3035, (10, 11, 45, 46)),
+    (5070, (-96, -95, 40, 41)), (3031, (10, 11, -76, -75)),
+    (3413, (10, 11, 75, 76))])
+def test_crs_equal_area_property(epsg, cell):
+    """Equal-area projections must map any region to its authalic area;
+    polar stereographic is conformal NOT equal-area — expect distortion."""
+    l1, l2, p1, p2 = cell
+    n = 400
+    lon = np.concatenate([np.linspace(l1, l2, n), np.full(n, l2),
+                          np.linspace(l2, l1, n), np.full(n, l1)])
+    lat = np.concatenate([np.full(n, p1), np.linspace(p1, p2, n),
+                          np.full(n, p2), np.linspace(p2, p1, n)])
+    x, y, _ = crs.transform_points(lon, lat, "EPSG:4326", f"EPSG:{epsg}")
+    area = abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) / 2
+    import math
+    dq = float(crs._q_authalic(np.sin(np.radians(p2)))
+               - crs._q_authalic(np.sin(np.radians(p1))))
+    truth = math.radians(l2 - l1) * crs.R_a ** 2 * dq / 2
+    if epsg in (6933, 3035, 5070):
+        assert abs(area / truth - 1) < 1e-6
+    else:  # polar stereo: conformal NOT equal-area — scale is 1 only on
+        # the standard parallel, so this off-parallel cell's area deviates
+        assert abs(area / truth - 1) > 0.001
+
+
+def test_reproject_bounds_new_codes():
+    b = crs.reproject_bounds((5, 45, 15, 55), "EPSG:4326", "EPSG:3035")
+    assert b[0] < 4321000 < b[2] and b[1] < 3210000 < b[3]
