@@ -82,3 +82,53 @@ def run_stream_to_memory(df: DataFrame, name: str, timeout_s: float = 60.0):
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
     return q
+
+
+def tile_completeness(tile_stream: DataFrame, expected_col: str = "n_expected"):
+    """Custom stateful streaming operator (applyInPandasWithState): track
+    per-image tile arrivals ACROSS micro-batches and emit one row the
+    moment an image's full block grid has landed.
+
+    The ingest problem this models: tiles of one image arrive scattered
+    over many object-store files/micro-batches; downstream stages (e.g.
+    overview build) need whole images. State per image_id = the set of
+    distinct (block_x, block_y) seen + the expected count; state is
+    dropped on completion (bounded by in-flight images, not by history).
+    Late duplicates after completion re-open state and may re-emit —
+    at-least-once emission; dedupe downstream on image_id if exactness
+    is needed.
+
+    Input columns: image_id, block_x, block_y, `expected_col`.
+    Output: (image_id, n_tiles, complete=true).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_schema = _parse_datatype_string(
+        "image_id string, n_tiles bigint, complete boolean")
+    state_schema = _parse_datatype_string("seen array<long>, expected long")
+
+    def fn(key, pdfs, state):
+        image_id = key[0]
+        seen: set[int] = set()
+        expected = None
+        if state.exists:
+            s_seen, s_exp = state.get
+            seen = set(s_seen or [])
+            expected = s_exp
+        for pdf in pdfs:
+            for bx, by, exp in zip(pdf["block_x"], pdf["block_y"],
+                                   pdf[expected_col]):
+                seen.add((int(bx) << 21) | int(by))
+                expected = int(exp)
+        if expected is not None and len(seen) >= expected:
+            state.remove()
+            yield pd.DataFrame({"image_id": [image_id],
+                                "n_tiles": [len(seen)],
+                                "complete": [True]})
+        else:
+            state.update((sorted(seen), expected))
+
+    return tile_stream.groupBy("image_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)

@@ -39,3 +39,45 @@ def test_streaming_ingest_images(spark, tmp_path):
     t3 = got2.filter(F.col("image_id") == "s3").first()
     arr = np.frombuffer(t3.payload, np.uint8).reshape(10, 10)
     assert arr[9, 4] == 9 and arr[2, 7] == 7
+
+
+def test_tile_completeness_stateful(spark, tmp_path):
+    """applyInPandasWithState across micro-batches: an image completes
+    only once ALL its tiles have arrived (possibly in later batches)."""
+    import pandas as pd
+    from godal_spark.streaming.events import tile_completeness
+
+    src = tmp_path / "tiles_in"
+    out_ck = str(tmp_path / "ck")
+    src.mkdir()
+
+    def chunk(name, rows):
+        pd.DataFrame(rows, columns=["image_id", "block_x", "block_y",
+                                    "n_expected"]).to_parquet(src / name)
+
+    # image A has 4 tiles split over two files; B has 2 tiles, only 1 yet
+    chunk("f1.parquet", [("A", 0, 0, 4), ("A", 1, 0, 4), ("B", 0, 0, 2)])
+    chunk("f2.parquet", [("A", 0, 1, 4), ("A", 1, 1, 4)])
+
+    schema = "image_id string, block_x int, block_y int, n_expected long"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    done = tile_completeness(stream)
+    q = (done.writeStream.format("memory").queryName("tc1")
+         .outputMode("append").option("checkpointLocation", out_ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.image_id: r.n_tiles for r in spark.sql("select * from tc1").collect()}
+    assert got == {"A": 4}  # B incomplete -> not emitted
+
+    # B's last tile lands later: resume from the SAME checkpoint
+    chunk("f3.parquet", [("B", 1, 0, 2)])
+    q2 = (tile_completeness(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src)))
+        .writeStream.format("memory").queryName("tc2")
+        .outputMode("append").option("checkpointLocation", out_ck)
+        .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got2 = {r.image_id: r.n_tiles for r in spark.sql("select * from tc2").collect()}
+    assert got2 == {"B": 2}  # state for B survived the restart
