@@ -59,25 +59,25 @@ def test_tile_completeness_stateful(spark, tmp_path):
     chunk("f1.parquet", [("A", 0, 0, 4), ("A", 1, 0, 4), ("B", 0, 0, 2)])
     chunk("f2.parquet", [("A", 0, 1, 4), ("A", 1, 1, 4)])
 
-    schema = "image_id string, block_x int, block_y int, n_expected long"
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 1).parquet(str(src)))
-    done = tile_completeness(stream)
-    q = (done.writeStream.format("memory").queryName("tc1")
-         .outputMode("append").option("checkpointLocation", out_ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    got = {r.image_id: r.n_tiles for r in spark.sql("select * from tc1").collect()}
+    schema = "image_id string, block_x long, block_y long, n_expected long"
+    out_dir = str(tmp_path / "done_out")
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (tile_completeness(stream)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", out_ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r.image_id: r.n_tiles
+                for r in spark.read.parquet(out_dir).collect()}
+
+    got = run_once()
     assert got == {"A": 4}  # B incomplete -> not emitted
 
     # B's last tile lands later: resume from the SAME checkpoint
     chunk("f3.parquet", [("B", 1, 0, 2)])
-    q2 = (tile_completeness(
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(str(src)))
-        .writeStream.format("memory").queryName("tc2")
-        .outputMode("append").option("checkpointLocation", out_ck)
-        .trigger(availableNow=True).start())
-    q2.awaitTermination(120)
-    got2 = {r.image_id: r.n_tiles for r in spark.sql("select * from tc2").collect()}
-    assert got2 == {"B": 2}  # state for B survived the restart
+    got2 = run_once()
+    # state for B survived the restart: its count includes the batch-1 tile
+    assert got2 == {"A": 4, "B": 2}
