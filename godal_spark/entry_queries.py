@@ -1085,15 +1085,51 @@ SQL_LANG_ID = _sql_lang_id()
 
 
 def q_image_phash(spark, sf_dir):
+    """Decode + perceptual hash over all three codecs, with a DERIVABLE
+    oracle: 32x32 row-major ramp pixels are the consecutive values
+    0..1023 mod 256 — exactly four full cycles, so the true mean is
+    127.5 for the lossless codecs (lossy jpeg rows emit NULL mean); and
+    an exact byte copy of each image must produce the identical
+    phash (phash_match), lossy or not. Exercises decode_image_features'
+    real decode+hash path end-to-end against constructed truth."""
     _ensure_workers_can_import(spark)
     from godal_spark import datagen
     from godal_spark.operators import multimodal as MM
 
-    images = datagen.synth_images(spark, 64, partitions=4)
-    return MM.decode_image_features(images) \
-        .selectExpr("image_id", "cast(w as bigint) as w", "cast(h as bigint) as h",
-                    "cast(bands as bigint) as bands",
-                    "round(px_mean, 4) as px_mean", "phash64")
+    ramp = datagen.pixels_ramp(32, 32)
+    fmts = ("raw8", "png", "jpeg")
+    rows = []
+    for i in range(36):
+        rows.append(datagen.image_row(f"ph_{i:03d}", ramp, fmts[i % 3]))
+        dup = dict(rows[-1])
+        dup["image_id"] = f"ph_{i:03d}_copy"
+        rows.append(dup)
+    images = datagen.images_df(spark, rows)
+    feats = MM.decode_image_features(images)
+    base = feats.filter(~F.col("image_id").endswith("_copy"))
+    copies = feats.filter(F.col("image_id").endswith("_copy")).select(
+        F.expr("substring(image_id, 1, length(image_id) - 5)").alias("image_id"),
+        F.col("phash64").alias("phash_copy"))
+    out = base.join(copies, "image_id")
+    is_lossless = ~F.col("image_id").isin(
+        [f"ph_{i:03d}" for i in range(36) if i % 3 == 2])
+    return out.select(
+        "image_id",
+        F.col("w").cast("bigint").alias("w"),
+        F.col("h").cast("bigint").alias("h"),
+        F.col("bands").cast("bigint").alias("bands"),
+        F.when(is_lossless, F.round("px_mean", 4)).alias("px_mean"),
+        (F.col("phash64") == F.col("phash_copy")).alias("phash_match"))
+
+
+SQL_IMAGE_PHASH = """
+SELECT 'ph_' || lpad(cast(i AS varchar), 3, '0') AS image_id,
+       cast(32 AS bigint) AS w, cast(32 AS bigint) AS h,
+       cast(1 AS bigint) AS bands,
+       CASE WHEN i % 3 = 2 THEN NULL ELSE cast(127.5 AS double) END AS px_mean,
+       true AS phash_match
+FROM (SELECT unnest(range(0, 36)) AS i)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1166,6 +1202,7 @@ ORACLES = {
     "knn_fine": SQL_KNN,
     "polygonize_diag": SQL_POLYGONIZE_DIAG,
     "polygonize_dist": SQL_POLYGONIZE_DIAG,
+    "image_phash": SQL_IMAGE_PHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_ivf": SQL_ANN_IVF,
     "lang_id": SQL_LANG_ID,

@@ -107,3 +107,16 @@ def test_jpeg_lossy_path_psnr(spark):
         re[t.y0:t.y0 + t.bh, t.x0:t.x0 + t.bw] = \
             np.frombuffer(t.payload, dtype=np.uint8).reshape(t.bh, t.bw)
     assert codecs.psnr(arr, re) >= 40.0
+
+
+def test_clear_overviews(spark):
+    """ClearOverviews (godal.go:1139-1147): level-0 survives, pyramid gone."""
+    arr = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64) % 251
+    images = datagen.images_df(spark, [datagen.image_row("c", arr, "raw8")])
+    l0 = tiling.explode_tiles(images, bw=16, bh=16)
+    # build_overviews returns level>0 only; the full table is the union
+    full = l0.unionByName(tiling.build_overviews(l0, min_size=16))
+    assert full.filter("level > 0").count() > 0
+    cleared = tiling.clear_overviews(full)
+    assert cleared.filter("level > 0").count() == 0
+    assert cleared.count() == l0.count()
