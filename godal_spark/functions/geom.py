@@ -689,13 +689,13 @@ def _boolean(a: Geom, b: Geom, op: str) -> Geom:
         mask = {"intersection": in_a & in_b, "union": in_a | in_b,
                 "difference": in_a & ~in_b}[op]
         return _cells_to_geom(xs, ys, mask)
-    def _no_holes(g):
-        return all(len(rings) == 1 for rings in g.polygons())
-
-    if op == "intersection" and _is_convex(a) and _no_holes(b):
+    # Sutherland–Hodgman is only SAFE for convex SUBJECTS: clipping a
+    # concave subject bridges multi-component results into one bogus
+    # ring (found by the star-polygon fuzz test). Convex ∩ convex is the
+    # one shape where it's exact — everything else takes the general
+    # overlay. (It also drops subject holes, hence the hole guards.)
+    if op == "intersection" and _is_convex(a) and _is_convex(b):
         return _sutherland_hodgman(b, a)
-    if op == "intersection" and _is_convex(b) and _no_holes(a):
-        return _sutherland_hodgman(a, b)
     return _overlay(a, b, op)
 
 
@@ -931,6 +931,10 @@ def _is_convex(g: Geom) -> bool:
         return False
     r = polys[0][0]
     d = np.diff(r, axis=0)
+    # include the wrap-around turn at the closing vertex — without it a
+    # polygon concave exactly at vertex 0 passes as convex (caught by
+    # the star-polygon fuzz test) and the S-H fast path miscomputes
+    d = np.vstack([d, d[:1]])
     cross = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
     return bool(np.all(cross >= 0) or np.all(cross <= 0))
 

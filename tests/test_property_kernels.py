@@ -120,3 +120,42 @@ def test_wkt_wkb_roundtrip_polygons(pts):
     assert abs(g2.area() - g.area()) < 1e-9
     g3 = G.from_wkt(G.to_wkt(g))
     assert abs(g3.area() - g.area()) < 1e-6
+
+
+def _star(seed, cx, cy, n_min=5, n_max=10, rmax=3.0):
+    """Random star polygon — radial with JITTERED-EVEN angles: every
+    angular gap stays < pi, which makes the radial construction provably
+    simple (a gap > pi lets the closing edge swing past the center and
+    self-intersect — the first version of this generator did, producing
+    garbage-in failures)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(n_min, n_max + 1))
+    angles = 2 * np.pi * (np.arange(n) + rng.uniform(0.05, 0.95, n)) / n
+    radii = rng.uniform(0.5, rmax, n)
+    pts = np.stack([cx + radii * np.cos(angles), cy + radii * np.sin(angles)], axis=1)
+    ring = np.vstack([pts, pts[:1]])
+    return G.Geom("Polygon", [np.round(ring, 6)])
+
+
+@settings(deadline=None, max_examples=25)
+@given(st.integers(0, 10_000), st.integers(0, 10_000))
+def test_overlay_conservation_random_stars(sa, sb):
+    """For ANY pair of simple polygons: area(A∩B) + area(A−B) = area(A),
+    area(A∪B) = area(A) + area(B) − area(A∩B), and a membership sample
+    agrees with the boolean combination of the inputs."""
+    a = _star(sa, 0.0, 0.0)
+    b = _star(sb, 1.0, 0.5)
+    ai = G.intersection(a, b).area()
+    au = G.union(a, b).area()
+    ad = G.difference(a, b).area()
+    assert abs(ad - (a.area() - ai)) < 1e-6
+    assert abs(au - (a.area() + b.area() - ai)) < 1e-6
+    rng = np.random.default_rng(sa * 31 + sb)
+    x = rng.uniform(-4, 5, 400)
+    y = rng.uniform(-4, 5, 400)
+    ia = G.points_in_polygon(x, y, a)
+    ib = G.points_in_polygon(x, y, b)
+    inter = G.intersection(a, b)
+    got = (G.points_in_polygon(x, y, inter) if not inter.is_empty
+           else np.zeros_like(ia))
+    assert (got != (ia & ib)).mean() < 0.01  # boundary-eps disagreements only
