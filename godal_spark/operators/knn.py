@@ -160,6 +160,11 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
         cand = cand.dropDuplicates([q_id, "__pid"])
     ranked = _rank_topk(cand, k, q_id)
 
+    if guarantee:
+        # the guarantee check below is an ACTION; without materialization
+        # the ring pass would run once for the check and again for the
+        # caller's action. `ranked` is result-sized (≤ |Q|·k rows).
+        ranked = ranked.localCheckpoint(eager=True)
     stats = ranked.groupBy(q_id).agg(F.max("rank").alias("__found"),
                                      F.max("dist").alias("__kth"))
     ok = (F.col("__found") >= k) & (F.col("__kth") < bound)
