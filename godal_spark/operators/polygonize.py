@@ -320,6 +320,46 @@ def _cid_base(bx: int, by: int) -> int:
     return (bx << 42) | (by << 21)
 
 
+def _resolve_roots_distributed(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over the border-equivalence graph WITHOUT
+    collecting it: iterative min-label propagation with pointer doubling
+    (root ← root-of-root each round ⇒ O(log diameter) convergence — a
+    1000-tile river chain resolves in ~10 rounds, not 1000). Used when
+    the edge list exceeds the driver union-find guard."""
+    from pyspark.sql import functions as F
+
+    sym = edges.unionByName(edges.select(
+        "image_id", "band", F.col("cid_b").alias("cid_a"),
+        F.col("cid_a").alias("cid_b")))
+    sym = sym.localCheckpoint(eager=True)
+    lab = (sym.select("image_id", "band", F.col("cid_a").alias("cid")).distinct()
+           .withColumn("root", F.col("cid")))
+    for _ in range(max_iters):
+        nmin = (sym.join(lab.select("image_id", "band",
+                                    F.col("cid").alias("cid_b"),
+                                    F.col("root").alias("nroot")),
+                         ["image_id", "band", "cid_b"])
+                .groupBy("image_id", "band", "cid_a")
+                .agg(F.min("nroot").alias("mroot"))
+                .withColumnRenamed("cid_a", "cid"))
+        new = (lab.join(nmin, ["image_id", "band", "cid"], "left")
+               .select("image_id", "band", "cid",
+                       F.least("root", F.coalesce("mroot", "root")).alias("root")))
+        hop = new.select("image_id", "band", F.col("cid").alias("root"),
+                         F.col("root").alias("rr"))
+        new = (new.join(hop, ["image_id", "band", "root"], "left")
+               .select("image_id", "band", "cid",
+                       F.coalesce("rr", "root").alias("root")))
+        new = new.localCheckpoint(eager=True)  # truncate iterative lineage
+        changed = (new.join(lab.withColumnRenamed("root", "oroot"),
+                            ["image_id", "band", "cid"])
+                   .filter(F.col("root") != F.col("oroot")).count())
+        lab = new
+        if changed == 0:
+            break
+    return lab
+
+
 def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
                      use_nodata_mask: bool = True, nodata: float | None = None,
                      max_geom_parts: int = 256,
@@ -332,10 +372,11 @@ def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
       2. border equivalences: strips groupBy their shared border line —
          vectorized equality per pixel (±1 offsets and tile-corner keys
          for 8-connectivity) → (cid_a, cid_b) edges;
-      3. the edge graph (bounded by border-component count, ~data/tile_w
-         — it is collected and union-found driver-side, guarded by
-         max_border_edges; beyond that scale, raise with guidance to
-         re-tile coarser) maps every provisional id to its root;
+      3. the edge graph (bounded by border-component count, ~data/tile_w)
+         maps every provisional id to its root: union-find driver-side
+         while it fits under max_border_edges, else a fully distributed
+         min-label propagation with pointer doubling (O(log diameter)
+         rounds) — no driver collect at any scale;
       4. merge: one row per root — n_pixels summed, area summed, and the
          part rings concatenated into a MultiPolygon when the component
          spans ≤ max_geom_parts tiles (geometry NULL beyond that:
@@ -452,38 +493,40 @@ def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
 
         edge_rows = edges.limit(max_border_edges + 1).collect()
         if len(edge_rows) > max_border_edges:
-            raise RuntimeError(
-                f"polygonize_tiles: > {max_border_edges} border equivalences; "
-                "re-tile with larger blocks or raise max_border_edges")
-
-        # driver union-find per (image_id, band)
-        parent: dict = {}
-
-        def find(k):
-            while parent[k] != k:
-                parent[k] = parent[parent[k]]
-                k = parent[k]
-            return k
-
-        for e in edge_rows:
-            ka = (e.image_id, e.band, e.cid_a)
-            kb = (e.image_id, e.band, e.cid_b)
-            for k in (ka, kb):
-                if k not in parent:
-                    parent[k] = k
-            ra, rb = find(ka), find(kb)
-            if ra != rb:
-                parent[max(ra, rb, key=lambda t: t[2])] = min(
-                    ra, rb, key=lambda t: t[2])
-        mapping = [(k[0], k[1], k[2], find(k)[2]) for k in list(parent)]
-        if mapping:
-            mdf = spark.createDataFrame(
-                mapping, "image_id string, band int, cid long, root long")
-            comps = (comps.join(F.broadcast(mdf), ["image_id", "band", "cid"],
-                                "left")
+            # too many border components to union-find driver-side —
+            # resolve fully distributed (pointer-doubling propagation)
+            mdf = _resolve_roots_distributed(edges)
+            comps = (comps.join(mdf, ["image_id", "band", "cid"], "left")
                      .withColumn("root", F.coalesce("root", "cid")))
         else:
-            comps = comps.withColumn("root", F.col("cid"))
+            # driver union-find per (image_id, band)
+            parent: dict = {}
+
+            def find(k):
+                while parent[k] != k:
+                    parent[k] = parent[parent[k]]
+                    k = parent[k]
+                return k
+
+            for e in edge_rows:
+                ka = (e.image_id, e.band, e.cid_a)
+                kb = (e.image_id, e.band, e.cid_b)
+                for k in (ka, kb):
+                    if k not in parent:
+                        parent[k] = k
+                ra, rb = find(ka), find(kb)
+                if ra != rb:
+                    parent[max(ra, rb, key=lambda t: t[2])] = min(
+                        ra, rb, key=lambda t: t[2])
+            mapping = [(k[0], k[1], k[2], find(k)[2]) for k in list(parent)]
+            if mapping:
+                mdf = spark.createDataFrame(
+                    mapping, "image_id string, band int, cid long, root long")
+                comps = (comps.join(F.broadcast(mdf), ["image_id", "band", "cid"],
+                                    "left")
+                         .withColumn("root", F.coalesce("root", "cid")))
+            else:
+                comps = comps.withColumn("root", F.col("cid"))
 
         def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
             image_id, band, _ = key

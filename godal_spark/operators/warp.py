@@ -200,25 +200,43 @@ def _src_px_tiles(images: DataFrame, block: int, t_srs: str) -> DataFrame:
 def _with_block_range(df: DataFrame, tgt_gt, tw: int, th: int, block: int) -> DataFrame:
     """Explode each source tile to the (block_x, block_y) range its geo
     bbox covers on the target grid — built-in sequence explodes, pure
-    codegen. Requires an axis-aligned target gt (no rotation terms)."""
-    if tgt_gt[2] != 0.0 or tgt_gt[4] != 0.0:
-        raise NotImplementedError("warp: rotated target geotransforms unsupported")
-    ox, px = float(tgt_gt[0]), float(tgt_gt[1])
-    oy, py = float(tgt_gt[3]), float(abs(tgt_gt[5]))
+    codegen. Handles ROTATED target geotransforms exactly: the inverse
+    affine maps the tile's axis-aligned geo bbox to a parallelogram in
+    pixel space, and a linear map attains its extremes at the vertices —
+    so min/max over the 4 transformed corners is an exact pixel-space
+    bounding box."""
+    ox, oy = float(tgt_gt[0]), float(tgt_gt[3])
+    a11, a12 = float(tgt_gt[1]), float(tgt_gt[2])
+    a21, a22 = float(tgt_gt[4]), float(tgt_gt[5])
+    det = a11 * a22 - a12 * a21
+    if det == 0.0:
+        raise ValueError("warp: singular target geotransform")
+    i11, i12 = a22 / det, -a12 / det
+    i21, i22 = -a21 / det, a11 / det
     nbx = (tw + block - 1) // block
     nby = (th + block - 1) // block
-    bsx, bsy = px * block, py * block
-    maxx_t, miny_t = ox + px * tw, oy - py * th
-    d = (df.filter((F.col("gmaxx") > ox) & (F.col("gminx") < maxx_t)
-                   & (F.col("gmaxy") > miny_t) & (F.col("gminy") < oy))
+
+    def px_of(gx, gy):
+        return (gx - ox) * i11 + (gy - oy) * i12
+
+    def py_of(gx, gy):
+        return (gx - ox) * i21 + (gy - oy) * i22
+
+    corners = [(F.col("gminx"), F.col("gminy")), (F.col("gmaxx"), F.col("gminy")),
+               (F.col("gminx"), F.col("gmaxy")), (F.col("gmaxx"), F.col("gmaxy"))]
+    pxs = [px_of(gx, gy) for gx, gy in corners]
+    pys = [py_of(gx, gy) for gx, gy in corners]
+    pxlo, pxhi = F.least(*pxs), F.greatest(*pxs)
+    pylo, pyhi = F.least(*pys), F.greatest(*pys)
+    d = (df.filter((pxhi > 0) & (pxlo < tw) & (pyhi > 0) & (pylo < th))
          .withColumn("__bxlo", F.greatest(
-             F.lit(0), F.floor((F.col("gminx") - ox) / bsx)).cast("int"))
+             F.lit(0), F.floor(pxlo / block)).cast("int"))
          .withColumn("__bxhi", F.least(
-             F.lit(nbx - 1), (F.ceil((F.col("gmaxx") - ox) / bsx) - 1)).cast("int"))
+             F.lit(nbx - 1), (F.ceil(pxhi / block) - 1)).cast("int"))
          .withColumn("__bylo", F.greatest(
-             F.lit(0), F.floor((oy - F.col("gmaxy")) / bsy)).cast("int"))
+             F.lit(0), F.floor(pylo / block)).cast("int"))
          .withColumn("__byhi", F.least(
-             F.lit(nby - 1), (F.ceil((oy - F.col("gminy")) / bsy) - 1)).cast("int"))
+             F.lit(nby - 1), (F.ceil(pyhi / block) - 1)).cast("int"))
          .withColumn("block_x", F.explode(F.sequence(F.col("__bxlo"), F.col("__bxhi"))))
          .withColumn("block_y", F.explode(F.sequence(F.col("__bylo"), F.col("__byhi"))))
          .drop("__bxlo", "__bxhi", "__bylo", "__byhi"))

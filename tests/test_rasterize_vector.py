@@ -149,3 +149,23 @@ def test_polygonize_tiles_matches_gathered(spark, eight):
     from godal_spark.functions import geom as G
     g = G.from_wkb(bytes(big[0].geometry))
     assert g.area() == pytest.approx(big[0].n_pixels)
+
+
+def test_polygonize_tiles_distributed_root_resolution(spark):
+    """Force the distributed pointer-doubling path (max_border_edges=0):
+    must match the gathered result exactly, including a long chain
+    component (stress for propagation convergence)."""
+    from godal_spark.operators import polygonize as PZ, tiling as TL
+    from godal_spark import datagen
+
+    arr = np.zeros((8, 64), dtype=np.uint8)
+    arr[3, :] = 7          # 64-px chain crossing 16 tiles (bw=4)
+    arr[0, ::3] = 9        # scattered singles
+    images = datagen.images_df(spark, [datagen.image_row("chain", arr, "raw8")])
+    tiles = TL.explode_tiles(images, bw=4, bh=4)
+    gathered = PZ.polygonize(tiles, eight=False).collect()
+    dist = PZ.polygonize_tiles(tiles, eight=False, max_border_edges=0).collect()
+    assert sorted((r.value, r.n_pixels) for r in gathered) == \
+        sorted((r.value, r.n_pixels) for r in dist)
+    chain = [r for r in dist if r.value == 7.0]
+    assert len(chain) == 1 and chain[0].n_pixels == 64 and chain[0].n_parts == 16

@@ -183,3 +183,38 @@ def test_translate_ot_rejects_8bit_codecs(spark):
     images = datagen.images_df(spark, [datagen.image_row("p", arr, "png")])
     with pytest.raises(Exception, match="incompatible"):
         TR.translate(images, ["-ot", "UInt16"]).first()
+
+
+def test_warp_into_rotated_target_grid(spark):
+    """Rotated target geotransform: compare the tiled distributed render
+    against a dense numpy reference (same inverse-affine + nearest
+    sampling computed directly)."""
+    import math
+    rng = np.random.default_rng(21)
+    src = rng.integers(1, 255, (20, 24), dtype=np.uint8).astype(np.uint8)
+    src_gt = [10.0, 0.5, 0.0, 50.0, 0.0, -0.5]
+    images = datagen.images_df(spark, [
+        datagen.image_row("s", src, "raw8", gt=src_gt, srs="EPSG:4326")])
+    th_deg = 25.0
+    c, s = math.cos(math.radians(th_deg)), math.sin(math.radians(th_deg))
+    # rotated target grid centered on the source area
+    tgt_gt = [8.0, 0.4 * c, 0.4 * s, 51.0, 0.4 * s, -0.4 * c]
+    tw = th = 16
+    out = WP.warp(spark, images, [], block=8,
+                  into_tiles=spark.createDataFrame([], tiling.TILE_SCHEMA),
+                  into_meta={"gt": tgt_gt, "w": tw, "h": th, "srs": "EPSG:4326"})
+    got = _mosaic_array(out.collect(), tw, th)
+
+    # dense reference
+    ref = np.zeros((th, tw), np.uint8)
+    for y in range(th):
+        for x in range(tw):
+            gx = tgt_gt[0] + (x + 0.5) * tgt_gt[1] + (y + 0.5) * tgt_gt[2]
+            gy = tgt_gt[3] + (x + 0.5) * tgt_gt[4] + (y + 0.5) * tgt_gt[5]
+            sx = (gx - src_gt[0]) / src_gt[1]
+            sy = (gy - src_gt[3]) / src_gt[5]
+            ix, iy = int(np.floor(sx)), int(np.floor(sy))
+            if 0 <= ix < 24 and 0 <= iy < 20:
+                ref[y, x] = src[iy, ix]
+    assert np.array_equal(got, ref)
+    assert (got > 0).any()  # overlap exists
