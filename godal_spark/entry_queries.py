@@ -568,6 +568,46 @@ FROM t
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """C4/Gopher-style quality scoring + filter (operators/text.py
+    with_quality_score) — the pretraining-filter pass, with the exact
+    composite formula replicated in the DuckDB oracle. Returns the
+    per-bucket counts of the kept/dropped split plus mean quality."""
+    from godal_spark.operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    q = TX.with_quality_score(docs)
+    return (q.withColumn("kept", F.col("quality") >= 0.5)
+            .groupBy("kept")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.avg("quality"), 6).alias("mean_quality"),
+                 F.round(F.avg("n_tokens"), 4).alias("mean_tokens")))
+
+
+SQL_QUALITY_FILTER = r"""
+WITH t AS (SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+m AS (SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+      FROM t),
+s AS (SELECT doc_id, n_tokens,
+             round(least(least(cast(n_tokens AS double) / 64.0, 1.0)
+                          * least(4096.0 / greatest(cast(n_tokens AS double), 1.0), 1.0), 1.0)
+                   * (1 - least(4.0 * n_punct / greatest(n_chars, 1), 1.0))
+                   * (1 - least(4.0 * n_digits / greatest(n_chars, 1), 1.0))
+                   * least(2.0 * n_distinct / greatest(n_tokens, 1), 1.0), 6) AS quality
+      FROM m)
+SELECT quality >= 0.5 AS kept, count(*) AS n,
+       round(avg(quality), 6) AS mean_quality,
+       round(avg(cast(n_tokens AS double)), 4) AS mean_tokens
+FROM s GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # 15. ann_cosine_topk — brute-force cosine top-k (similarity baseline)
 # ---------------------------------------------------------------------------
@@ -1163,6 +1203,7 @@ QUERIES = {
     "overview_pixels": q_overview_pixels,
     "translate_window": q_translate_window,
     "knn_fine": q_knn_fine,
+    "quality_filter": q_quality_filter,
     # oracle-checked as of round 2 (constant tables / exhaustive-probe /
     # SQL replicas); image_phash stays rows-only (binary decode path)
     "polygonize_diag": q_polygonize_diag,
@@ -1200,6 +1241,7 @@ ORACLES = {
     "overview_pixels": SQL_OVERVIEW_PIXELS,
     "translate_window": SQL_TRANSLATE_WINDOW,
     "knn_fine": SQL_KNN,
+    "quality_filter": SQL_QUALITY_FILTER,
     "polygonize_diag": SQL_POLYGONIZE_DIAG,
     "polygonize_dist": SQL_POLYGONIZE_DIAG,
     "image_phash": SQL_IMAGE_PHASH,
