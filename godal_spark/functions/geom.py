@@ -743,43 +743,66 @@ def _directed_edges(polys) -> list[tuple[tuple, tuple]]:
     return edges
 
 
-def _split_params(p, q, a, b, eps=1e-12):
-    """t ∈ (0,1) where segment pq meets segment ab (incl. collinear
-    overlap endpoints)."""
+def _seg_intersections(p, q, a, b, eps=1e-12):
+    """[(t, u, point)] where segment pq meets segment ab. The point is
+    computed ONCE and shared by both segments' subdivisions — computing
+    it independently from each segment's parametrization produces
+    last-digit disagreements that split the stitch graph (fuzz-found)."""
     rx, ry = q[0] - p[0], q[1] - p[1]
     sx, sy = b[0] - a[0], b[1] - a[1]
     den = rx * sy - ry * sx
     wx, wy = a[0] - p[0], a[1] - p[1]
     scale = max(1.0, abs(rx), abs(ry))
+    out = []
     if abs(den) < eps * scale:
         if abs(wx * ry - wy * rx) > eps * scale:
-            return []
+            return out
         rr = rx * rx + ry * ry
-        if rr == 0:
-            return []
-        t0 = (wx * rx + wy * ry) / rr
-        t1 = ((b[0] - p[0]) * rx + (b[1] - p[1]) * ry) / rr
-        return [t for t in (t0, t1) if eps < t < 1 - eps]
+        ss = sx * sx + sy * sy
+        if rr == 0 or ss == 0:
+            return out
+        # collinear overlap: cut pq at ab's endpoints and vice versa —
+        # the shared points are exact input vertices
+        for u_end, pt in ((0.0, a), (1.0, b)):
+            t = ((pt[0] - p[0]) * rx + (pt[1] - p[1]) * ry) / rr
+            if -eps <= t <= 1 + eps:
+                out.append((t, u_end, (float(pt[0]), float(pt[1]))))
+        for t_end, pt in ((0.0, p), (1.0, q)):
+            u = ((pt[0] - a[0]) * sx + (pt[1] - a[1]) * sy) / ss
+            if -eps <= u <= 1 + eps:
+                out.append((t_end, u, (float(pt[0]), float(pt[1]))))
+        return out
     t = (wx * sy - wy * sx) / den
     u = (wx * ry - wy * rx) / den
-    if -eps <= u <= 1 + eps and eps < t < 1 - eps:
-        return [t]
-    return []
-
-
-def _subdivide(edges, cutters):
-    out = []
-    for (p, q) in edges:
-        ts = {0.0, 1.0}
-        for (a, b) in cutters:
-            for t in _split_params(p, q, a, b):
-                ts.add(round(t, 12))
-        pts = [(p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
-               for t in sorted(ts)]
-        for i in range(len(pts) - 1):
-            if pts[i] != pts[i + 1]:
-                out.append((pts[i], pts[i + 1]))
+    if -eps <= u <= 1 + eps and -eps <= t <= 1 + eps:
+        pt = (p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
+        out.append((t, u, pt))
     return out
+
+
+def _subdivide_pair(ea, eb, eps=1e-12):
+    """Subdivide BOTH edge sets at their mutual intersections, sharing
+    each intersection point between the two cut lists."""
+    cuts_a: list[list] = [[] for _ in ea]
+    cuts_b: list[list] = [[] for _ in eb]
+    for i, (p, q) in enumerate(ea):
+        for j, (c, d) in enumerate(eb):
+            for t, u, pt in _seg_intersections(p, q, c, d):
+                if eps < t < 1 - eps:
+                    cuts_a[i].append((t, pt))
+                if eps < u < 1 - eps:
+                    cuts_b[j].append((u, pt))
+
+    def build(edges, cuts):
+        out = []
+        for (p, q), cl in zip(edges, cuts):
+            pts = [p] + [pt for _, pt in sorted(cl)] + [q]
+            for i in range(len(pts) - 1):
+                if pts[i] != pts[i + 1]:
+                    out.append((pts[i], pts[i + 1]))
+        return out
+
+    return build(ea, cuts_a), build(eb, cuts_b)
 
 
 def _side_classify(edges, other: Geom, scale: float):
@@ -806,10 +829,26 @@ def _stitch(edges) -> list[np.ndarray]:
     """Closed rings from directed edges; at multi-way junctions take the
     leftmost (most counterclockwise) turn, which closes the tightest
     consistently-oriented loop."""
-    key = lambda pt: (round(pt[0], 9), round(pt[1], 9))  # noqa: E731
-    # cancel duplicate / opposite directed edges
+    # tolerance snap: map each endpoint to a canonical representative
+    # within ~1e-9 (plain rounding can split two renderings of the same
+    # point across a grid boundary — fuzz-found seam)
     from collections import Counter, defaultdict
 
+    tol = 1e-9
+    reps: dict = {}
+
+    def key(pt):
+        gx, gy = round(pt[0] / tol), round(pt[1] / tol)
+        for dx in (0, -1, 1):
+            for dy in (0, -1, 1):
+                r = reps.get((gx + dx, gy + dy))
+                if r is not None and abs(r[0] - pt[0]) <= tol \
+                        and abs(r[1] - pt[1]) <= tol:
+                    return r
+        reps[(gx, gy)] = pt
+        return pt
+
+    # cancel duplicate / opposite directed edges
     bag = Counter()
     for p, q in edges:
         kp, kq = key(p), key(q)
@@ -829,13 +868,16 @@ def _stitch(edges) -> list[np.ndarray]:
         if start in used:
             continue
         ring = [start[0]]
+        walk = []  # commit to `used` only if the ring closes — a failed
+        # walk must not consume edges other components still need
         cur = start
         for _ in range(len(uniq) + 1):
-            used.add(cur)
+            walk.append(cur)
             ring.append(cur[1])
             if cur[1] == start[0]:
                 break
-            cands = [e for e in outs[cur[1]] if e not in used]
+            seen = used.union(walk)
+            cands = [e for e in outs[cur[1]] if e not in seen]
             if not cands:
                 ring = None
                 break
@@ -853,7 +895,10 @@ def _stitch(edges) -> list[np.ndarray]:
         else:
             ring = None
         if ring and len(ring) >= 4:
+            used.update(walk)
             rings.append(np.array(ring, dtype=np.float64))
+        else:
+            used.add(start)  # dangling start — never retry, release the rest
     return rings
 
 
@@ -888,8 +933,7 @@ def _overlay(a: Geom, b: Geom, op: str) -> Geom:
             return a if pa else b
         return a if op == "difference" else empty("Polygon")
     ea, eb = _directed_edges(pa), _directed_edges(pb)
-    sa = _subdivide(ea, eb)
-    sb = _subdivide(eb, ea)
+    sa, sb = _subdivide_pair(ea, eb)
     ba, bb = a.bounds(), b.bounds()
     scale = max(abs(v) for v in (*ba, *bb, ba[2] - ba[0], ba[3] - ba[1],
                                  bb[2] - bb[0], bb[3] - bb[1]))
