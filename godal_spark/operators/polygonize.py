@@ -260,13 +260,19 @@ FEATURES_SCHEMA = ("image_id string, band int, value double, n_pixels bigint, "
 
 def polygonize(tiles: DataFrame, *, eight: bool = False,
                use_nodata_mask: bool = True, nodata: float | None = None,
-               images: DataFrame | None = None) -> DataFrame:
+               images: DataFrame | None = None,
+               mask_band: int | None = None) -> DataFrame:
     """tiles (level 0) → feature rows, one per connected component.
 
     Gathers each (image_id, band)'s tiles into one task; see module
     docstring for why this is the scale-correct plan. Pass the images
     DataFrame to emit geometries in GEO coordinates (its `gt` joins in
     broadcast-style); otherwise geometries are in pixel space (y-down).
+
+    mask_band: the reference's `Mask(band)` option (godal.go:348-369) —
+    pixels where that band is ZERO are excluded (GDAL mask semantics);
+    overrides the nodata mask. The mask tiles ride along in the same
+    gather (one extra band per group), no extra shuffle.
     """
     from pyspark.sql import functions as F
 
@@ -274,17 +280,36 @@ def polygonize(tiles: DataFrame, *, eight: bool = False,
         tiles = tiles.join(images.select("image_id", "gt"), "image_id", "left")
     else:
         tiles = tiles.withColumn("gt", F.lit(None).cast("array<double>"))
+    if mask_band is not None:
+        # regroup by image only: data bands + the mask band gather together
+        tiles = tiles.withColumn(
+            "__grp_band", F.when(F.col("band") == mask_band, F.lit(-1))
+            .otherwise(F.col("band")))
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        image_id, band = key
+    def _assemble_plane(pdf: pd.DataFrame) -> np.ndarray:
         w, h = int(pdf["w"].iloc[0]), int(pdf["h"].iloc[0])
         dt = np.dtype(pdf["dtype"].iloc[0])
         full = np.zeros((h, w), dtype=dt)
         for r in pdf.itertuples(index=False):
             full[r.y0:r.y0 + r.bh, r.x0:r.x0 + r.bw] = \
                 np.frombuffer(r.payload, dtype=dt).reshape(r.bh, r.bw)
-        valid = None
-        if use_nodata_mask and nodata is not None:
+        return full
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id, band = key[0], int(key[1])
+        mask_valid = None
+        if mask_band is not None:
+            mrows = pdf[pdf["band"] == mask_band]
+            pdf = pdf[pdf["band"] != mask_band]
+            if len(pdf) == 0:
+                return pd.DataFrame(columns=[
+                    "image_id", "band", "value", "n_pixels", "geometry", "area"])
+            band = int(pdf["band"].iloc[0])
+            if len(mrows):
+                mask_valid = _assemble_plane(mrows) != 0
+        full = _assemble_plane(pdf)
+        valid = mask_valid
+        if valid is None and use_nodata_mask and nodata is not None:
             valid = full != nodata
         gt0 = pdf["gt"].iloc[0]
         gt = list(gt0) if gt0 is not None else None
@@ -298,6 +323,15 @@ def polygonize(tiles: DataFrame, *, eight: bool = False,
             "area": [g.area() for _, _, g in feats],
         })
 
+    if mask_band is not None:
+        # mask rows replicate into every data-band group of the image
+        data = tiles.filter(F.col("band") != mask_band)
+        mask = tiles.filter(F.col("band") == mask_band).drop("__grp_band")
+        bands = data.select("image_id", F.col("band").alias("__grp_band")).distinct()
+        mask = mask.join(bands, "image_id")
+        both = data.unionByName(mask.select(*data.columns))
+        return both.groupBy("image_id", "__grp_band") \
+                   .applyInPandas(run, schema=FEATURES_SCHEMA)
     return tiles.groupBy("image_id", "band").applyInPandas(run, schema=FEATURES_SCHEMA)
 
 

@@ -169,3 +169,28 @@ def test_polygonize_tiles_distributed_root_resolution(spark):
         sorted((r.value, r.n_pixels) for r in dist)
     chain = [r for r in dist if r.value == 7.0]
     assert len(chain) == 1 and chain[0].n_pixels == 64 and chain[0].n_parts == 16
+
+
+def test_polygonize_mask_band_operator(spark):
+    """Reference Mask(band) option at the OPERATOR level: a mask band of
+    zeros over the top-left 4x4 quarter excludes those pixels. Derived
+    by hand on the 8x8 diag image (4-conn): 4 surviving diagonal
+    singletons; the valid background splits into two 22-px components
+    (TR + upper BR triangle / BL + lower BR triangle)."""
+    from godal_spark.operators import polygonize as PZ, tiling as TL
+    from godal_spark import datagen
+
+    diag = datagen.pixels_diag(8)
+    mask = np.ones((8, 8), dtype=np.uint8)
+    mask[:4, :4] = 0
+    # two-band image: band 0 = data, band 1 = mask
+    arr = np.stack([diag, mask], axis=-1)
+    images = datagen.images_df(spark, [datagen.image_row("m", arr, "raw8")])
+    tiles = TL.explode_tiles(images, bw=4, bh=4)
+    feats = PZ.polygonize(tiles, eight=False, mask_band=1).collect()
+    assert all(f.band == 0 for f in feats)
+    counts = {}
+    for f in feats:
+        counts.setdefault(f.value, []).append(f.n_pixels)
+    assert sorted(counts[128.0]) == [1, 1, 1, 1]
+    assert sorted(counts[64.0]) == [22, 22]

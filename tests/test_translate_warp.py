@@ -218,3 +218,24 @@ def test_warp_into_rotated_target_grid(spark):
                 ref[y, x] = src[iy, ix]
     assert np.array_equal(got, ref)
     assert (got > 0).any()  # overlap exists
+
+
+def test_warp_tiled_equals_untiled_randomized(spark):
+    """Randomized sizes/blocks/scales: halo + ownership math must keep
+    the tile decomposition invisible for both kernels."""
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        h = int(rng.integers(9, 40))
+        w = int(rng.integers(9, 40))
+        tw = int(rng.integers(7, 45))
+        th = int(rng.integers(7, 45))
+        blk = int(rng.integers(5, 12))
+        alg = ("nearest", "bilinear")[trial % 2]
+        arr = rng.integers(0, 255, (h, w), dtype=np.uint8).astype(np.uint8)
+        images = datagen.images_df(spark, [
+            datagen.image_row(f"z{trial}", arr, "raw8",
+                              gt=[3, 0.37, 0, 44, 0, -0.41])])
+        sw = ["-ts", str(tw), str(th), "-r", alg]
+        a = _mosaic_array(WP.warp(spark, images, sw, block=blk).collect(), tw, th)
+        b = _mosaic_array(WP.warp(spark, images, sw, block=256).collect(), tw, th)
+        assert np.array_equal(a, b), (trial, h, w, tw, th, blk, alg)
