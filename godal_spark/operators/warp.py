@@ -17,8 +17,9 @@ overlapping target tile — an N× byte amplification):
      anchored on the first source (lowest image_id) fetched as ONE row.
      Driver holds 6 scalars, never a per-image list.
   2. sources are pre-tiled: one Arrow-batched mapInPandas decodes each
-     image ONCE and slices `block`-sized tiles with a 1-px halo (the
-     halo covers bilinear's anchor+1 reads across tile borders).
+     image ONCE and slices `block`-sized tiles with a kernel-radius halo
+     (1 px nearest/bilinear, 2 cubic/cubicspline, 3 lanczos) so every
+     cross-tile sample stays local; area-based kernels raise.
   3. each source tile maps to the target-block RANGE its geo bbox
      covers — two built-in `sequence` explodes on (block_x, block_y),
      pure codegen, no bbox broadcast join, no cartesian. A source tile
@@ -50,8 +51,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from godal_spark.functions import codecs, crs as CRS
-from godal_spark.functions.resampling import SUPPORTED as RESAMPLING_ALGS
+from godal_spark.functions.resampling import _KERNELS, SUPPORTED as RESAMPLING_ALGS
 from godal_spark.operators.tiling import TILE_SCHEMA, block_grid_list
+
+# inverse-mapping warp supports point-sampling kernels; area-based algs
+# (average/gauss/mode) need forward mapping and raise error-first.
+# halo width = kernel radius so cross-tile samples stay local.
+_WARP_HALO = {"nearest": 1, "bilinear": 1, "cubic": 2, "cubicspline": 2,
+              "lanczos": 3}
 
 
 @dataclass
@@ -128,14 +135,15 @@ _SRC_META_SCHEMA = ("image_id string, sx0 int, sy0 int, sbw int, sbh int, "
 _SRC_TILE_SCHEMA = "kind string, band int, dtype string, payload binary, " + _SRC_META_SCHEMA
 
 
-def _tile_meta(rec, block: int, t_srs: str):
+def _tile_meta(rec, block: int, t_srs: str, halo: int = 1):
     """Per-source-tile metadata: owned window, halo window, and the geo
-    bbox of the HALO window in target srs (the ±1-px margin also absorbs
-    the half-pixel anchor shift of bilinear ownership)."""
+    bbox of the HALO window in target srs. halo = resampling kernel
+    radius (1 for nearest/bilinear, 2 cubic, 3 lanczos); the margin also
+    absorbs the half-pixel anchor shift of kernel ownership."""
     out = []
     for (_, _, sx0, sy0, sbw, sbh) in block_grid_list(rec.w, rec.h, block, block):
-        hx0, hy0 = max(0, sx0 - 1), max(0, sy0 - 1)
-        hx1, hy1 = min(rec.w, sx0 + sbw + 1), min(rec.h, sy0 + sbh + 1)
+        hx0, hy0 = max(0, sx0 - halo), max(0, sy0 - halo)
+        hx1, hy1 = min(rec.w, sx0 + sbw + halo), min(rec.h, sy0 + sbh + halo)
         cx = np.array([hx0, hx1, hx0, hx1], dtype=np.float64)
         cy = np.array([hy0, hy0, hy1, hy1], dtype=np.float64)
         gx, gy = CRS.pixel_to_geo(list(rec.gt), cx, cy)
@@ -146,7 +154,8 @@ def _tile_meta(rec, block: int, t_srs: str):
     return out
 
 
-def _src_meta_tiles(images: DataFrame, block: int, t_srs: str) -> DataFrame:
+def _src_meta_tiles(images: DataFrame, block: int, t_srs: str,
+                    halo: int = 1) -> DataFrame:
     """Metadata-only pre-tiling (no pixel decode — bytes column pruned)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -154,7 +163,7 @@ def _src_meta_tiles(images: DataFrame, block: int, t_srs: str) -> DataFrame:
             rows = []
             for rec in pdf.itertuples(index=False):
                 cap = getattr(rec, "caption", None)
-                for (sx0, sy0, sbw, sbh, hx0, hy0, hw, hh, b) in _tile_meta(rec, block, t_srs):
+                for (sx0, sy0, sbw, sbh, hx0, hy0, hw, hh, b) in _tile_meta(rec, block, t_srs, halo):
                     rows.append((rec.image_id, sx0, sy0, sbw, sbh, hx0, hy0, hw, hh,
                                  rec.w, rec.h, b[0], b[1], b[2], b[3],
                                  [float(v) for v in rec.gt], rec.srs, cap))
@@ -166,7 +175,8 @@ def _src_meta_tiles(images: DataFrame, block: int, t_srs: str) -> DataFrame:
         gen, schema=_SRC_META_SCHEMA)
 
 
-def _src_px_tiles(images: DataFrame, block: int, t_srs: str) -> DataFrame:
+def _src_px_tiles(images: DataFrame, block: int, t_srs: str,
+                  halo: int = 1) -> DataFrame:
     """Decode-once pre-tiling: per (tile × band) rows with halo payload."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -177,7 +187,7 @@ def _src_px_tiles(images: DataFrame, block: int, t_srs: str) -> DataFrame:
                 planes = [arr] if arr.ndim == 2 else \
                     [arr[:, :, b] for b in range(arr.shape[2])]
                 cap = getattr(rec, "caption", None)
-                for (sx0, sy0, sbw, sbh, hx0, hy0, hw, hh, b) in _tile_meta(rec, block, t_srs):
+                for (sx0, sy0, sbw, sbh, hx0, hy0, hw, hh, b) in _tile_meta(rec, block, t_srs, halo):
                     for band, plane in enumerate(planes):
                         payload = np.ascontiguousarray(
                             plane[hy0:hy0 + hh, hx0:hx0 + hw]).tobytes()
@@ -256,6 +266,11 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
     partially-covered blocks.
     """
     cfg = parse_warp_switches(switches)  # fail-fast
+    if cfg.resampling not in _WARP_HALO:
+        raise NotImplementedError(
+            f"warp: -r {cfg.resampling} is area-based (forward mapping) — "
+            "supported warp kernels: " + "/".join(sorted(_WARP_HALO)))
+    halo = _WARP_HALO[cfg.resampling]
 
     meta_small = images.select("image_id", "w", "h", "gt", "srs")
     if into_meta is not None:
@@ -288,12 +303,12 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
     alg = cfg.resampling
     init_nodata = cfg.init_nodata
 
-    pairs = _with_block_range(_src_px_tiles(images, block, t_srs),
+    pairs = _with_block_range(_src_px_tiles(images, block, t_srs, halo),
                               tgt_gt_b, tw, th, block)
 
     if into_tiles is not None:
         # covered blocks from METADATA-only tiling (no decode)
-        covered = (_with_block_range(_src_meta_tiles(images, block, t_srs),
+        covered = (_with_block_range(_src_meta_tiles(images, block, t_srs, halo),
                                      tgt_gt_b, tw, th, block)
                    .select("block_x", "block_y").distinct())
         into_l0 = into_tiles.filter(F.col("level") == 0)
@@ -353,7 +368,9 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
                 outs[band] = np.full(bw * bh, init_nodata, dtype=dt)
             plane = np.frombuffer(r.payload, dtype=dt).reshape(r.hh, r.hw)
             glob_in = ok & (ppx >= 0) & (ppx < r.sw) & (ppy >= 0) & (ppy < r.sh)
-            if alg == "bilinear":
+            if alg != "nearest":  # separable convolution kernels
+                kfn, radius = _KERNELS[alg]
+                rad = int(np.ceil(radius))
                 fx = np.clip(ppx - 0.5, 0, r.sw - 1)
                 fy = np.clip(ppy - 0.5, 0, r.sh - 1)
                 x0i = np.floor(fx).astype(np.int64)
@@ -363,18 +380,21 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
                        & (y0i >= r.sy0) & (y0i < r.sy0 + r.sbh) & glob_in)
                 if not own.any():
                     continue
-                x1i = np.minimum(x0i + 1, r.sw - 1)
-                y1i = np.minimum(y0i + 1, r.sh - 1)
-                wx = fx - x0i
-                wy = fy - y0i
-                lx0, lx1 = x0i - r.hx0, x1i - r.hx0
-                ly0, ly1 = y0i - r.hy0, y1i - r.hy0
                 o = own
+                fxo, fyo = fx[o], fy[o]
+                x0o, y0o = x0i[o], y0i[o]
                 p = plane.astype(np.float64)
-                v = (p[ly0[o], lx0[o]] * (1 - wx[o]) * (1 - wy[o])
-                     + p[ly0[o], lx1[o]] * wx[o] * (1 - wy[o])
-                     + p[ly1[o], lx0[o]] * (1 - wx[o]) * wy[o]
-                     + p[ly1[o], lx1[o]] * wx[o] * wy[o])
+                acc = np.zeros(fxo.shape, dtype=np.float64)
+                wsum = np.zeros(fxo.shape, dtype=np.float64)
+                for dy in range(-rad + 1, rad + 1):
+                    yy = np.clip(y0o + dy, 0, r.sh - 1)
+                    wy = kfn(fyo - (y0o + dy))
+                    for dx in range(-rad + 1, rad + 1):
+                        xx = np.clip(x0o + dx, 0, r.sw - 1)
+                        wk = kfn(fxo - (x0o + dx)) * wy
+                        acc += p[yy - r.hy0, xx - r.hx0] * wk
+                        wsum += wk
+                v = acc / np.where(wsum == 0, 1.0, wsum)
                 if np.issubdtype(dt, np.integer):
                     v = np.clip(np.floor(v + 0.5), np.iinfo(dt).min, np.iinfo(dt).max)
                 outs[band][o] = v.astype(dt)

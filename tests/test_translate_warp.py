@@ -239,3 +239,38 @@ def test_warp_tiled_equals_untiled_randomized(spark):
         a = _mosaic_array(WP.warp(spark, images, sw, block=blk).collect(), tw, th)
         b = _mosaic_array(WP.warp(spark, images, sw, block=256).collect(), tw, th)
         assert np.array_equal(a, b), (trial, h, w, tw, th, blk, alg)
+
+
+@pytest.mark.parametrize("alg", ["cubic", "lanczos"])
+def test_warp_kernel_identity_grid(spark, alg):
+    """On an aligned same-resolution grid every sample lands exactly on a
+    pixel center where Catmull-Rom and Lanczos weights collapse to the
+    identity — output must equal input bit-for-bit."""
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 255, (12, 17), dtype=np.uint8).astype(np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("idg", arr, "raw8", gt=[5, 0.25, 0, 40, 0, -0.25])])
+    out = WP.warp(spark, images, ["-r", alg], block=256)
+    got = _mosaic_array(out.collect(), 17, 12)
+    assert np.array_equal(got, arr)
+
+
+@pytest.mark.parametrize("alg", ["cubic", "cubicspline", "lanczos"])
+def test_warp_kernel_tiled_equals_untiled(spark, alg):
+    """Kernel-radius halos must keep tiling invisible for radius-2/3
+    kernels too."""
+    rng = np.random.default_rng(33)
+    arr = rng.integers(0, 255, (18, 22), dtype=np.uint8).astype(np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("k", arr, "raw8", gt=[0, 1, 0, 18, 0, -1])])
+    sw = ["-ts", "30", "25", "-r", alg]
+    a = _mosaic_array(WP.warp(spark, images, sw, block=6).collect(), 30, 25)
+    b = _mosaic_array(WP.warp(spark, images, sw, block=256).collect(), 30, 25)
+    assert np.array_equal(a, b)
+
+
+def test_warp_area_kernels_raise():
+    from godal_spark.operators.warp import _WARP_HALO  # noqa: F401
+    import godal_spark.operators.warp as W
+    with pytest.raises(NotImplementedError, match="area-based"):
+        W.warp(None, None, ["-r", "average"])
