@@ -159,3 +159,32 @@ def test_overlay_conservation_random_stars(sa, sb):
     got = (G.points_in_polygon(x, y, inter) if not inter.is_empty
            else np.zeros_like(ia))
     assert (got != (ia & ib)).mean() < 0.01  # boundary-eps disagreements only
+
+
+@settings(deadline=None, max_examples=40)
+@given(st.integers(0, 10**6))
+def test_wkb_wkt_roundtrip_random_geometries(seed):
+    """Serialization fuzz: random polygons (with holes), multipolygons,
+    points and linestrings survive WKB and WKT round-trips with exact
+    structure and (for WKB) exact coordinates."""
+    rng = np.random.default_rng(seed)
+    kind = int(rng.integers(0, 4))
+    if kind == 0:
+        g = G.point(float(rng.uniform(-180, 180)), float(rng.uniform(-90, 90)))
+    elif kind == 1:
+        pts = rng.uniform(-100, 100, (int(rng.integers(2, 8)), 2))
+        g = G.Geom("LineString", pts)
+    elif kind == 2:
+        shell = _star(seed, 0.0, 0.0)
+        hole = np.array([[0.1, 0.1], [0.2, 0.1], [0.2, 0.2], [0.1, 0.2],
+                         [0.1, 0.1]])
+        g = G.Geom("Polygon", [shell.coords[0], hole])
+    else:
+        g = G.multipolygon([_star(seed, 0, 0), _star(seed + 1, 20, 20)])
+    rt = G.from_wkb(G.to_wkb(g))
+    assert rt.type == g.type
+    assert np.allclose(rt._all_points(), g._all_points())
+    assert abs(rt.area() - g.area()) < 1e-12
+    rt2 = G.from_wkt(G.to_wkt(g, digits=12))
+    assert rt2.type == g.type
+    assert abs(rt2.area() - g.area()) < 1e-6
