@@ -58,7 +58,11 @@ from godal_spark.operators.tiling import TILE_SCHEMA, block_grid_list
 # (average/gauss/mode) need forward mapping and raise error-first.
 # halo width = kernel radius so cross-tile samples stay local.
 _WARP_HALO = {"nearest": 1, "bilinear": 1, "cubic": 2, "cubicspline": 2,
-              "lanczos": 3}
+              "lanczos": 3,
+              # average is FORWARD-mapped (accumulate source px centers
+              # into target cells — the downscale-mosaic kernel); it
+              # reads only owned pixels, halo 0 would do but 1 is cheap
+              "average": 1}
 
 
 @dataclass
@@ -268,8 +272,9 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
     cfg = parse_warp_switches(switches)  # fail-fast
     if cfg.resampling not in _WARP_HALO:
         raise NotImplementedError(
-            f"warp: -r {cfg.resampling} is area-based (forward mapping) — "
-            "supported warp kernels: " + "/".join(sorted(_WARP_HALO)))
+            f"warp: -r {cfg.resampling} unsupported (mode needs value "
+            "voting, gauss is an overview kernel) — supported warp "
+            "kernels: " + "/".join(sorted(_WARP_HALO)))
     halo = _WARP_HALO[cfg.resampling]
 
     meta_small = images.select("image_id", "w", "h", "gt", "srs")
@@ -350,6 +355,49 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
             ["image_id", "band", "sy0", "sx0"], kind="mergesort")
         if len(src):
             cap = src.iloc[0]["caption"]
+
+        if alg == "average" and len(src):
+            # forward mapping: per (image, band) accumulate the OWNED
+            # source pixel centers that land in this block, then commit
+            # (later images overwrite, GDAL source-order semantics)
+            for (_, band), grp in src.groupby(["image_id", "band"], sort=True):
+                band = int(band)
+                acc = np.zeros(bw * bh, dtype=np.float64)
+                cnt = np.zeros(bw * bh, dtype=np.int64)
+                dt = np.dtype(grp.iloc[0]["dtype"])
+                for r in grp.itertuples(index=False):
+                    plane = np.frombuffer(r.payload, dtype=np.dtype(r.dtype))                         .reshape(r.hh, r.hw)
+                    sxs = np.arange(r.sx0, r.sx0 + r.sbw) + 0.5
+                    sys_ = np.arange(r.sy0, r.sy0 + r.sbh) + 0.5
+                    gxx, gyy = np.meshgrid(sxs, sys_)
+                    gx, gy = CRS.pixel_to_geo(list(r.gt), gxx.ravel(), gyy.ravel())
+                    if r.srs != t_srs:
+                        gx, gy, okf = CRS.transform_points(gx, gy, r.srs, t_srs)
+                    else:
+                        okf = np.ones(gx.shape, dtype=bool)
+                    tx, ty = CRS.geo_to_pixel(tgt_gt_b, gx, gy)
+                    ix = np.floor(tx).astype(np.int64) - x0
+                    iy = np.floor(ty).astype(np.int64) - y0
+                    inb = okf & (ix >= 0) & (ix < bw) & (iy >= 0) & (iy < bh)
+                    if not inb.any():
+                        continue
+                    flat = iy[inb] * bw + ix[inb]
+                    vals = plane[r.sy0 - r.hy0:r.sy0 - r.hy0 + r.sbh,
+                                 r.sx0 - r.hx0:r.sx0 - r.hx0 + r.sbw]                         .astype(np.float64).ravel()[inb]
+                    np.add.at(acc, flat, vals)
+                    np.add.at(cnt, flat, 1)
+                got = cnt > 0
+                if not got.any():
+                    continue
+                if band not in outs:
+                    outs[band] = np.full(bw * bh, init_nodata, dtype=dt)
+                v = acc[got] / cnt[got]
+                if np.issubdtype(dt, np.integer):
+                    v = np.clip(np.floor(v + 0.5),
+                                np.iinfo(dt).min, np.iinfo(dt).max)
+                outs[band][got] = v.astype(outs[band].dtype)
+            src = src.iloc[0:0]  # handled
+
         # per-image inverse mapping cache: ppx/ppy depend only on (gt, srs)
         mcache: dict[str, tuple] = {}
         for r in src.itertuples(index=False):

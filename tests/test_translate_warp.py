@@ -269,8 +269,41 @@ def test_warp_kernel_tiled_equals_untiled(spark, alg):
     assert np.array_equal(a, b)
 
 
-def test_warp_area_kernels_raise():
-    from godal_spark.operators.warp import _WARP_HALO  # noqa: F401
+def test_warp_unsupported_kernels_raise():
     import godal_spark.operators.warp as W
-    with pytest.raises(NotImplementedError, match="area-based"):
-        W.warp(None, None, ["-r", "average"])
+    for alg in ("mode", "gauss"):
+        with pytest.raises(NotImplementedError, match="supported warp kernels"):
+            W.warp(None, None, ["-r", alg])
+
+
+def test_warp_average_downscale_golden(spark):
+    """-r average (forward mapping): aligned 2:1 downscale makes every
+    target pixel the mean of its 2x2 source block — hand-derivable."""
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("a", arr, "raw8", gt=[0, 1, 0, 8, 0, -1])])
+    out = WP.warp(spark, images, ["-ts", "4", "4", "-r", "average"], block=256)
+    got = _mosaic_array(out.collect(), 4, 4)
+    exp = np.floor(arr.reshape(4, 2, 4, 2).mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+    assert np.array_equal(got, exp)
+
+
+def test_warp_average_tiled_and_multisource(spark):
+    """average must be tile-invisible and respect source order."""
+    rng = np.random.default_rng(41)
+    arr = rng.integers(0, 255, (16, 24), dtype=np.uint8).astype(np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("m", arr, "raw8", gt=[0, 1, 0, 16, 0, -1])])
+    sw = ["-ts", "12", "8", "-r", "average"]
+    a = _mosaic_array(WP.warp(spark, images, sw, block=5).collect(), 12, 8)
+    b = _mosaic_array(WP.warp(spark, images, sw, block=256).collect(), 12, 8)
+    assert np.array_equal(a, b)
+    # two overlapping constants: later image_id wins on the overlap
+    i2 = datagen.images_df(spark, [
+        datagen.image_row("a_lo", np.full((4, 4), 10, np.uint8), "raw8",
+                          gt=[0, 1, 0, 4, 0, -1]),
+        datagen.image_row("b_hi", np.full((4, 4), 200, np.uint8), "raw8",
+                          gt=[2, 1, 0, 4, 0, -1])])
+    got = _mosaic_array(WP.warp(spark, i2, ["-r", "average"], block=256)
+                        .collect(), 6, 4)
+    assert (got[:, :2] == 10).all() and (got[:, 2:] == 200).all()
