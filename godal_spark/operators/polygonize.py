@@ -397,6 +397,39 @@ def _cid_base(bx: int, by: int) -> int:
     return (bx << 42) | (by << 21)
 
 
+
+def _dissolve_pixel_rings(polys: list) -> "G.Geom":
+    """Dissolve per-tile rectilinear rings (integer pixel coords, y-down)
+    into one clean geometry: decompose every ring segment into unit
+    directed edges — shared tile-border runs appear as exact OPPOSITE
+    unit edges and cancel in the stitcher — then re-walk rings, merge
+    collinear runs and sort shells/holes. No axis flip needed: a shell
+    traced CW in y-down screen space reads as CCW under the standard
+    shoelace, exactly geom._assemble's shell convention."""
+    edges = []
+    for rings in polys:
+        for r in rings:
+            ri = np.asarray(r)
+            for i in range(len(ri) - 1):
+                x0, y0 = int(round(ri[i, 0])), int(round(ri[i, 1]))
+                x1, y1 = int(round(ri[i + 1, 0])), int(round(ri[i + 1, 1]))
+                dx = (x1 > x0) - (x1 < x0)
+                dy = (y1 > y0) - (y1 < y0)
+                n = max(abs(x1 - x0), abs(y1 - y0))
+                for k in range(n):
+                    edges.append(((float(x0 + k * dx), float(y0 + k * dy)),
+                                  (float(x0 + (k + 1) * dx),
+                                   float(y0 + (k + 1) * dy))))
+    out = G._assemble(G._stitch(edges))
+    merged = [[_merge_collinear(np.asarray(r, dtype=np.float64))
+               for r in rings2] for rings2 in out.polygons()]
+    if not merged:
+        return G.empty("Polygon")
+    if len(merged) == 1:
+        return G.Geom("Polygon", merged[0])
+    return G.Geom("MultiPolygon", merged)
+
+
 def _resolve_roots_distributed(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     """Connected components over the border-equivalence graph WITHOUT
     collecting it: iterative min-label propagation with pointer doubling
@@ -455,13 +488,13 @@ def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
          min-label propagation with pointer doubling (O(log diameter)
          rounds) — no driver collect at any scale;
       4. merge: one row per root — n_pixels summed, area summed, and the
-         part rings concatenated into a MultiPolygon when the component
-         spans ≤ max_geom_parts tiles (geometry NULL beyond that:
-         a continent-sized component's outline is not a row).
+         part rings DISSOLVED across tile borders (unit-edge
+         decomposition on the integer pixel grid; shared border runs are
+         exact opposite edges and cancel) when the component spans
+         ≤ max_geom_parts tiles (geometry NULL beyond that: a
+         continent-sized component's outline is not a row).
 
-    Runs eagerly (phases 2-3 require an action). Geometry parts are
-    area- and containment-exact but not edge-dissolved across tile
-    boundaries (same documented semantics as _cells_to_geom).
+    Runs eagerly (phases 2-3 require an action).
     """
     from pyspark.sql import functions as F
 
@@ -613,8 +646,11 @@ def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
                 polys = []
                 for buf in pdf["wkb"]:
                     polys.extend(G.from_wkb(bytes(buf)).polygons())
-                g = (G.Geom("Polygon", polys[0]) if len(polys) == 1
-                     else G.Geom("MultiPolygon", polys))
+                if len(polys) == 1:
+                    g = G.Geom("Polygon", polys[0])
+                else:
+                    # true cross-tile dissolve: shared border runs cancel
+                    g = _dissolve_pixel_rings(polys)
                 geom = G.to_wkb(g)
             return pd.DataFrame({
                 "image_id": [image_id], "band": [band],

@@ -145,10 +145,24 @@ def test_polygonize_tiles_matches_gathered(spark, eight):
     big = [r for r in dist if r.n_pixels >= 24 + 33 - 1]
     assert len(big) == 1 and big[0].value == 200.0
     assert big[0].n_parts > 4
-    # geometry assembled (<= max_geom_parts): pixel-count == area
+    # geometry assembled (<= max_geom_parts): pixel-count == area AND the
+    # cross-tile rings are truly DISSOLVED — identical ring structure to
+    # the same component polygonized without tiling
     from godal_spark.functions import geom as G
     g = G.from_wkb(bytes(big[0].geometry))
     assert g.area() == pytest.approx(big[0].n_pixels)
+    gbig = [r for r in gathered if r.n_pixels == big[0].n_pixels
+            and r.value == 200.0]
+    gg = G.from_wkb(bytes(gbig[0].geometry))
+
+    def canon(geom):
+        out = []
+        for rings in geom.polygons():
+            for r in rings:
+                pts = {(float(x), float(y)) for x, y in r[:-1]}
+                out.append((len(r), tuple(sorted(pts))))
+        return sorted(out)
+    assert canon(g) == canon(gg)
 
 
 def test_polygonize_tiles_distributed_root_resolution(spark):
