@@ -143,7 +143,9 @@ def run_suite() -> dict:
     n_images = max(2000, int(20000 * (sf / 0.1))) if sf > 0 else 20000
     head = headline_pipeline(spark, n_images, max(500, n_images // 10))
     out = {
-        "metric": "engine suite wall time (19 queries; ALL 34 driver entries oracle-checked) + headline tile+PIP throughput",
+        "metric": (f"engine suite wall time ({len(BENCH_QUERIES)} queries; "
+                   f"ALL {len(qs)} driver entries oracle-checked) "
+                   "+ headline tile+PIP throughput"),
         "value": round(sum(times.values()) + head["wall_s"], 3),
         "unit": "sec",
         "queries": {**times, "headline_tile_pip": round(head["wall_s"], 3)},

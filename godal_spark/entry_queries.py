@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from godal_spark.functions import geom as G
 from godal_spark.operators import knn as knn_op
 from godal_spark.operators import pip as pip_op
+from godal_spark.operators import rasterize as RZ
 from godal_spark.operators import tiling
 
 # ---------------------------------------------------------------------------
@@ -71,14 +72,22 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join("/tmp", "godal_spark_pyfiles.zip")
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+    sources = []
+    for root, _, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    # REBUILD when any source is newer than the zip: a stale zip from a
+    # previous session wins over PYTHONPATH in the worker's sys.path and
+    # silently runs old code (round-3 bug: workers ran round-2 warp.py).
+    newest_src = max(os.path.getmtime(p) for p in sources)
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full in sorted(sources):
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+        os.replace(tmp, zip_path)  # atomic vs concurrent sessions
     try:
         sc.addPyFile(zip_path)
     except Exception:
@@ -421,6 +430,47 @@ c AS (SELECT n_name, minx, miny, maxx, maxy,
 SELECT n_name, count(*) FILTER (WHERE cx >= minx AND cx <= maxx
                                   AND cy >= miny AND cy <= maxy) AS n_burned
 FROM c GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8b. rasterize_tiles — the DISTRIBUTED tile-native burn: nation boxes on a
+#     360x180 1° world grid, 64px tiles; per-tile burned-pixel counts
+#     (Rasterize godal.go:2340-2396, tile plan rasterize.py:134)
+# ---------------------------------------------------------------------------
+
+def q_rasterize_tiles(spark, sf_dir):
+    fps = _nation_footprints(spark, sf_dir)
+    tiles = RZ.rasterize_tiles(fps, te=(-180.0, -90.0, 180.0, 90.0),
+                               ts=(360, 180), bw=64, bh=64, init=0, burn=1)
+
+    def cnt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "block_x": pdf["block_x"].astype("int64"),
+                "block_y": pdf["block_y"].astype("int64"),
+                "n_burned": [int(np.frombuffer(p, np.uint8).sum())
+                             for p in pdf["payload"]]})
+
+    return tiles.mapInPandas(
+        cnt, schema="block_x bigint, block_y bigint, n_burned bigint")
+
+
+SQL_RASTERIZE_TILES = f"""
+WITH nb AS ({_ORACLE_NB}),
+gi AS (SELECT unnest(range(0, 360)) AS i),
+gj AS (SELECT unnest(range(0, 180)) AS j),
+px AS (SELECT i, j, -180.0 + (i + 0.5) AS cx, 90.0 - (j + 0.5) AS cy FROM gi, gj),
+burned AS (SELECT i, j FROM px WHERE EXISTS (
+    SELECT 1 FROM nb WHERE cx >= minx AND cx <= maxx
+                       AND cy >= miny AND cy <= maxy)),
+tg AS (SELECT bx.v AS block_x, bj.v AS block_y
+       FROM (SELECT unnest(range(0, 6)) AS v) bx,
+            (SELECT unnest(range(0, 3)) AS v) bj)
+SELECT tg.block_x, tg.block_y, count(b.i) AS n_burned
+FROM tg LEFT JOIN burned b
+  ON b.i // 64 = tg.block_x AND b.j // 64 = tg.block_y
+GROUP BY tg.block_x, tg.block_y
 """
 
 
@@ -1185,6 +1235,7 @@ QUERIES = {
     "raster_stats": q_raster_stats,
     "histogram": q_histogram,
     "rasterize": q_rasterize,
+    "rasterize_tiles": q_rasterize_tiles,
     "translate_resize": q_translate_resize,
     "bounds": q_bounds,
     "geom_area": q_geom_area,
@@ -1205,7 +1256,8 @@ QUERIES = {
     "knn_fine": q_knn_fine,
     "quality_filter": q_quality_filter,
     # oracle-checked as of round 2 (constant tables / exhaustive-probe /
-    # SQL replicas); image_phash stays rows-only (binary decode path)
+    # SQL replicas); image_phash too — constructed ramp image whose
+    # byte-copy phash is derivable in SQL (SQL_IMAGE_PHASH)
     "polygonize_diag": q_polygonize_diag,
     "polygonize_dist": q_polygonize_dist,
     "simhash_pairs": q_simhash_pairs,
@@ -1223,6 +1275,7 @@ ORACLES = {
     "raster_stats": SQL_RASTER_STATS,
     "histogram": SQL_HISTOGRAM,
     "rasterize": SQL_RASTERIZE,
+    "rasterize_tiles": SQL_RASTERIZE_TILES,
     "translate_resize": SQL_TRANSLATE_RESIZE,
     "bounds": SQL_BOUNDS,
     "geom_area": SQL_GEOM_AREA,

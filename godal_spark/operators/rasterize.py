@@ -9,20 +9,39 @@ Golden contracts (godal_test.go:2380-2521):
     bands; Bands(i)+Values per band; count mismatches and out-of-range
     band indexes error BEFORE touching pixels.
 
-Kernels are numpy (vectorized ray cast on pixel centers); the Spark
-wrapper burns per tile after a cell-indexed geometry×tile join — the
-same join spine as pip.pip_join, with the tile as the point-set side.
+Kernels are numpy (vectorized ray cast on pixel centers). The Spark
+plan is tile-native (the warp pattern, warp.py:214-260):
+
+  1. target block grid from ``spark.range`` — pure codegen, no driver
+     list (a 100k x 100k target at 256px tiles is ~153k rows);
+  2. geometry side: WKB→bbox once (Arrow batch), bbox→pixel range→block
+     range with built-in arithmetic, two ``sequence`` explodes — each
+     geometry is duplicated only to the tiles its bbox covers;
+  3. grid LEFT JOIN geoms on (block_x, block_y) — empty tiles keep a
+     null geometry and cost one init-fill row;
+  4. groupBy tile → applyInPandas burns all covering geometries into
+     that tile's sub-grid. Masks never leave the executor; no
+     ``collect()`` of pixel data anywhere in the plan (the round-2
+     driver-side bitmap OR-merge was a scale-killer at large targets).
+
+The monolithic ``rasterize`` (the gdal_rasterize work-alike returning
+one full-raster row) is tiles + a single-group executor-side assembly —
+only sensible for rasters that fit one task, which is exactly when you
+ask for a monolithic payload.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from godal_spark.functions import crs as CRS, geom as G
+
+TILE_SCHEMA = ("block_x int, block_y int, x0 int, y0 int, bw int, bh int, "
+               "dtype string, payload binary")
 
 
 def _pixel_centers(gt, w: int, h: int):
@@ -86,7 +105,7 @@ def rasterize_array(geoms: list[G.Geom], te, ts, *, init: float = 0.0,
                     burn: float = 1.0, all_touched: bool = False,
                     dtype=np.uint8) -> tuple[np.ndarray, list[float]]:
     """gdal_rasterize to a new grid: -te minx miny maxx maxy, -ts w h.
-    Returns (array, gt)."""
+    Returns (array, gt). Single-machine oracle for the Spark plan."""
     minx, miny, maxx, maxy = te
     w, h = ts
     gt = [minx, (maxx - minx) / w, 0.0, maxy, 0.0, -(maxy - miny) / h]
@@ -97,33 +116,118 @@ def rasterize_array(geoms: list[G.Geom], te, ts, *, init: float = 0.0,
     return out, gt
 
 
+def target_tile_grid(spark, w: int, h: int, bw: int, bh: int) -> DataFrame:
+    """The target's block grid as a DataFrame — ``spark.range`` plus
+    codegen arithmetic, scanline order in (block_y, block_x). Never a
+    driver-side list (100-TB targets have ~10^5-10^6 tiles)."""
+    nbx = (w + bw - 1) // bw
+    nby = (h + bh - 1) // bh
+    return (spark.range(nbx * nby)
+            .select((F.col("id") % nbx).cast("int").alias("block_x"),
+                    F.floor(F.col("id") / nbx).cast("int").alias("block_y"))
+            .withColumn("x0", (F.col("block_x") * bw).cast("int"))
+            .withColumn("y0", (F.col("block_y") * bh).cast("int"))
+            .withColumn("bw", F.least(F.lit(bw), F.lit(w) - F.col("x0")).cast("int"))
+            .withColumn("bh", F.least(F.lit(bh), F.lit(h) - F.col("y0")).cast("int")))
+
+
+def rasterize_tiles(footprints: DataFrame, te, ts, *, bw: int = 256,
+                    bh: int = 256, init: float = 0.0, burn: float = 1.0,
+                    all_touched: bool = False,
+                    geometry: str = "geometry") -> DataFrame:
+    """Distributed Rasterize: burn per target tile.
+
+    Output: one row per target tile (TILE_SCHEMA), uint8 payload —
+    including untouched tiles (init fill), so the result is a complete
+    level-0 tile set compatible with tiling/overview/cogify sinks.
+
+    Scale shape: one bbox Arrow pass over the geometries, a codegen
+    block-range explode (each geometry → only the tiles its bbox
+    covers), one shuffle on the tile key, and an Arrow-batched burn.
+    Hot tiles (many geometries on one tile) are bounded by the tile's
+    pixel count — the burn is an OR into a bw x bh mask regardless of
+    the geometry count; AQE skew-join splits oversized shuffle reads.
+    """
+    minx, miny, maxx, maxy = (float(v) for v in te)
+    w, h = (int(v) for v in ts)
+    pw = (maxx - minx) / w
+    ph = (maxy - miny) / h
+    gt = [minx, pw, 0.0, maxy, 0.0, -ph]
+    nbx = (w + bw - 1) // bw
+    nby = (h + bh - 1) // bh
+    spark = footprints.sparkSession
+    grid = target_tile_grid(spark, w, h, bw, bh)
+
+    fps = footprints
+    if not set(("minx", "miny", "maxx", "maxy")) <= set(fps.columns):
+        from godal_spark.operators.pip import with_bbox
+
+        fps = with_bbox(fps, geometry)
+    # bbox → pixel range → block range (codegen). Widened by one pixel on
+    # each side so boundary-exact bboxes (geometry edge on a tile seam)
+    # land in every tile whose pixels the monolithic kernel could light —
+    # guarantees tiled == monolithic for both center-point and -at rules.
+    pxlo = (F.col("minx") - minx) / pw - 1.0
+    pxhi = (F.col("maxx") - minx) / pw + 1.0
+    pylo = (maxy - F.col("maxy")) / ph - 1.0
+    pyhi = (maxy - F.col("miny")) / ph + 1.0
+    geoms = (fps
+             .filter((pxhi > 0) & (pxlo < w) & (pyhi > 0) & (pylo < h))
+             .withColumn("__bxlo", F.greatest(F.lit(0), F.floor(pxlo / bw)).cast("int"))
+             .withColumn("__bxhi", F.least(F.lit(nbx - 1), F.floor(pxhi / bw)).cast("int"))
+             .withColumn("__bylo", F.greatest(F.lit(0), F.floor(pylo / bh)).cast("int"))
+             .withColumn("__byhi", F.least(F.lit(nby - 1), F.floor(pyhi / bh)).cast("int"))
+             .withColumn("block_x", F.explode(F.sequence(F.col("__bxlo"), F.col("__bxhi"))))
+             .withColumn("block_y", F.explode(F.sequence(F.col("__bylo"), F.col("__byhi"))))
+             .select("block_x", "block_y", F.col(geometry).alias("__geom")))
+
+    pairs = grid.join(geoms, ["block_x", "block_y"], "left")
+    init_b, burn_b = float(init), float(burn)
+    at = bool(all_touched)
+
+    def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bx, by = int(key[0]), int(key[1])
+        x0, y0 = bx * bw, by * bh
+        tw = min(bw, w - x0)
+        th = min(bh, h - y0)
+        sub_gt = [gt[0] + x0 * gt[1] + y0 * gt[2], gt[1], gt[2],
+                  gt[3] + x0 * gt[4] + y0 * gt[5], gt[4], gt[5]]
+        acc = np.zeros((th, tw), dtype=bool)
+        for b in pdf["__geom"].dropna():
+            acc |= _coverage_mask(G.from_wkb(bytes(b)), sub_gt, tw, th, at)
+        arr = np.where(acc, burn_b, init_b).astype(np.uint8)
+        return pd.DataFrame({
+            "block_x": [bx], "block_y": [by], "x0": [x0], "y0": [y0],
+            "bw": [tw], "bh": [th], "dtype": ["uint8"],
+            "payload": [arr.tobytes()]})
+
+    return pairs.groupBy("block_x", "block_y").applyInPandas(burn_tile, schema=TILE_SCHEMA)
+
+
 def rasterize(footprints: DataFrame, te, ts, *, init: float = 0.0,
               burn: float = 1.0, all_touched: bool = False,
-              geometry: str = "geometry") -> DataFrame:
-    """Distributed Rasterize: geometries partial-burn per partition →
-    OR-combine masks (burn/init are constants, so the merge is a bitwise
-    max over partial masks — one small reduce of w*h bitmaps)."""
+              geometry: str = "geometry", block: int = 256) -> DataFrame:
+    """gdal_rasterize work-alike returning ONE full-raster row
+    (w, h, dtype, payload, gt). Runs the tiled plan and assembles the
+    mosaic in a single executor task — pixel bytes never pass through
+    the driver; only ask for a monolithic payload when the raster fits
+    one task (otherwise keep the ``rasterize_tiles`` tile set)."""
     minx, miny, maxx, maxy = (float(v) for v in te)
     w, h = (int(v) for v in ts)
     gt = [minx, (maxx - minx) / w, 0.0, maxy, 0.0, -(maxy - miny) / h]
+    tiles = rasterize_tiles(footprints, te, ts, bw=block, bh=block,
+                            init=init, burn=burn, all_touched=all_touched,
+                            geometry=geometry)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = np.zeros((h, w), dtype=bool)
-        any_rows = False
-        for pdf in batches:
-            for b in pdf[geometry]:
-                any_rows = True
-                acc |= _coverage_mask(G.from_wkb(bytes(b)), gt, w, h, all_touched)
-        yield pd.DataFrame({"mask": [acc.tobytes()] if any_rows else []})
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros((h, w), dtype=np.uint8)
+        for r in pdf.itertuples(index=False):
+            out[r.y0:r.y0 + r.bh, r.x0:r.x0 + r.bw] = \
+                np.frombuffer(r.payload, np.uint8).reshape(r.bh, r.bw)
+        return pd.DataFrame({
+            "w": [w], "h": [h], "dtype": ["uint8"],
+            "payload": [out.tobytes()], "gt": [gt]})
 
-    partial = footprints.select(geometry).mapInPandas(gen, schema="mask binary")
-    rows = partial.collect()
-    acc = np.zeros((h, w), dtype=bool)
-    for r in rows:
-        acc |= np.frombuffer(r.mask, dtype=bool).reshape(h, w)
-    out = np.where(acc, burn, init).astype(np.uint8)
-    spark = footprints.sparkSession
-    return spark.createDataFrame(pd.DataFrame({
-        "w": [w], "h": [h], "dtype": ["uint8"], "payload": [out.tobytes()],
-        "gt": [gt],
-    }), schema="w int, h int, dtype string, payload binary, gt array<double>")
+    return (tiles.groupBy(F.lit(1).alias("__k"))
+            .applyInPandas(assemble,
+                           schema="w int, h int, dtype string, payload binary, gt array<double>"))
