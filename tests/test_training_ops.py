@@ -248,3 +248,30 @@ def test_embedding_dedup_degenerate_bucket_star(spark):
     assert all(r.id_a == 0 for r in rows)
     assert {r.id_b for r in rows} == set(range(1, n))
     assert all(r.cosine == pytest.approx(1.0) for r in rows)
+
+
+def test_multimodal_mixed_jpeg_sampling_ingest(spark):
+    """Real-world ingest mix: 4:4:4, 4:2:0, and 4:2:0+restart JPEG rows
+    side by side through the Spark decode path (round-3: external data
+    is overwhelmingly 4:2:0 — round 2 raised on it)."""
+    from godal_spark.functions import jpeg as J
+
+    y, x = np.mgrid[0:32, 0:32]
+    arr = np.stack([100 + y // 2, 80 + x // 2, 90 + (x + y) // 4],
+                   axis=-1).astype(np.uint8)
+    rows = []
+    for name, kw in [("r444", {}), ("r420", {"subsampling": "420"}),
+                     ("r420dri", {"subsampling": "420", "restart_interval": 2})]:
+        r = datagen.image_row(name, arr, "png")  # template row
+        r["bytes"] = J.encode_jpeg(arr, quality=95, **kw)
+        r["fmt"] = "jpeg"
+        rows.append(r)
+    feats = MM.decode_image_features(datagen.images_df(spark, rows)).collect()
+    assert len(feats) == 3
+    by_id = {f.image_id: f for f in feats}
+    for f in feats:
+        assert (f.w, f.h, f.bands) == (32, 32, 3)
+        assert abs(f.px_mean - float(arr.mean())) < 2.0
+    # subsampling must not perturb the perceptual hash (luma-driven)
+    assert bin(by_id["r444"].phash64 ^ by_id["r420"].phash64).count("1") <= 4
+    assert by_id["r420"].phash64 == by_id["r420dri"].phash64
