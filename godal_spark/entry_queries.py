@@ -1081,6 +1081,142 @@ def q_polygonize_dist(spark, sf_dir):
         F.sum("n_pixels").cast("bigint").alias("n_pixels"))
 
 
+def q_sieve(spark, sf_dir):
+    """Distributed SieveFilter over a 16x24 categorical raster split into
+    8x8 tiles: a 6-px run straddling a tile seam must survive threshold 5
+    (global size), a 1-px speck and a 4-px blob must merge into the
+    background. Per-value pixel counts after the sieve."""
+    _ensure_workers_can_import(spark)
+    from godal_spark import datagen
+    from godal_spark.operators import polygonize as PZ, tiling as TL
+
+    arr = np.zeros((16, 24), dtype=np.uint8)
+    arr[3, 6:12] = 7       # 6 px across the bw=8 seam → survives
+    arr[10, 10] = 9        # 1 px → background
+    arr[12:14, 15:17] = 5  # 4 px → background
+    arr[0:6, 20:24] = 3    # 24 px → survives
+    images = datagen.images_df(spark, [datagen.image_row("sv", arr, "raw8")])
+    tiles = TL.explode_tiles(images, bw=8, bh=8)
+    out = PZ.sieve_tiles(tiles, 5)
+
+    def cnt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals, ns = [], []
+            for r in pdf.itertuples(index=False):
+                a = np.frombuffer(r.payload, np.uint8)
+                u, c = np.unique(a, return_counts=True)
+                vals.extend(float(v) for v in u)
+                ns.extend(int(v) for v in c)
+            yield pd.DataFrame({"value": vals, "n": ns})
+
+    return (out.mapInPandas(cnt, schema="value double, n bigint")
+            .groupBy("value").agg(F.sum("n").alias("n_pixels")))
+
+
+# hand-derived from the sieve rule (never from engine output): 384 px
+# total; 9 and the 5-blob merge into the surrounding 0-background.
+SQL_SIEVE = """
+SELECT * FROM (VALUES (0.0, cast(354 AS bigint)),
+                      (3.0, cast(24 AS bigint)),
+                      (7.0, cast(6 AS bigint)))
+  t(value, n_pixels)
+"""
+
+
+def q_warp_mode(spark, sf_dir):
+    """warp -r mode (forward value voting), 2:1 aligned downscale of a
+    deterministic categorical image: every target cell is the majority
+    of its 2x2 source block — fully SQL-derivable (the oracle recomputes
+    the vote with a window, not a constant table)."""
+    _ensure_workers_can_import(spark)
+    from godal_spark import datagen
+    from godal_spark.operators import warp as WP
+
+    y, x = np.mgrid[0:16, 0:24]
+    base = (((x // 2) + (y // 2)) % 4 * 10).astype(np.uint8)
+    over = (x % 2 == 1) & (y % 2 == 1) & (((x // 2) + (y // 2)) % 3 == 0)
+    arr = np.where(over, 77, base).astype(np.uint8)  # 3-vs-1 blocks, no ties
+    images = datagen.images_df(spark, [
+        datagen.image_row("cat", arr, "raw8", gt=[0.0, 1.0, 0.0, 16.0, 0.0, -1.0])])
+    tiles = WP.warp(spark, images, ["-ts", "12", "8", "-r", "mode"], block=5)
+
+    def px(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tys, txs, vs = [], [], []
+            for r in pdf.itertuples(index=False):
+                a = np.frombuffer(r.payload, np.dtype(r.dtype)).reshape(r.bh, r.bw)
+                yy, xx = np.mgrid[0:r.bh, 0:r.bw]
+                tys.extend((yy + r.y0).ravel().tolist())
+                txs.extend((xx + r.x0).ravel().tolist())
+                vs.extend(float(v) for v in a.ravel())
+            yield pd.DataFrame({"ty": tys, "tx": txs, "value": vs})
+
+    return tiles.mapInPandas(px, schema="ty bigint, tx bigint, value double")
+
+
+SQL_WARP_MODE = """
+WITH gy AS (SELECT unnest(range(0, 16)) AS y),
+gxy AS (SELECT y, unnest(range(0, 24)) AS x FROM gy),
+px AS (SELECT y, x,
+         CASE WHEN x % 2 = 1 AND y % 2 = 1 AND ((x // 2) + (y // 2)) % 3 = 0
+              THEN 77.0
+              ELSE (((x // 2) + (y // 2)) % 4 * 10)::DOUBLE END AS v
+       FROM gxy),
+votes AS (SELECT y // 2 AS ty, x // 2 AS tx, v, count(*) AS c
+          FROM px GROUP BY 1, 2, 3),
+ranked AS (SELECT ty, tx, v,
+                  row_number() OVER (PARTITION BY ty, tx
+                                     ORDER BY c DESC, v ASC) AS rk
+           FROM votes)
+SELECT ty, tx, v AS value FROM ranked WHERE rk = 1
+"""
+
+
+def q_jpeg_ingest(spark, sf_dir):
+    """Real-world JPEG ingest contract: 4:4:4, 4:2:0, and 4:2:0+restart
+    encodings of the same deterministic image all decode through the
+    Spark path with the right shape and luma PSNR >= 40 (round 2 raised
+    on anything but 4:4:4)."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.functions import jpeg as J
+
+    y, x = np.mgrid[0:32, 0:32]
+    src = np.stack([100 + y // 2, 80 + x // 2, 90 + (x + y) // 4],
+                   axis=-1).astype(np.uint8)
+    variants = [("r444", {}), ("r420", {"subsampling": "420"}),
+                ("r420dri", {"subsampling": "420", "restart_interval": 2})]
+    pdf = pd.DataFrame({
+        "variant": [v for v, _ in variants],
+        "buf": [J.encode_jpeg(src, quality=95, **kw) for _, kw in variants]})
+    df = spark.createDataFrame(pdf, "variant string, buf binary")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from godal_spark.functions import jpeg as JJ
+
+        def luma(a):
+            return (0.299 * a[..., 0] + 0.587 * a[..., 1]
+                    + 0.114 * a[..., 2])
+
+        for pdf2 in batches:
+            out = {"variant": [], "ok": []}
+            for r in pdf2.itertuples(index=False):
+                dec = JJ.decode_jpeg_real(bytes(r.buf))
+                mse = float(np.mean((luma(dec) - luma(src.astype(np.float64)
+                                                      .astype(np.uint8))) ** 2))
+                p = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+                out["variant"].append(r.variant)
+                out["ok"].append(bool(dec.shape == src.shape and p >= 40.0))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(check, schema="variant string, ok boolean")
+
+
+SQL_JPEG_INGEST = """
+SELECT * FROM (VALUES ('r444', true), ('r420', true), ('r420dri', true))
+  t(variant, ok)
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Simhash bucket join over a constructed corpus: 15 docs with
     disjoint vocabularies + an exact copy of each. Exact copies have
@@ -1236,6 +1372,9 @@ QUERIES = {
     "histogram": q_histogram,
     "rasterize": q_rasterize,
     "rasterize_tiles": q_rasterize_tiles,
+    "sieve": q_sieve,
+    "warp_mode": q_warp_mode,
+    "jpeg_ingest": q_jpeg_ingest,
     "translate_resize": q_translate_resize,
     "bounds": q_bounds,
     "geom_area": q_geom_area,
@@ -1276,6 +1415,9 @@ ORACLES = {
     "histogram": SQL_HISTOGRAM,
     "rasterize": SQL_RASTERIZE,
     "rasterize_tiles": SQL_RASTERIZE_TILES,
+    "sieve": SQL_SIEVE,
+    "warp_mode": SQL_WARP_MODE,
+    "jpeg_ingest": SQL_JPEG_INGEST,
     "translate_resize": SQL_TRANSLATE_RESIZE,
     "bounds": SQL_BOUNDS,
     "geom_area": SQL_GEOM_AREA,

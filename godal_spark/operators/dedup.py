@@ -195,18 +195,25 @@ def minhash_lsh_candidates(docs: DataFrame, bands: int = 16,
 
 def jaccard_verify(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    threshold: float = 0.8, *,
-                   signature_prefilter: bool = True,
+                   signature_prefilter: bool = False,
                    shingle_col: str = "shingles") -> DataFrame:
     """Exact Jaccard over candidate pairs via the shingle arrays.
 
-    signature_prefilter: when docs carry a `minhash` column, estimate
-    Jaccard from the signatures first (matching-component fraction —
-    ships num_hashes longs per side instead of the full shingle arrays)
-    and drop pairs whose estimate is below threshold − 2/√num_hashes
-    (≥4σ below the worst-case binomial std, so true pairs at the
-    threshold survive with ~certainty). On boilerplate-heavy corpora
-    where wide-band LSH candidates approach all-pairs, this kills the
-    false candidates before the expensive shingle-array shuffle.
+    Default contract: EXACT — every input pair is measured against its
+    full shingle arrays.
+
+    signature_prefilter=True (opt-in; minhash_lsh_dedup enables it
+    because its candidate set is already probabilistic): when docs carry
+    a `minhash` column, estimate Jaccard from the signatures first
+    (matching-component fraction — ships num_hashes longs per side
+    instead of the full shingle arrays) and drop pairs whose estimate is
+    below threshold − 2/√num_hashes (≥4σ below the worst-case binomial
+    std). A true pair exactly AT the threshold is dropped with
+    probability ≈ Φ(−4) ≈ 3e-5 — the output is probabilistic, not
+    exact, which is why the flag defaults off here. On boilerplate-heavy
+    corpora where wide-band LSH candidates approach all-pairs, the
+    prefilter kills false candidates before the expensive shingle-array
+    shuffle.
     """
     if signature_prefilter and "minhash" in docs.columns:
         ma = docs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("__ma"))
@@ -254,6 +261,7 @@ def minhash_lsh_dedup(docs: DataFrame, *, k: int = 5, num_hashes: int = 64,
         cand = minhash_lsh_candidates(sig, bands=bands, id_col=id_col,
                                       num_hashes=num_hashes)
         return jaccard_verify(sig, cand, id_col=id_col, threshold=threshold,
+                              signature_prefilter=True,
                               shingle_col="shingle_hashes")
     sig = sig.persist()
     try:
@@ -261,6 +269,7 @@ def minhash_lsh_dedup(docs: DataFrame, *, k: int = 5, num_hashes: int = 64,
         cand = minhash_lsh_candidates(sig, bands=bands, id_col=id_col,
                                       num_hashes=num_hashes)
         out = jaccard_verify(sig, cand, id_col=id_col, threshold=threshold,
+                             signature_prefilter=True,
                              shingle_col="shingle_hashes")
         out = out.localCheckpoint(eager=True)
     finally:
@@ -335,7 +344,8 @@ def simhash_dedup(docs: DataFrame, *, id_col: str = "doc_id",
 def embedding_dedup(emb: DataFrame, *, id_col: str = "vec_id",
                     vec_col: str = "embedding", threshold: float = 0.95,
                     n_planes: int = 16, seed: int = 42,
-                    max_bucket: int = 1024) -> DataFrame:
+                    max_bucket: int = 1024,
+                    oversized_metrics: dict | None = None) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold.
 
     Candidates from random-hyperplane LSH (sign sketch) buckets, verified
@@ -371,6 +381,17 @@ def embedding_dedup(emb: DataFrame, *, id_col: str = "vec_id",
     sizes = buckets.groupBy("bucket").agg(F.count("*").alias("__bn"),
                                           F.min("__id").alias("__rep"))
     bk = buckets.join(sizes, "bucket").filter(F.col("__bn") > 1)
+
+    if oversized_metrics is not None:
+        # surface the star-path recall trade: callers pass a dict to
+        # learn how many buckets exceeded max_bucket (raise it, or chain
+        # a transitive-closure pass, if this is non-zero on mixed data)
+        row = (sizes.filter(F.col("__bn") > max_bucket)
+               .agg(F.count("*").alias("n"),
+                    F.coalesce(F.max("__bn"), F.lit(0)).alias("mx")).first())
+        oversized_metrics["oversized_buckets"] = int(row["n"])
+        oversized_metrics["largest_bucket"] = int(row["mx"])
+        oversized_metrics["max_bucket"] = int(max_bucket)
 
     small = bk.filter(F.col("__bn") <= max_bucket)
     pa = small.select("bucket", F.col("__id").alias("id_a"))

@@ -470,10 +470,50 @@ def _resolve_roots_distributed(edges: DataFrame, max_iters: int = 25) -> DataFra
     return lab
 
 
+def _attach_roots(spark, comps: DataFrame, edges: DataFrame,
+                  max_border_edges: int) -> DataFrame:
+    """comps + a `root` column from the border-equivalence edge graph:
+    driver union-find while the edge list fits under max_border_edges
+    (one bounded metadata collect), else the fully distributed
+    pointer-doubling propagation — no driver collect at any scale."""
+    from pyspark.sql import functions as F
+
+    edge_rows = edges.limit(max_border_edges + 1).collect()
+    if len(edge_rows) > max_border_edges:
+        mdf = _resolve_roots_distributed(edges)
+        return (comps.join(mdf, ["image_id", "band", "cid"], "left")
+                .withColumn("root", F.coalesce("root", "cid")))
+    parent: dict = {}
+
+    def find(k):
+        while parent[k] != k:
+            parent[k] = parent[parent[k]]
+            k = parent[k]
+        return k
+
+    for e in edge_rows:
+        ka = (e.image_id, e.band, e.cid_a)
+        kb = (e.image_id, e.band, e.cid_b)
+        for k in (ka, kb):
+            if k not in parent:
+                parent[k] = k
+        ra, rb = find(ka), find(kb)
+        if ra != rb:
+            parent[max(ra, rb, key=lambda t: t[2])] = min(
+                ra, rb, key=lambda t: t[2])
+    mapping = [(k[0], k[1], k[2], find(k)[2]) for k in list(parent)]
+    if not mapping:
+        return comps.withColumn("root", F.col("cid"))
+    mdf = spark.createDataFrame(
+        mapping, "image_id string, band int, cid long, root long")
+    return (comps.join(F.broadcast(mdf), ["image_id", "band", "cid"], "left")
+            .withColumn("root", F.coalesce("root", "cid")))
+
+
 def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
                      use_nodata_mask: bool = True, nodata: float | None = None,
                      max_geom_parts: int = 256,
-                     max_border_edges: int = 5_000_000) -> DataFrame:
+                     max_border_edges: int = 500_000) -> DataFrame:
     """Distributed polygonize that NEVER gathers an image into one task:
 
       1. per-tile labeling (mapInPandas): local connected components,
@@ -510,6 +550,11 @@ def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
                 if use_nodata_mask and nodata is not None:
                     valid = arr != nodata
                 labels, n = label_components(arr, eight=eight, valid=valid)
+                if n >= (1 << 21):
+                    raise ValueError(
+                        f"polygonize: tile ({r.block_x},{r.block_y}) has {n} "
+                        "local components — exceeds the 21-bit cid budget; "
+                        "use tiles smaller than 2048x1024 px")
                 base = _cid_base(int(r.block_x), int(r.block_y))
                 for ci in range(n):
                     m = labels == ci
@@ -601,42 +646,7 @@ def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
             schema="image_id string, band int, cid_a long, cid_b long"
         ).distinct()
 
-        edge_rows = edges.limit(max_border_edges + 1).collect()
-        if len(edge_rows) > max_border_edges:
-            # too many border components to union-find driver-side —
-            # resolve fully distributed (pointer-doubling propagation)
-            mdf = _resolve_roots_distributed(edges)
-            comps = (comps.join(mdf, ["image_id", "band", "cid"], "left")
-                     .withColumn("root", F.coalesce("root", "cid")))
-        else:
-            # driver union-find per (image_id, band)
-            parent: dict = {}
-
-            def find(k):
-                while parent[k] != k:
-                    parent[k] = parent[parent[k]]
-                    k = parent[k]
-                return k
-
-            for e in edge_rows:
-                ka = (e.image_id, e.band, e.cid_a)
-                kb = (e.image_id, e.band, e.cid_b)
-                for k in (ka, kb):
-                    if k not in parent:
-                        parent[k] = k
-                ra, rb = find(ka), find(kb)
-                if ra != rb:
-                    parent[max(ra, rb, key=lambda t: t[2])] = min(
-                        ra, rb, key=lambda t: t[2])
-            mapping = [(k[0], k[1], k[2], find(k)[2]) for k in list(parent)]
-            if mapping:
-                mdf = spark.createDataFrame(
-                    mapping, "image_id string, band int, cid long, root long")
-                comps = (comps.join(F.broadcast(mdf), ["image_id", "band", "cid"],
-                                    "left")
-                         .withColumn("root", F.coalesce("root", "cid")))
-            else:
-                comps = comps.withColumn("root", F.col("cid"))
+        comps = _attach_roots(spark, comps, edges, max_border_edges)
 
         def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
             image_id, band, _ = key
@@ -665,3 +675,287 @@ def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
     finally:
         raw.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# distributed SieveFilter (reference godal.go:394-413 over tiled rasters)
+# ---------------------------------------------------------------------------
+
+_SV_SCHEMA = ("kind string, image_id string, band int, cid long, cid_b long, "
+              "value double, n_pixels long, "
+              "key string, side string, vals array<double>, cids array<long>")
+
+
+def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
+                use_nodata_mask: bool = True, nodata: float | None = None,
+                max_border_edges: int = 500_000,
+                max_small_components: int = 5_000_000) -> DataFrame:
+    """Distributed SieveFilter: components smaller than `threshold`
+    (GLOBAL size, summed across tile borders) take the ORIGINAL value of
+    their largest neighboring component — sieve_array semantics lifted
+    onto the polygonize_tiles border machinery, without ever gathering a
+    raster into one task.
+
+    Plan shape (the scale path for a 100k x 100k categorical raster):
+      1. per-tile labeling (mapInPandas): component partials
+         (cid, value, n_pixels), border strips, and intra-tile
+         4-neighbor adjacency label pairs;
+      2. border strips pair up per shared border line: equal values →
+         EQUIVALENCE edges (same component), different values →
+         ADJACENCY edges (merge candidates). Roots via _attach_roots
+         (driver union-find under the guard, pointer doubling beyond);
+      3. global sizes = one groupBy(root) sum; the merge DECISION
+         subgraph — small roots, their neighbors, both sizes — is
+         bounded by the small-component count (not pixels) and solved
+         driver-side with sieve_array's exact smallest-first rule
+         (guarded by max_small_components, error-first beyond);
+      4. rewrite: decisions map back to (tile, local label) via the cid
+         encoding; a cogrouped applyInPandas relabels each touched tile
+         once. Untouched tiles pass through byte-identical.
+
+    Tie-break on equal neighbor sizes: smallest global root id
+    (deterministic under any partition order; sieve_array's local-label
+    order is scan-dependent and cannot be reproduced distributed).
+    """
+    from pyspark.sql import functions as F
+
+    spark = tiles.sparkSession
+    tiles = tiles.select("image_id", "band", "level", "block_x", "block_y",
+                         "x0", "y0", "bw", "bh", "w", "h", "dtype",
+                         "payload", "caption")
+
+    def phase1(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                dt = np.dtype(r.dtype)
+                arr = np.frombuffer(r.payload, dtype=dt).reshape(r.bh, r.bw)
+                valid = None
+                if use_nodata_mask and nodata is not None:
+                    valid = arr != nodata
+                labels, n = label_components(arr, eight=eight, valid=valid)
+                if n >= (1 << 21):
+                    raise ValueError(
+                        f"sieve: tile ({r.block_x},{r.block_y}) has {n} local "
+                        "components — exceeds the 21-bit cid budget; use "
+                        "tiles smaller than 2048x1024 px")
+                base = _cid_base(int(r.block_x), int(r.block_y))
+                fl = labels.ravel()
+                av = arr.ravel().astype(np.float64)
+                ok = fl >= 0
+                if ok.any():
+                    sizes = np.bincount(fl[ok], minlength=n)
+                    idx = np.flatnonzero(ok)
+                    # first occurrence per label (scan order) = the
+                    # component's representative value
+                    first = np.full(n, len(fl), dtype=np.int64)
+                    np.minimum.at(first, fl[idx], idx)
+                    for ci in range(n):
+                        rows.append(("comp", r.image_id, int(r.band),
+                                     base | ci, -1, float(av[first[ci]]),
+                                     int(sizes[ci]), None, None, None, None))
+                # intra-tile 4-neighbor adjacency between components
+                for sl_a, sl_b in ((np.s_[:, 1:], np.s_[:, :-1]),
+                                   (np.s_[1:, :], np.s_[:-1, :])):
+                    la, lb = labels[sl_a].ravel(), labels[sl_b].ravel()
+                    m = (la != lb) & (la >= 0) & (lb >= 0)
+                    if not m.any():
+                        continue
+                    pairs = np.unique(
+                        np.stack([np.minimum(la[m], lb[m]),
+                                  np.maximum(la[m], lb[m])], axis=1), axis=0)
+                    for a, b in pairs.tolist():
+                        rows.append(("adj", r.image_id, int(r.band),
+                                     base | a, base | b, 0.0, 0,
+                                     None, None, None, None))
+
+                def cids_of(lab_line):
+                    return [int(base | v) if v >= 0 else -1 for v in lab_line]
+
+                def strip(key, side, vals, labs):
+                    rows.append(("strip", r.image_id, int(r.band), 0, -1,
+                                 0.0, 0, key, side,
+                                 [float(v) for v in vals], cids_of(labs)))
+
+                x0, y0, bw, bh = int(r.x0), int(r.y0), int(r.bw), int(r.bh)
+                W, H = int(r.w), int(r.h)
+                if x0 + bw < W:
+                    strip(f"v:{x0 + bw}:{y0}", "a", arr[:, -1], labels[:, -1])
+                if x0 > 0:
+                    strip(f"v:{x0}:{y0}", "b", arr[:, 0], labels[:, 0])
+                if y0 + bh < H:
+                    strip(f"h:{x0}:{y0 + bh}", "a", arr[-1, :], labels[-1, :])
+                if y0 > 0:
+                    strip(f"h:{x0}:{y0}", "b", arr[0, :], labels[0, :])
+                if eight:
+                    if x0 + bw < W and y0 + bh < H:
+                        strip(f"cd:{x0 + bw}:{y0 + bh}", "a",
+                              arr[-1:, -1], labels[-1:, -1])
+                    if x0 > 0 and y0 > 0:
+                        strip(f"cd:{x0}:{y0}", "b", arr[:1, 0], labels[:1, 0])
+                    if x0 > 0 and y0 + bh < H:
+                        strip(f"ca:{x0}:{y0 + bh}", "a",
+                              arr[-1:, 0], labels[-1:, 0])
+                    if x0 + bw < W and y0 > 0:
+                        strip(f"ca:{x0 + bw}:{y0}", "b",
+                              arr[:1, -1], labels[:1, -1])
+            cols = ["kind", "image_id", "band", "cid", "cid_b", "value",
+                    "n_pixels", "key", "side", "vals", "cids"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    raw = tiles.mapInPandas(phase1, schema=_SV_SCHEMA).persist()
+    try:
+        raw.count()
+        comps = raw.filter(F.col("kind") == "comp") \
+                   .select("image_id", "band", "cid", "value", "n_pixels")
+        strips = raw.filter(F.col("kind") == "strip") \
+                    .select("image_id", "band", "key", "side", "vals", "cids")
+        adj_local = raw.filter(F.col("kind") == "adj") \
+                       .select("image_id", "band",
+                               F.col("cid").alias("cid_a"), "cid_b")
+
+        def make_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"image_id": [], "band": [], "cid_a": [],
+                                  "cid_b": [], "eq": []})
+            a = pdf[pdf["side"] == "a"]
+            b = pdf[pdf["side"] == "b"]
+            if len(a) != 1 or len(b) != 1:
+                return empty
+            va = np.asarray(a["vals"].iloc[0], dtype=np.float64)
+            ca = np.asarray(a["cids"].iloc[0], dtype=np.int64)
+            vb = np.asarray(b["vals"].iloc[0], dtype=np.float64)
+            cb = np.asarray(b["cids"].iloc[0], dtype=np.int64)
+            corner = key[2].startswith(("cd", "ca"))
+            offs = (0,) if not eight or corner else (-1, 0, 1)
+            eq_pairs, adj_pairs = set(), set()
+            n = min(len(va), len(vb))
+            for off in offs:
+                lo, hi = max(0, -off), min(n, n - off)
+                if hi <= lo:
+                    continue
+                ia = np.arange(lo, hi)
+                ib = ia + off
+                ok = (ca[ia] >= 0) & (cb[ib] >= 0)
+                same = ok & (va[ia] == vb[ib])
+                for x, y in zip(ca[ia][same].tolist(), cb[ib][same].tolist()):
+                    eq_pairs.add((x, y))
+                if off == 0 and not corner:
+                    # adjacency is strictly 4-neighbor (GDAL merges into
+                    # the largest 4-adjacent neighbor)
+                    diff = ok & (va[ia] != vb[ib])
+                    for x, y in zip(ca[ia][diff].tolist(), cb[ib][diff].tolist()):
+                        adj_pairs.add((x, y))
+            if not eq_pairs and not adj_pairs:
+                return empty
+            allp = sorted(eq_pairs) + sorted(adj_pairs)
+            arr2 = np.array(allp, dtype=np.int64)
+            return pd.DataFrame({
+                "image_id": key[0], "band": key[1],
+                "cid_a": arr2[:, 0], "cid_b": arr2[:, 1],
+                "eq": [True] * len(eq_pairs) + [False] * len(adj_pairs)})
+
+        pairs = strips.groupBy("image_id", "band", "key").applyInPandas(
+            make_pairs,
+            schema="image_id string, band int, cid_a long, cid_b long, eq boolean"
+        ).distinct().persist()
+        edges_eq = pairs.filter(F.col("eq")).drop("eq")
+        edges_adj = pairs.filter(~F.col("eq")).drop("eq") \
+                         .unionByName(adj_local)
+
+        comps = _attach_roots(spark, comps, edges_eq, max_border_edges)
+        cidmap = comps.select("image_id", "band", "cid", "root")
+        stats = comps.groupBy("image_id", "band", "root").agg(
+            F.sum("n_pixels").alias("size"), F.min("value").alias("value"))
+
+        # adjacency lifted to roots, symmetric, self-loops dropped
+        ra = (edges_adj
+              .join(cidmap.withColumnRenamed("cid", "cid_a")
+                    .withColumnRenamed("root", "ra"),
+                    ["image_id", "band", "cid_a"])
+              .join(cidmap.withColumnRenamed("cid", "cid_b")
+                    .withColumnRenamed("root", "rb"),
+                    ["image_id", "band", "cid_b"])
+              .select("image_id", "band", "ra", "rb")
+              .filter(F.col("ra") != F.col("rb")))
+        adj_sym = ra.unionByName(
+            ra.select("image_id", "band", F.col("rb").alias("ra"),
+                      F.col("ra").alias("rb"))).distinct()
+
+        small = stats.filter(F.col("size") < threshold)
+        # decision inputs: one row per (small root, neighbor) with both
+        # endpoints' global size + the neighbor's ORIGINAL value —
+        # bounded by the small-component count, never by pixels
+        dec_in = (adj_sym
+                  .join(small.select("image_id", "band",
+                                     F.col("root").alias("ra"),
+                                     F.col("size").alias("size_a")),
+                        ["image_id", "band", "ra"])
+                  .join(stats.select("image_id", "band",
+                                     F.col("root").alias("rb"),
+                                     F.col("size").alias("size_b"),
+                                     F.col("value").alias("value_b")),
+                        ["image_id", "band", "rb"]))
+        rows = dec_in.limit(max_small_components + 1).collect()
+        if len(rows) > max_small_components:
+            raise ValueError(
+                "sieve: small-component adjacency graph exceeds "
+                f"max_small_components={max_small_components}; raise the "
+                "guard or sieve in two passes with a lower threshold")
+        by_img: dict = {}
+        for e in rows:
+            g = by_img.setdefault((e.image_id, e.band), {})
+            g.setdefault((e.ra, e.size_a), []).append(
+                (e.rb, e.size_b, e.value_b))
+        decisions = []
+        for (img, band), g in by_img.items():
+            # sieve_array's smallest-first order; sizes FIXED, values
+            # ORIGINAL (a chain A→B→C leaves A with B's old value)
+            for (s_root, s_size) in sorted(g, key=lambda t: (t[1], t[0])):
+                nbrs = g[(s_root, s_size)]
+                tgt = max(nbrs, key=lambda t: (t[1], -t[0]))
+                decisions.append((img, band, s_root, float(tgt[2])))
+        if not decisions:
+            return tiles
+        ddf = spark.createDataFrame(
+            decisions, "image_id string, band int, root long, new_value double")
+        cid_dec = (cidmap.join(F.broadcast(ddf), ["image_id", "band", "root"])
+                   .withColumn("block_x",
+                               F.shiftrightunsigned("cid", 42).cast("int"))
+                   .withColumn("block_y",
+                               F.shiftrightunsigned("cid", 21).bitwiseAND(
+                                   F.lit((1 << 21) - 1).cast("long")).cast("int"))
+                   .select("image_id", "band", "block_x", "block_y",
+                           "cid", "new_value"))
+        cid_dec = cid_dec.localCheckpoint(eager=True)
+
+        def rewrite(key, tpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+            out = tpdf.copy()
+            if len(dpdf) == 0:
+                return out
+            payloads = []
+            for r in tpdf.itertuples(index=False):
+                dt = np.dtype(r.dtype)
+                arr = np.frombuffer(r.payload, dtype=dt).reshape(r.bh, r.bw).copy()
+                valid = None
+                if use_nodata_mask and nodata is not None:
+                    valid = arr != nodata
+                labels, _ = label_components(arr, eight=eight, valid=valid)
+                for d in dpdf.itertuples(index=False):
+                    local = int(d.cid) & ((1 << 21) - 1)
+                    arr[labels == local] = np.asarray(
+                        d.new_value).astype(dt)
+                payloads.append(arr.tobytes())
+            out["payload"] = payloads
+            return out
+
+        keys = ["image_id", "band", "block_x", "block_y"]
+        from godal_spark.operators.tiling import TILE_SCHEMA
+
+        result = (tiles.groupBy(*keys)
+                  .cogroup(cid_dec.groupBy(*keys))
+                  .applyInPandas(rewrite, schema=TILE_SCHEMA))
+        result = result.localCheckpoint(eager=True)
+        pairs.unpersist()
+        return result
+    finally:
+        raw.unpersist()

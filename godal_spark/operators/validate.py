@@ -58,22 +58,33 @@ def validate_tiles(images: DataFrame, tiles: DataFrame, band: int = 0) -> DataFr
 
 def assert_invariants(images: DataFrame, tiles: DataFrame, band: int = 0,
                       min_psnr: float = 40.0) -> dict:
-    """Raises if any image violates the invariants; returns summary."""
-    rep = validate_tiles(images, tiles, band)
-    fmts = {r["image_id"]: r["fmt"] for r in images.select("image_id", "fmt").collect()}
-    bad = []
-    n = 0
-    worst = float("inf")
-    for r in rep.collect():
-        n += 1
-        worst = min(worst, r["psnr_db"])
-        lossless = fmts.get(r["image_id"], "") in LOSSLESS
-        if not r["caption_ok"]:
-            bad.append((r["image_id"], "caption"))
-        elif lossless and not r["exact"]:
-            bad.append((r["image_id"], "not exact (lossless fmt)"))
-        elif not lossless and r["psnr_db"] < min_psnr:
-            bad.append((r["image_id"], f"psnr {r['psnr_db']:.1f} < {min_psnr}"))
-    if bad:
-        raise AssertionError(f"invariant violations: {bad[:10]} (of {len(bad)})")
-    return {"images": n, "worst_psnr_db": worst}
+    """Raises if any image violates the invariants; returns summary.
+
+    Fully distributed: fmt joins back into the report (round 2 collected
+    an {image_id: fmt} dict — unbounded driver growth at fleet scale);
+    the driver sees 3 aggregate scalars plus at most 10 violation rows.
+    """
+    rep = validate_tiles(images, tiles, band) \
+        .join(images.select("image_id", "fmt"), "image_id")
+    lossless = F.col("fmt").isin(*sorted(LOSSLESS))
+    viol = (F.when(~F.col("caption_ok"), F.lit("caption"))
+            .when(lossless & ~F.col("exact"), F.lit("not exact (lossless fmt)"))
+            .when(~lossless & (F.col("psnr_db") < min_psnr),
+                  F.format_string("psnr %.1f < " + str(min_psnr),
+                                  F.col("psnr_db"))))
+    rep = rep.withColumn("viol", viol).persist()
+    try:
+        agg = rep.agg(F.count("*").alias("n"),
+                      F.min("psnr_db").alias("worst"),
+                      F.count("viol").alias("nbad")).first()
+        if agg["nbad"]:
+            bad = [(r["image_id"], r["viol"]) for r in
+                   rep.filter(F.col("viol").isNotNull())
+                      .select("image_id", "viol").limit(10).collect()]
+            raise AssertionError(
+                f"invariant violations: {bad} (of {agg['nbad']})")
+        return {"images": agg["n"],
+                "worst_psnr_db": agg["worst"] if agg["worst"] is not None
+                else float("inf")}
+    finally:
+        rep.unpersist()

@@ -55,14 +55,20 @@ from godal_spark.functions.resampling import _KERNELS, SUPPORTED as RESAMPLING_A
 from godal_spark.operators.tiling import TILE_SCHEMA, block_grid_list
 
 # inverse-mapping warp supports point-sampling kernels; area-based algs
-# (average/gauss/mode) need forward mapping and raise error-first.
-# halo width = kernel radius so cross-tile samples stay local.
+# (average/mode/gauss) are FORWARD-mapped (accumulate source px centers
+# into target cells — the downscale-mosaic kernels). Forward kernels read
+# only owned pixels (halo 0 would do but 1 is cheap); halo width
+# otherwise = inverse kernel radius so cross-tile samples stay local.
+# Full ResamplingAlg coverage (godal.go:1679-1748).
 _WARP_HALO = {"nearest": 1, "bilinear": 1, "cubic": 2, "cubicspline": 2,
-              "lanczos": 3,
-              # average is FORWARD-mapped (accumulate source px centers
-              # into target cells — the downscale-mosaic kernel); it
-              # reads only owned pixels, halo 0 would do but 1 is cheap
-              "average": 1}
+              "lanczos": 3, "average": 1, "mode": 1, "gauss": 1}
+
+# gauss: source centers spread to the 3x3 target cells around their
+# landing cell, weighted exp(-d^2 / 2 sigma^2) of the distance d to each
+# cell center (in target px) — the warp-space analogue of GDAL's 3x3
+# binomial overview kernel. sigma chosen so a 2:1 downscale reproduces
+# the [1 2 1] weight shape.
+_GAUSS_SIGMA = 0.5
 
 
 @dataclass
@@ -211,7 +217,8 @@ def _src_px_tiles(images: DataFrame, block: int, t_srs: str,
     return images.select(*cols).mapInPandas(gen, schema=_SRC_TILE_SCHEMA)
 
 
-def _with_block_range(df: DataFrame, tgt_gt, tw: int, th: int, block: int) -> DataFrame:
+def _with_block_range(df: DataFrame, tgt_gt, tw: int, th: int, block: int,
+                      spread: float = 0.0) -> DataFrame:
     """Explode each source tile to the (block_x, block_y) range its geo
     bbox covers on the target grid — built-in sequence explodes, pure
     codegen. Handles ROTATED target geotransforms exactly: the inverse
@@ -240,8 +247,10 @@ def _with_block_range(df: DataFrame, tgt_gt, tw: int, th: int, block: int) -> Da
                (F.col("gminx"), F.col("gmaxy")), (F.col("gmaxx"), F.col("gmaxy"))]
     pxs = [px_of(gx, gy) for gx, gy in corners]
     pys = [py_of(gx, gy) for gx, gy in corners]
-    pxlo, pxhi = F.least(*pxs), F.greatest(*pxs)
-    pylo, pyhi = F.least(*pys), F.greatest(*pys)
+    # spread: forward kernels that scatter past the landing cell (gauss
+    # 3x3) need the source tile present in neighbor target blocks too
+    pxlo, pxhi = F.least(*pxs) - spread, F.greatest(*pxs) + spread
+    pylo, pyhi = F.least(*pys) - spread, F.greatest(*pys) + spread
     d = (df.filter((pxhi > 0) & (pxlo < tw) & (pyhi > 0) & (pylo < th))
          .withColumn("__bxlo", F.greatest(
              F.lit(0), F.floor(pxlo / block)).cast("int"))
@@ -272,8 +281,7 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
     cfg = parse_warp_switches(switches)  # fail-fast
     if cfg.resampling not in _WARP_HALO:
         raise NotImplementedError(
-            f"warp: -r {cfg.resampling} unsupported (mode needs value "
-            "voting, gauss is an overview kernel) — supported warp "
+            f"warp: -r {cfg.resampling} unsupported — supported warp "
             "kernels: " + "/".join(sorted(_WARP_HALO)))
     halo = _WARP_HALO[cfg.resampling]
 
@@ -308,13 +316,14 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
     alg = cfg.resampling
     init_nodata = cfg.init_nodata
 
+    spread = 1.0 if alg == "gauss" else 0.0
     pairs = _with_block_range(_src_px_tiles(images, block, t_srs, halo),
-                              tgt_gt_b, tw, th, block)
+                              tgt_gt_b, tw, th, block, spread)
 
     if into_tiles is not None:
         # covered blocks from METADATA-only tiling (no decode)
         covered = (_with_block_range(_src_meta_tiles(images, block, t_srs, halo),
-                                     tgt_gt_b, tw, th, block)
+                                     tgt_gt_b, tw, th, block, spread)
                    .select("block_x", "block_y").distinct())
         into_l0 = into_tiles.filter(F.col("level") == 0)
         into_cov = (into_l0.join(covered, ["block_x", "block_y"], "left_semi")
@@ -356,14 +365,16 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
         if len(src):
             cap = src.iloc[0]["caption"]
 
-        if alg == "average" and len(src):
+        if alg in ("average", "mode", "gauss") and len(src):
             # forward mapping: per (image, band) accumulate the OWNED
             # source pixel centers that land in this block, then commit
             # (later images overwrite, GDAL source-order semantics)
             for (_, band), grp in src.groupby(["image_id", "band"], sort=True):
                 band = int(band)
                 acc = np.zeros(bw * bh, dtype=np.float64)
-                cnt = np.zeros(bw * bh, dtype=np.int64)
+                cnt = np.zeros(bw * bh, dtype=np.float64)
+                mode_f: list[np.ndarray] = []  # (flat, value) vote pairs
+                mode_v: list[np.ndarray] = []
                 dt = np.dtype(grp.iloc[0]["dtype"])
                 for r in grp.itertuples(index=False):
                     plane = np.frombuffer(r.payload, dtype=np.dtype(r.dtype))                         .reshape(r.hh, r.hw)
@@ -376,16 +387,69 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
                     else:
                         okf = np.ones(gx.shape, dtype=bool)
                     tx, ty = CRS.geo_to_pixel(tgt_gt_b, gx, gy)
-                    ix = np.floor(tx).astype(np.int64) - x0
-                    iy = np.floor(ty).astype(np.int64) - y0
+                    cxi = np.floor(tx).astype(np.int64)
+                    cyi = np.floor(ty).astype(np.int64)
+                    vals = plane[r.sy0 - r.hy0:r.sy0 - r.hy0 + r.sbh,
+                                 r.sx0 - r.hx0:r.sx0 - r.hx0 + r.sbw]                         .astype(np.float64).ravel()
+                    if alg == "gauss":
+                        # spread to the 3x3 target cells around the
+                        # landing cell, gaussian-weighted by distance to
+                        # each cell center
+                        s2 = 2.0 * _GAUSS_SIGMA * _GAUSS_SIGMA
+                        for oy in (-1, 0, 1):
+                            for ox in (-1, 0, 1):
+                                ix = cxi + ox - x0
+                                iy = cyi + oy - y0
+                                inb = (okf & (ix >= 0) & (ix < bw)
+                                       & (iy >= 0) & (iy < bh))
+                                if not inb.any():
+                                    continue
+                                ddx = tx - (cxi + ox + 0.5)
+                                ddy = ty - (cyi + oy + 0.5)
+                                wk = np.exp(-(ddx * ddx + ddy * ddy) / s2)[inb]
+                                flat = iy[inb] * bw + ix[inb]
+                                np.add.at(acc, flat, vals[inb] * wk)
+                                np.add.at(cnt, flat, wk)
+                        continue
+                    ix = cxi - x0
+                    iy = cyi - y0
                     inb = okf & (ix >= 0) & (ix < bw) & (iy >= 0) & (iy < bh)
                     if not inb.any():
                         continue
                     flat = iy[inb] * bw + ix[inb]
-                    vals = plane[r.sy0 - r.hy0:r.sy0 - r.hy0 + r.sbh,
-                                 r.sx0 - r.hx0:r.sx0 - r.hx0 + r.sbw]                         .astype(np.float64).ravel()[inb]
-                    np.add.at(acc, flat, vals)
-                    np.add.at(cnt, flat, 1)
+                    if alg == "mode":
+                        mode_f.append(flat)
+                        mode_v.append(vals[inb])
+                    else:
+                        np.add.at(acc, flat, vals[inb])
+                        np.add.at(cnt, flat, 1.0)
+                if alg == "mode":
+                    if not mode_f:
+                        continue
+                    flat = np.concatenate(mode_f)
+                    val = np.concatenate(mode_v)
+                    # majority vote per target cell; deterministic
+                    # tie-break = LOWEST value (stable under any task /
+                    # partition order — a distributed engine cannot use
+                    # GDAL's scan-order tie-break)
+                    o = np.lexsort((val, flat))
+                    f, v = flat[o], val[o]
+                    new = np.r_[True, (f[1:] != f[:-1]) | (v[1:] != v[:-1])]
+                    starts = np.flatnonzero(new)
+                    counts = np.diff(np.r_[starts, len(f)])
+                    uf, uv = f[starts], v[starts]
+                    o2 = np.lexsort((uv, -counts, uf))
+                    fu, vu = uf[o2], uv[o2]
+                    first = np.r_[True, fu[1:] != fu[:-1]]
+                    cells, winners = fu[first], vu[first]
+                    if band not in outs:
+                        outs[band] = np.full(bw * bh, init_nodata, dtype=dt)
+                    wv = winners
+                    if np.issubdtype(dt, np.integer):
+                        wv = np.clip(np.floor(wv + 0.5),
+                                     np.iinfo(dt).min, np.iinfo(dt).max)
+                    outs[band][cells] = wv.astype(outs[band].dtype)
+                    continue
                 got = cnt > 0
                 if not got.any():
                     continue

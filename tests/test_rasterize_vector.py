@@ -249,3 +249,75 @@ def test_rasterize_tiles_match_monolithic(spark):
                             block=8).first()
         assert np.frombuffer(mono.payload, np.uint8).reshape(24, 40).tolist() \
             == want.tolist()
+
+
+@pytest.mark.parametrize("eight", [False, True])
+def test_sieve_tiles_matches_gathered(spark, eight):
+    """Distributed sieve == per-array sieve_array on a multi-tile raster
+    whose small components CROSS tile borders (global size must be the
+    summed size, not the per-tile size — a 6-px blob straddling a seam
+    must survive threshold 5 even though each half is < 5)."""
+    from godal_spark.operators import polygonize as PZ, tiling as TL
+
+    arr = np.zeros((16, 24), dtype=np.uint8)
+    arr[3, 6:12] = 7      # 6-px run straddling the bw=8 seam at x=8
+    arr[10, 10] = 9       # 1-px speck (dies)
+    arr[12:14, 15:17] = 5 # 4-px blob inside one tile (dies at t=5)
+    arr[0:6, 20:24] = 3   # 24-px region (lives; the "largest neighbor")
+    images = datagen.images_df(spark, [datagen.image_row("sv", arr, "raw8")])
+    tiles = TL.explode_tiles(images, bw=8, bh=8)
+    assert tiles.count() == 6
+
+    got_tiles = PZ.sieve_tiles(tiles, 5, eight=eight).collect()
+    got = np.zeros_like(arr)
+    for t in got_tiles:
+        got[t.y0:t.y0 + t.bh, t.x0:t.x0 + t.bw] = \
+            np.frombuffer(t.payload, np.uint8).reshape(t.bh, t.bw)
+    want = PZ.sieve_array(arr, 5, eight=eight)
+    assert np.array_equal(got, want), f"eight={eight}\n{got}\n{want}"
+    # the straddling 6-px run survived; the speck and the 4-px blob died
+    assert (got[3, 6:12] == 7).all()
+    assert got[10, 10] == 0 and (got[12:14, 15:17] == 0).all()
+
+
+def test_sieve_tiles_chain_and_masked(spark):
+    """Chain semantics (small A adjacent to small B adjacent to big C:
+    values move ONE step per pass, sieve_array contract) and nodata
+    pixels untouched."""
+    from godal_spark.operators import polygonize as PZ, tiling as TL
+
+    arr = np.full((8, 24), 200, dtype=np.uint8)
+    arr[4, 2] = 10        # small A (1 px), neighbors: B and 200
+    arr[4, 3:5] = 20      # small B (2 px), neighbors: A and 200
+    arr[0, 0] = 0         # nodata pixel
+    images = datagen.images_df(spark, [datagen.image_row("ch", arr, "raw8")])
+    tiles = TL.explode_tiles(images, bw=8, bh=8)
+    got_tiles = PZ.sieve_tiles(tiles, 4, nodata=0.0).collect()
+    got = np.zeros_like(arr)
+    for t in got_tiles:
+        got[t.y0:t.y0 + t.bh, t.x0:t.x0 + t.bw] = \
+            np.frombuffer(t.payload, np.uint8).reshape(t.bh, t.bw)
+    want = PZ.sieve_array(arr, 4, valid=arr != 0)
+    assert np.array_equal(got, want)
+    assert got[0, 0] == 0  # nodata untouched
+
+
+def test_sieve_tiles_untouched_passthrough_and_dist_path(spark):
+    """Rasters with no small components pass through byte-identical;
+    the forced-distributed root path (max_border_edges=0) agrees with
+    the driver union-find path."""
+    from godal_spark.operators import polygonize as PZ, tiling as TL
+
+    rng = np.random.default_rng(5)
+    arr = (rng.integers(0, 3, (12, 32)) * 100).astype(np.uint8)
+    images = datagen.images_df(spark, [datagen.image_row("p", arr, "raw8")])
+    tiles = TL.explode_tiles(images, bw=8, bh=8)
+    clean = PZ.sieve_tiles(tiles, 1).collect()  # nothing < 1 px
+    orig = {(t.block_x, t.block_y): t.payload for t in tiles.collect()}
+    for t in clean:
+        assert bytes(t.payload) == bytes(orig[(t.block_x, t.block_y)])
+    a = PZ.sieve_tiles(tiles, 4).collect()
+    b = PZ.sieve_tiles(tiles, 4, max_border_edges=0).collect()
+    am = {(t.block_x, t.block_y): bytes(t.payload) for t in a}
+    bm = {(t.block_x, t.block_y): bytes(t.payload) for t in b}
+    assert am == bm

@@ -275,3 +275,17 @@ def test_multimodal_mixed_jpeg_sampling_ingest(spark):
     # subsampling must not perturb the perceptual hash (luma-driven)
     assert bin(by_id["r444"].phash64 ^ by_id["r420"].phash64).count("1") <= 4
     assert by_id["r420"].phash64 == by_id["r420dri"].phash64
+
+
+def test_embedding_dedup_oversized_metrics(spark, emb):
+    """The star-path recall trade is observable: oversized_metrics
+    reports how many buckets exceeded max_bucket."""
+    m = {}
+    DD.embedding_dedup(emb, threshold=0.9, max_bucket=2,
+                       oversized_metrics=m).count()
+    assert set(m) == {"oversized_buckets", "largest_bucket", "max_bucket"}
+    assert m["max_bucket"] == 2 and m["oversized_buckets"] >= 0
+    m2 = {}
+    DD.embedding_dedup(emb, threshold=0.9, max_bucket=10**9,
+                       oversized_metrics=m2).count()
+    assert m2["oversized_buckets"] == 0

@@ -269,11 +269,102 @@ def test_warp_kernel_tiled_equals_untiled(spark, alg):
     assert np.array_equal(a, b)
 
 
-def test_warp_unsupported_kernels_raise():
+def test_warp_unknown_kernel_raises_error_first():
     import godal_spark.operators.warp as W
-    for alg in ("mode", "gauss"):
-        with pytest.raises(NotImplementedError, match="supported warp kernels"):
-            W.warp(None, None, ["-r", alg])
+    with pytest.raises(ValueError, match="unknown -r alg"):
+        W.warp(None, None, ["-r", "sinc2000"])
+
+
+def test_warp_mode_downscale_golden(spark):
+    """-r mode (forward value voting): aligned 2:1 downscale — each
+    target cell is the MAJORITY value of its 2x2 source block; ties
+    break to the LOWEST value (deterministic under any partition order;
+    GDAL's scan-order tie-break is not reproducible distributed).
+    Hand-derived table."""
+    arr = np.array([
+        [5, 5, 9, 9, 1, 2, 7, 7],
+        [5, 3, 9, 4, 2, 1, 7, 0],
+        [8, 8, 6, 6, 3, 3, 4, 5],
+        [8, 8, 2, 6, 3, 1, 5, 4],
+    ], dtype=np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("c", arr, "raw8", gt=[0, 1, 0, 4, 0, -1])])
+    out = WP.warp(spark, images, ["-ts", "4", "2", "-r", "mode"], block=256)
+    got = _mosaic_array(out.collect(), 4, 2)
+    exp = np.array([
+        [5, 9, 1, 7],   # 5x3 beats 3; 9x3 beats 4; {1,2} tie -> 1; 7x3
+        [8, 6, 3, 4],   # 8x4; 6x3; 3x3; {4,5} tie -> 4
+    ], dtype=np.uint8)
+    assert np.array_equal(got, exp)
+
+
+def test_warp_mode_tiled_equals_untiled(spark):
+    rng = np.random.default_rng(17)
+    arr = (rng.integers(0, 5, (16, 24)) * 40).astype(np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("m", arr, "raw8", gt=[0, 1, 0, 16, 0, -1])])
+    sw = ["-ts", "12", "8", "-r", "mode"]
+    a = _mosaic_array(WP.warp(spark, images, sw, block=5).collect(), 12, 8)
+    b = _mosaic_array(WP.warp(spark, images, sw, block=256).collect(), 12, 8)
+    assert np.array_equal(a, b)
+    # every output value must be one of the categorical inputs
+    assert set(np.unique(a)) <= set(np.unique(arr))
+
+
+def _gauss_forward_reference(arr, src_gt, tgt_gt, tw, th, sigma):
+    """Independent straight-loop reference for the forward gauss kernel
+    (pinned-value golden in the godal_test.go:2108-2172 style)."""
+    import math
+    acc = np.zeros((th, tw)); wsum = np.zeros((th, tw))
+    sh, sw_ = arr.shape
+    for sy in range(sh):
+        for sx in range(sw_):
+            gx = src_gt[0] + (sx + 0.5) * src_gt[1]
+            gy = src_gt[3] + (sy + 0.5) * src_gt[5]
+            tx = (gx - tgt_gt[0]) / tgt_gt[1]
+            ty = (gy - tgt_gt[3]) / tgt_gt[5]
+            cx, cy = int(np.floor(tx)), int(np.floor(ty))
+            for oy in (-1, 0, 1):
+                for ox in (-1, 0, 1):
+                    ix, iy = cx + ox, cy + oy
+                    if not (0 <= ix < tw and 0 <= iy < th):
+                        continue
+                    d2 = (tx - (ix + 0.5)) ** 2 + (ty - (iy + 0.5)) ** 2
+                    w = math.exp(-d2 / (2 * sigma * sigma))
+                    acc[iy, ix] += w * float(arr[sy, sx])
+                    wsum[iy, ix] += w
+    out = np.where(wsum > 0, acc / np.where(wsum == 0, 1, wsum), 0)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def test_warp_gauss_downscale_matches_reference(spark):
+    """-r gauss: 2:1 downscale equals the independent forward-mapped
+    gaussian reference, and the plan is tile-invisible (block=5 crosses
+    the 3x3 spread across target-block seams)."""
+    import godal_spark.operators.warp as W
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 255, (16, 24), dtype=np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("g", arr, "raw8", gt=[0, 1, 0, 16, 0, -1])])
+    sw = ["-ts", "12", "8", "-r", "gauss"]
+    a = _mosaic_array(WP.warp(spark, images, sw, block=5).collect(), 12, 8)
+    b = _mosaic_array(WP.warp(spark, images, sw, block=256).collect(), 12, 8)
+    assert np.array_equal(a, b)
+    exp = _gauss_forward_reference(
+        arr, [0, 1, 0, 16, 0, -1], [0, 2.0, 0, 16, 0, -2.0], 12, 8,
+        W._GAUSS_SIGMA)
+    assert np.array_equal(b, exp)
+
+
+def test_warp_gauss_constant_preserved(spark):
+    """gauss of a constant field is that constant (weights cancel)."""
+    images = datagen.images_df(spark, [
+        datagen.image_row("k", np.full((12, 12), 93, np.uint8), "raw8",
+                          gt=[0, 1, 0, 12, 0, -1])])
+    got = _mosaic_array(
+        WP.warp(spark, images, ["-ts", "6", "6", "-r", "gauss"], block=4)
+        .collect(), 6, 6)
+    assert (got == 93).all()
 
 
 def test_warp_average_downscale_golden(spark):
