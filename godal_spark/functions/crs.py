@@ -15,6 +15,14 @@ operator surface actually exercises, from public formulas:
 All functions are vectorized over numpy arrays (batch point transform =
 reference Transform.TransformEx, godal.go:2151-2233 — per-point success
 flags; out-of-domain latitudes fail, godal_test.go:1767-1776).
+
+DATUM SHIFTS: none are applied. Every supported family is referenced to
+WGS84; NAD83 and ETRS89 are treated as ≡ WGS84. That identity is exact
+to ~1-2 m (NAD83) / ~0.7 m (ETRS89, drifting ~2.5 cm/yr) — far below a
+Web-Mercator tile pixel at the zoom levels this engine serves, but NOT
+survey-grade. Grids needing true datum transformation (NTv2/geoid
+grids) require PROJ, which this environment does not have; adding a
+family is a documented manual step (see _PROJ_REGISTRY below).
 """
 
 from __future__ import annotations

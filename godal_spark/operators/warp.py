@@ -315,6 +315,12 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
     tgt_gt_b = [float(v) for v in tgt_gt]
     alg = cfg.resampling
     init_nodata = cfg.init_nodata
+    # inverse target affine for render-side geo->pixel bounds
+    ox_t, oy_t = tgt_gt_b[0], tgt_gt_b[3]
+    _a11, _a12, _a21, _a22 = tgt_gt_b[1], tgt_gt_b[2], tgt_gt_b[4], tgt_gt_b[5]
+    _det = _a11 * _a22 - _a12 * _a21
+    inv11, inv12 = _a22 / _det, -_a12 / _det
+    inv21, inv22 = -_a21 / _det, _a11 / _det
 
     spread = 1.0 if alg == "gauss" else 0.0
     pairs = _with_block_range(_src_px_tiles(images, block, t_srs, halo),
@@ -346,10 +352,6 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
         x0, y0 = bx * block, by * block
         bw = min(block, tw - x0)
         bh = min(block, th - y0)
-        pxs = np.arange(x0, x0 + bw) + 0.5
-        pys = np.arange(y0, y0 + bh) + 0.5
-        gx, gy = np.meshgrid(pxs, pys)
-        txg, tyg = CRS.pixel_to_geo(tgt_gt_b, gx.ravel(), gy.ravel())
 
         outs: dict[int, np.ndarray] = {}
         cap = None
@@ -462,18 +464,45 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
                 outs[band][got] = v.astype(outs[band].dtype)
             src = src.iloc[0:0]  # handled
 
-        # per-image inverse mapping cache: ppx/ppy depend only on (gt, srs)
-        mcache: dict[str, tuple] = {}
+        # inverse mapping per source row, restricted to the SUBWINDOW of
+        # this block that the source's halo bbox covers (round-3 fix:
+        # mapping the full block for EVERY source made dense mosaics of
+        # small images O(nsrc x block²) — 17 sources per 256² block
+        # inverse-mapped 17 x 65k px where ~70k total were needed).
+        # Cache keyed by (image, subwindow): all tiles of an image share
+        # gt/srs, so overlapping subwindows reuse the transform.
+        mcache: dict[tuple, tuple] = {}
         for r in src.itertuples(index=False):
-            m = mcache.get(r.image_id)
+            # halo geo bbox -> target-pixel bounds (exact under rotation:
+            # a linear map attains extremes at the corners)
+            pxc, pyc = [], []
+            for gx in (r.gminx, r.gmaxx):
+                for gy in (r.gminy, r.gmaxy):
+                    pxc.append(inv11 * (gx - ox_t) + inv12 * (gy - oy_t))
+                    pyc.append(inv21 * (gx - ox_t) + inv22 * (gy - oy_t))
+            wx0 = max(x0, int(np.floor(min(pxc))) - 1)
+            wx1 = min(x0 + bw, int(np.ceil(max(pxc))) + 1)
+            wy0 = max(y0, int(np.floor(min(pyc))) - 1)
+            wy1 = min(y0 + bh, int(np.ceil(max(pyc))) + 1)
+            if wx1 <= wx0 or wy1 <= wy0:
+                continue
+            key = (r.image_id, wx0, wy0, wx1, wy1)
+            m = mcache.get(key)
             if m is None:
+                sub_px = np.arange(wx0, wx1) + 0.5
+                sub_py = np.arange(wy0, wy1) + 0.5
+                gxx, gyy = np.meshgrid(sub_px, sub_py)
+                sgx, sgy = CRS.pixel_to_geo(tgt_gt_b, gxx.ravel(), gyy.ravel())
                 if r.srs != t_srs:
-                    sx, sy, ok = CRS.transform_points(txg, tyg, t_srs, r.srs)
+                    sx, sy, ok = CRS.transform_points(sgx, sgy, t_srs, r.srs)
                 else:
-                    sx, sy, ok = txg, tyg, np.ones(txg.shape, dtype=bool)
+                    sx, sy, ok = sgx, sgy, np.ones(sgx.shape, dtype=bool)
                 ppx, ppy = CRS.geo_to_pixel(list(r.gt), sx, sy)
-                m = mcache[r.image_id] = (ppx, ppy, ok)
-            ppx, ppy, ok = m
+                iyy, ixx = np.meshgrid(np.arange(wy0, wy1),
+                                       np.arange(wx0, wx1), indexing="ij")
+                flat = ((iyy - y0) * bw + (ixx - x0)).ravel()
+                m = mcache[key] = (ppx, ppy, ok, flat)
+            ppx, ppy, ok, flat = m
             dt = np.dtype(r.dtype)
             band = int(r.band)
             if band not in outs:
@@ -509,7 +538,7 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
                 v = acc / np.where(wsum == 0, 1.0, wsum)
                 if np.issubdtype(dt, np.integer):
                     v = np.clip(np.floor(v + 0.5), np.iinfo(dt).min, np.iinfo(dt).max)
-                outs[band][o] = v.astype(dt)
+                outs[band][flat[o]] = v.astype(dt)
             else:  # nearest (GDAL warp default)
                 ix = np.floor(ppx).astype(np.int64)
                 iy = np.floor(ppy).astype(np.int64)
@@ -517,7 +546,7 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
                        & (iy >= r.sy0) & (iy < r.sy0 + r.sbh) & glob_in)
                 if not own.any():
                     continue
-                outs[band][own] = plane[iy[own] - r.hy0, ix[own] - r.hx0]
+                outs[band][flat[own]] = plane[iy[own] - r.hy0, ix[own] - r.hx0]
 
         bands = sorted(outs)
         return pd.DataFrame({
