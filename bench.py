@@ -286,9 +286,13 @@ def run_warp_only() -> dict:
     n_images = int(os.environ.get("BENCH_WARP_IMAGES", "20000"))
     path = _warp_bench_table(spark, n_images)
     images = spark.read.parquet(path)
-    # warm worker pool (untimed)
+    # warm worker pool AND the warp plan (codegen/catalyst compile is
+    # one-time JIT, amortized to zero on a long-running job) — untimed
     spark.range(CPUS * 2, numPartitions=CPUS * 2) \
         .mapInPandas(lambda it: it, "id long").write.format("noop").mode("overwrite").save()
+    wpath = _warp_bench_table(spark, 4)
+    WP.warp(spark, spark.read.parquet(wpath), ["-r", "nearest"], block=256) \
+        .write.format("noop").mode("overwrite").save()
     t0 = time.time()
     WP.warp(spark, images, ["-r", "nearest"], block=256) \
         .write.format("noop").mode("overwrite").save()

@@ -1176,7 +1176,7 @@ def q_jpeg_ingest(spark, sf_dir):
     """Real-world JPEG ingest contract: 4:4:4, 4:2:0, and 4:2:0+restart
     encodings of the same deterministic image all decode through the
     Spark path with the right shape and luma PSNR >= 40 (round 2 raised
-    on anything but 4:4:4)."""
+    on anything but 4:4:4); plus a progressive (SOF2) 4:2:0 stream."""
     _ensure_workers_can_import(spark)
     from godal_spark.functions import jpeg as J
 
@@ -1184,7 +1184,8 @@ def q_jpeg_ingest(spark, sf_dir):
     src = np.stack([100 + y // 2, 80 + x // 2, 90 + (x + y) // 4],
                    axis=-1).astype(np.uint8)
     variants = [("r444", {}), ("r420", {"subsampling": "420"}),
-                ("r420dri", {"subsampling": "420", "restart_interval": 2})]
+                ("r420dri", {"subsampling": "420", "restart_interval": 2}),
+                ("rprog", {"subsampling": "420", "progressive": True})]
     pdf = pd.DataFrame({
         "variant": [v for v, _ in variants],
         "buf": [J.encode_jpeg(src, quality=95, **kw) for _, kw in variants]})
@@ -1212,7 +1213,8 @@ def q_jpeg_ingest(spark, sf_dir):
 
 
 SQL_JPEG_INGEST = """
-SELECT * FROM (VALUES ('r444', true), ('r420', true), ('r420dri', true))
+SELECT * FROM (VALUES ('r444', true), ('r420', true), ('r420dri', true),
+                      ('rprog', true))
   t(variant, ok)
 """
 

@@ -78,11 +78,15 @@ for _u in range(8):
     _a = np.sqrt(0.125) if _u == 0 else 0.5
     _C[_u] = _a * np.cos((2 * np.arange(8) + 1) * _u * np.pi / 16)
 
-# our flat canonical Huffman tables: (bits_per_length[1..16], symbols)
+# our flat canonical Huffman tables: (bits_per_length[1..16], symbols).
+# AC includes EOB0 (0x00), ZRL (0xF0), the EOBn run codes 0x10..0xE0
+# (progressive EOBRUN), and all (run, size) pairs: 176 codes @ 8 bits —
+# spec-valid (< 255, all-ones code unused).
 _DC_SYMBOLS = list(range(12))
-_AC_SYMBOLS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_AC_SYMBOLS = ([0x00, 0xF0] + [r << 4 for r in range(1, 15)]
+               + [(r << 4) | s for r in range(16) for s in range(1, 11)])
 _DC_SPEC = ([0, 0, 0, 12] + [0] * 12, _DC_SYMBOLS)          # 12 codes @ 4 bits
-_AC_SPEC = ([0] * 7 + [162] + [0] * 8, sorted(_AC_SYMBOLS))  # 162 codes @ 8 bits
+_AC_SPEC = ([0] * 7 + [176] + [0] * 8, sorted(_AC_SYMBOLS))  # 176 codes @ 8 bits
 
 _SAMPLING = {"444": [(1, 1), (1, 1), (1, 1)],
              "420": [(2, 2), (1, 1), (1, 1)],
@@ -264,14 +268,22 @@ def _dht_payload(tc: int, th: int, spec) -> bytes:
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
-                subsampling: str = "444", restart_interval: int = 0) -> bytes:
-    """Baseline JFIF encode of uint8 (h, w) grayscale or (h, w, 3) RGB.
+                subsampling: str = "444", restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """JFIF encode of uint8 (h, w) grayscale or (h, w, 3) RGB.
 
     subsampling: "444" (default), "420" (2x2 chroma decimation — what
     virtually all real-world encoders emit), "422", "440"; ignored for
     grayscale. restart_interval: emit DRI + an RSTn marker every Ri MCUs
     (DC predictors reset — makes long scans seekable/error-resilient,
     and at engine scale lets a decoder split one scan across workers).
+    progressive: SOF2 multi-scan stream (spectral selection + 1-bit
+    successive approximation: DC first/refine interleaved, per-component
+    AC bands 1-5 / 6-63 first then refined) — the web's second-most
+    common JPEG shape after baseline 4:2:0. Quantized coefficients are
+    IDENTICAL to the baseline encode, so a correct decoder returns
+    bit-identical pixels for both. restart_interval is ignored for
+    progressive scans.
     """
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
@@ -315,22 +327,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
     for ci in range(ncomp):
         hi, vi = samp[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     out += _seg(0xC4, _dht_payload(0, 0, _DC_SPEC))
     out += _seg(0xC4, _dht_payload(1, 0, _AC_SPEC))
     if ncomp == 3:
         out += _seg(0xC4, _dht_payload(0, 1, _DC_SPEC))
         out += _seg(0xC4, _dht_payload(1, 1, _AC_SPEC))
-    if ri:
+    if ri and not progressive:
         out += _seg(0xDD, struct.pack(">H", ri))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        tbl = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (tbl << 4) | tbl])
-    sos += bytes([0, 63, 0])
-    out += _seg(0xDA, sos)
 
-    # one interleaved scan; MCU = hi x vi blocks per component
+    # quantized zigzag coefficient planes, MCU-aligned grids
     planes = []
     nbx = []
     for ci, comp in enumerate(comps):
@@ -344,6 +350,21 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
         zz, _, bx = _fdct_quant(plane, qt)
         planes.append(zz)
         nbx.append(bx)
+
+    if progressive:
+        _emit_progressive_scans(out, planes, samp, nbx, mcux, mcuy,
+                                h, w, hmax, vmax)
+        out += b"\xFF\xD9"
+        return bytes(out)
+
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tbl = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tbl << 4) | tbl])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    # one interleaved scan; MCU = hi x vi blocks per component
     bw = _BitWriter()
     preds = [0] * ncomp
     rst_n = 0
@@ -364,6 +385,202 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
     out += bw.buf
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
+
+
+def _sos_header(scomps: list[tuple[int, int, int]], ss: int, se: int,
+                ah: int, al: int) -> bytes:
+    """SOS payload: [(comp_id, dc_tbl, ac_tbl)], spectral band, approx."""
+    p = bytes([len(scomps)])
+    for cid, dc, ac in scomps:
+        p += bytes([cid, (dc << 4) | ac])
+    return p + bytes([ss, se, (ah << 4) | al])
+
+
+def _emit_progressive_scans(out: bytearray, planes, samp, nbx,
+                            mcux, mcuy, h, w, hmax, vmax) -> None:
+    """Default progressive scan script (T.81 Annex G encoder): DC first
+    (interleaved, Al=1) → per-component AC bands 1-5 and 6-63 at Al=1 →
+    DC refinement (Ah=1, Al=0) → per-component AC refinements. Coded
+    coefficients are exactly the baseline-quantized planes."""
+    ncomp = len(planes)
+
+    def comp_blocks(ci):
+        """(indices, in component raster order) for non-interleaved scans:
+        the component's OWN grid, not the MCU-padded one."""
+        hi, vi = samp[ci]
+        cbx = ((w * hi + hmax - 1) // hmax + 7) // 8
+        cby = ((h * vi + vmax - 1) // vmax + 7) // 8
+        return [by * nbx[ci] + bx for by in range(cby) for bx in range(cbx)]
+
+    # ---- scan 1: DC first, interleaved, Al=1
+    out += _seg(0xDA, _sos_header(
+        [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)], 0, 0, 0, 1))
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for m in range(mcuy * mcux):
+        mx, my = m % mcux, m // mcux
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            for v in range(vi):
+                for hh in range(hi):
+                    idx = (my * vi + v) * nbx[ci] + (mx * hi + hh)
+                    val = int(planes[ci][idx][0]) >> 1  # arithmetic, Al=1
+                    size, amp = _magnitude(val - preds[ci])
+                    preds[ci] = val
+                    c, ln = _DC_ENC[size]
+                    bw.put(c, ln)
+                    bw.put(amp, size)
+    bw.flush()
+    out += bw.buf
+
+    # ---- AC first scans: per component, bands (1-5) and (6-63), Al=1
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += _seg(0xDA, _sos_header(
+                [(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, 0, 1))
+            bw = _BitWriter()
+            _enc_ac_first(bw, planes[ci], comp_blocks(ci), ss, se, 1, _AC_ENC)
+            bw.flush()
+            out += bw.buf
+
+    # ---- DC refinement: interleaved, Ah=1 Al=0 (raw bits, no huffman)
+    out += _seg(0xDA, _sos_header(
+        [(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 1, 0))
+    bw = _BitWriter()
+    for m in range(mcuy * mcux):
+        mx, my = m % mcux, m // mcux
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            for v in range(vi):
+                for hh in range(hi):
+                    idx = (my * vi + v) * nbx[ci] + (mx * hi + hh)
+                    bw.put(int(planes[ci][idx][0]) & 1, 1)
+    bw.flush()
+    out += bw.buf
+
+    # ---- AC refinement scans: per component, same bands, Ah=1 Al=0
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += _seg(0xDA, _sos_header(
+                [(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, 1, 0))
+            bw = _BitWriter()
+            _enc_ac_refine(bw, planes[ci], comp_blocks(ci), ss, se, 0, _AC_ENC)
+            bw.flush()
+            out += bw.buf
+
+
+def _enc_ac_first(bw: _BitWriter, plane, idxs, ss: int, se: int, al: int,
+                  ac_enc: dict) -> None:
+    """Progressive AC first pass (T.81 G.1.2.2): run-length over the
+    point-transformed band with EOBRUN accumulation."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = ac_enc[r << 4]
+            bw.put(c, ln)
+            bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for idx in idxs:
+        row = plane[idx]
+        band = row[ss:se + 1].astype(np.int64)
+        shifted = np.sign(band) * (np.abs(band) >> al)  # toward zero
+        nz = np.flatnonzero(shifted)
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        last = nz[-1]
+        for i in range(last + 1):
+            v = int(shifted[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_enc[0xF0]  # ZRL
+                bw.put(c, ln)
+                run -= 16
+            size, amp = _magnitude(v)
+            c, ln = ac_enc[(run << 4) | size]
+            bw.put(c, ln)
+            bw.put(amp, size)
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+    flush_eob()
+
+
+def _enc_ac_refine(bw: _BitWriter, plane, idxs, ss: int, se: int, al: int,
+                   ac_enc: dict) -> None:
+    """Progressive AC refinement (T.81 G.1.2.3): newly-nonzero coeffs as
+    (run,1)+sign, correction bits for already-nonzero coeffs, EOBRUN with
+    buffered correction bits."""
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = ac_enc[r << 4]
+            bw.put(c, ln)
+            bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            bw.put(b, 1)
+        pending = []
+
+    for idx in idxs:
+        row = plane[idx]
+        band = row[ss:se + 1].astype(np.int64)
+        absv = np.abs(band) >> al
+        newly = np.flatnonzero(absv == 1)
+        eob_i = int(newly[-1]) if len(newly) else -1  # last newly-nonzero
+        run = 0
+        br: list[int] = []
+        for i in range(se - ss + 1):
+            t = int(absv[i])
+            if t == 0:
+                run += 1
+                continue
+            # the ZRL check precedes BOTH nonzero branches (T.81 G.1.2.3
+            # / libjpeg): a pending 16+ zero-run must be emitted before an
+            # already-nonzero coefficient buffers its correction bit, or
+            # the decoder's ZRL advance reads the bit on the wrong side;
+            # past the last newly-nonzero (i > eob_i) runs fold into EOB
+            while run > 15 and i <= eob_i:
+                flush_eob()
+                c, ln = ac_enc[0xF0]
+                bw.put(c, ln)
+                run -= 16
+                for b in br:
+                    bw.put(b, 1)
+                br = []
+            if t > 1:
+                # already nonzero at coarser precision: correction bit
+                br.append(t & 1)
+                continue
+            # newly nonzero (t == 1)
+            flush_eob()
+            c, ln = ac_enc[(run << 4) | 1]
+            bw.put(c, ln)
+            bw.put(1 if band[i] > 0 else 0, 1)
+            for b in br:
+                bw.put(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
 
 
 # ---------------------------------------------------------------------------
@@ -431,9 +648,11 @@ class _FastBits:
         return (v >> (32 - (p & 7) - k)) & ((1 << k) - 1)
 
 
-def _split_scan(buf: bytes, start: int) -> list[bytes]:
-    """Unstuff + split the entropy-coded data at RST markers, vectorized.
-    Returns one bytes() per restart segment (1 segment when no DRI)."""
+def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
+    """Unstuff + split ONE scan's entropy-coded data at RST markers,
+    vectorized. Returns (segments, end) where `end` is the absolute
+    offset of the terminating marker's 0xFF (the next scan header /
+    EOI), so multi-scan (progressive) streams can keep parsing."""
     data = np.frombuffer(buf, dtype=np.uint8, offset=start)
     ff = np.flatnonzero(data == 0xFF)
     if len(ff) and ff[-1] == len(data) - 1:
@@ -459,7 +678,7 @@ def _split_scan(buf: bytes, start: int) -> list[bytes]:
         if len(drop):
             seg = np.delete(seg, drop)
         segs.append(seg.tobytes())
-    return segs
+    return segs, start + end
 
 
 def _extend(v: int, size: int) -> int:
@@ -468,106 +687,19 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg_real(buf: bytes) -> np.ndarray:
-    """Decode a baseline JFIF/JPEG byte stream to uint8 (h, w) or
-    (h, w, 3) RGB. Arbitrary baseline sampling factors (4:4:4, 4:2:0,
-    4:2:2, 4:4:0, ...), any DHT-carried canonical Huffman tables,
-    restart intervals. Progressive/arithmetic/12-bit raise."""
-    if buf[:2] != b"\xFF\xD8":
-        raise ValueError("not a JPEG")
-    pos = 2
-    qt = {}
-    luts = {}
-    comps = []
-    h = w = None
-    scan_comps = None
-    data_start = None
-    dri = 0
-    while pos < len(buf):
-        if buf[pos] != 0xFF:
-            pos += 1
-            continue
-        marker = buf[pos + 1]
-        pos += 2
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            continue
-        if marker == 0xD9:
-            break
-        ln = struct.unpack_from(">H", buf, pos)[0]
-        payload = buf[pos + 2:pos + ln]
-        pos += ln
-        if marker == 0xDB:
-            off = 0
-            while off < len(payload):
-                pq, tq = payload[off] >> 4, payload[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("jpeg: 16-bit quant tables")
-                zz = np.frombuffer(payload, dtype=np.uint8,
-                                   count=64, offset=off + 1).astype(np.int32)
-                tbl = np.zeros(64, dtype=np.int32)
-                tbl[ZIGZAG] = zz
-                qt[tq] = tbl.reshape(8, 8)
-                off += 65
-        elif marker == 0xC0:
-            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
-                raise NotImplementedError("jpeg: only 8-bit precision")
-            for ci in range(nc):
-                cid, sampb, tq = payload[6 + 3 * ci:9 + 3 * ci]
-                hi, vi = sampb >> 4, sampb & 0xF
-                if not (1 <= hi <= 4 and 1 <= vi <= 4):
-                    raise ValueError(f"jpeg: bad sampling {hi}x{vi}")
-                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("jpeg: only baseline sequential (SOF0)")
-        elif marker == 0xC4:
-            off = 0
-            while off < len(payload):
-                tc, th = payload[off] >> 4, payload[off] & 0xF
-                bits = list(payload[off + 1:off + 17])
-                n = sum(bits)
-                symbols = list(payload[off + 17:off + 17 + n])
-                luts[(tc, th)] = _build_lut(bits, symbols)
-                off += 17 + n
-        elif marker == 0xDD:
-            dri = struct.unpack_from(">H", payload, 0)[0]
-        elif marker == 0xDA:
-            ns = payload[0]
-            scan_comps = []
-            for si in range(ns):
-                cid, tt = payload[1 + 2 * si:3 + 2 * si]
-                scan_comps.append({"id": cid, "dc": tt >> 4, "ac": tt & 0xF})
-            data_start = pos
-            break
-    if data_start is None or h is None:
-        raise ValueError("jpeg: missing SOS/SOF")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    n_mcu = mcuy * mcux
-    order = {c["id"]: i for i, c in enumerate(comps)}
-    # per-component block grids (MCU-aligned)
-    nbx = [mcux * c["h"] for c in comps]
-    nby = [mcuy * c["v"] for c in comps]
-    zz_planes = [np.zeros((nbx[i] * nby[i], 64), dtype=np.int32)
-                 for i in range(len(comps))]
-    # flatten the per-MCU walk into one precomputed schedule:
-    # [(plane, dc_sym, dc_len, ac_sym, ac_len, vi, hi, nbx_i)] per scan comp
+def _decode_baseline_scan(scan, comps, order, luts, zz_planes, nbx,
+                          mcux, n_mcu, dri):
+    """One interleaved baseline scan (DC+AC together)."""
     sched = []
-    for sc in scan_comps:
+    for sc in scan["comps"]:
         ci = order[sc["id"]]
         dsym, dlen = luts[(0, sc["dc"])]
         asym, alen = luts[(1, sc["ac"])]
         sched.append((zz_planes[ci], dsym, dlen, asym, alen,
                       comps[ci]["v"], comps[ci]["h"], nbx[ci], ci))
-
-    segments = _split_scan(buf, data_start)
     seg_mcus = dri if dri else n_mcu
     m = 0
-    for seg in segments:
+    for seg in scan["segments"]:
         if m >= n_mcu:
             break
         bits = _FastBits(seg)
@@ -616,6 +748,276 @@ def decode_jpeg_real(buf: bytes) -> np.ndarray:
             m += 1
     if m < n_mcu:
         raise ValueError(f"jpeg: truncated scan ({m}/{n_mcu} MCUs)")
+
+
+def _decode_progressive_scan(scan, comps, order, luts, zz_planes, nbx,
+                             mcux, mcuy, dri, w, h, hmax, vmax):
+    """One progressive scan (T.81 §G.2): spectral selection Ss..Se at
+    successive-approximation bit position Al; Ah=0 first pass, Ah>0
+    refinement. DC scans may interleave components (MCU order); AC scans
+    cover exactly one component in ITS OWN raster block order."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    scomps = scan["comps"]
+    if ss == 0:
+        # ---- DC scan (interleaved or single-component) ----
+        sched = []
+        for sc in scomps:
+            ci = order[sc["id"]]
+            if ah == 0:
+                dsym, dlen = luts[(0, sc["dc"])]
+            else:
+                dsym = dlen = None
+            sched.append((zz_planes[ci], dsym, dlen,
+                          comps[ci]["v"], comps[ci]["h"], nbx[ci], ci))
+        if len(scomps) == 1:
+            ci = order[scomps[0]["id"]]
+            cbx = ((w * comps[ci]["h"] + hmax - 1) // hmax + 7) // 8
+            cby = ((h * comps[ci]["v"] + vmax - 1) // vmax + 7) // 8
+            n_units = cbx * cby
+        else:
+            cbx = cby = 0
+            n_units = mcux * mcuy
+        seg_units = dri if dri else n_units
+        m = 0
+        for seg in scan["segments"]:
+            if m >= n_units:
+                break
+            bits = _FastBits(seg)
+            peek16 = bits.peek16
+            read = bits.read
+            preds = [0] * len(comps)
+            stop = min(n_units, m + seg_units)
+            while m < stop:
+                for plane, dsym, dlen, vi, hi, bxi, ci in sched:
+                    if len(scomps) == 1:
+                        idxs = [(m // cbx) * bxi + (m % cbx)]
+                    else:
+                        mx, my = m % mcux, m // mcux
+                        idxs = [(my * vi + v) * bxi + (mx * hi + hh)
+                                for v in range(vi) for hh in range(hi)]
+                    for idx in idxs:
+                        row = plane[idx]
+                        if ah == 0:
+                            p = peek16()
+                            s = int(dsym[p])
+                            ln = int(dlen[p])
+                            if ln == 0:
+                                raise ValueError("jpeg: invalid Huffman code")
+                            bits.pos += ln
+                            if s:
+                                preds[ci] += _extend(read(s), s)
+                            row[0] = preds[ci] << al
+                        else:  # DC refinement: one bit per block
+                            if read(1):
+                                row[0] |= (1 << al)
+                m += 1
+        if m < n_units:
+            raise ValueError(f"jpeg: truncated DC scan ({m}/{n_units})")
+        return
+    # ---- AC scan: exactly one component, own block raster order ----
+    if len(scomps) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+    ci = order[scomps[0]["id"]]
+    plane = zz_planes[ci]
+    asym, alen = luts[(1, scomps[0]["ac"])]
+    bxi = nbx[ci]
+    cbx = ((w * comps[ci]["h"] + hmax - 1) // hmax + 7) // 8
+    cby = ((h * comps[ci]["v"] + vmax - 1) // vmax + 7) // 8
+    n_units = cbx * cby
+    seg_units = dri if dri else n_units
+    p1 = 1 << al
+    m1 = -1 << al
+    m = 0
+    for seg in scan["segments"]:
+        if m >= n_units:
+            break
+        bits = _FastBits(seg)
+        peek16 = bits.peek16
+        read = bits.read
+        eobrun = 0
+        stop = min(n_units, m + seg_units)
+        while m < stop:
+            row = plane[(m // cbx) * bxi + (m % cbx)]
+            if ah == 0:
+                # first pass (G.2.2): ordinary run-length + EOBRUN
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        p = peek16()
+                        rs = int(asym[p])
+                        ln = int(alen[p])
+                        if ln == 0:
+                            raise ValueError("jpeg: invalid Huffman code")
+                        bits.pos += ln
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += read(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: AC overflow")
+                        row[k] = _extend(read(s), s) << al
+                        k += 1
+            else:
+                # refinement pass (G.2.3 / libjpeg decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        p = peek16()
+                        rs = int(asym[p])
+                        ln = int(alen[p])
+                        if ln == 0:
+                            raise ValueError("jpeg: invalid Huffman code")
+                        bits.pos += ln
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += read(r)
+                                break
+                            # r == 15: skip over 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError("jpeg: bad refine size")
+                            val = p1 if read(1) else m1
+                        # advance past r zero-history coefficients, applying
+                        # correction bits to already-nonzero ones
+                        while k <= se:
+                            c = row[k]
+                            if c != 0:
+                                if read(1) and (abs(c) & p1) == 0:
+                                    row[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            row[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # EOB band: correction bits for remaining nonzero coeffs
+                    while k <= se:
+                        c = row[k]
+                        if c != 0:
+                            if read(1) and (abs(c) & p1) == 0:
+                                row[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+            m += 1
+    if m < n_units:
+        raise ValueError(f"jpeg: truncated AC scan ({m}/{n_units})")
+
+
+def decode_jpeg_real(buf: bytes) -> np.ndarray:
+    """Decode a JFIF/JPEG byte stream to uint8 (h, w) or (h, w, 3) RGB.
+    Baseline (SOF0) AND progressive (SOF2) DCT, arbitrary sampling
+    factors (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...), any DHT-carried canonical
+    Huffman tables, restart intervals, multi-scan spectral selection +
+    successive approximation. Arithmetic/lossless/12-bit raise."""
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt = {}
+    luts = {}
+    comps = []
+    h = w = None
+    progressive = False
+    scans = []
+    dri = 0
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", buf, pos)[0]
+        payload = buf[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                zz = np.frombuffer(payload, dtype=np.uint8,
+                                   count=64, offset=off + 1).astype(np.int32)
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[ZIGZAG] = zz
+                qt[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            for ci in range(nc):
+                cid, sampb, tq = payload[6 + 3 * ci:9 + 3 * ci]
+                hi, vi = sampb >> 4, sampb & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"jpeg: bad sampling {hi}x{vi}")
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "jpeg: only baseline (SOF0/1) and progressive (SOF2) DCT")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0xF
+                bits = list(payload[off + 1:off + 17])
+                n = sum(bits)
+                symbols = list(payload[off + 17:off + 17 + n])
+                luts[(tc, th)] = _build_lut(bits, symbols)
+                off += 17 + n
+        elif marker == 0xDD:
+            dri = struct.unpack_from(">H", payload, 0)[0]
+        elif marker == 0xDA:
+            ns = payload[0]
+            scomps = []
+            for si in range(ns):
+                cid, tt = payload[1 + 2 * si:3 + 2 * si]
+                scomps.append({"id": cid, "dc": tt >> 4, "ac": tt & 0xF})
+            ss_, se_, a = payload[1 + 2 * ns:4 + 2 * ns]
+            segments, pos = _split_scan(buf, pos)
+            scans.append({"comps": scomps, "ss": ss_, "se": se_,
+                          "ah": a >> 4, "al": a & 0xF,
+                          "segments": segments, "dri": dri})
+    if not scans or h is None:
+        raise ValueError("jpeg: missing SOS/SOF")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcuy * mcux
+    order = {c["id"]: i for i, c in enumerate(comps)}
+    # per-component block grids (MCU-aligned)
+    nbx = [mcux * c["h"] for c in comps]
+    nby = [mcuy * c["v"] for c in comps]
+    zz_planes = [np.zeros((nbx[i] * nby[i], 64), dtype=np.int32)
+                 for i in range(len(comps))]
+    if progressive:
+        for scan in scans:
+            _decode_progressive_scan(scan, comps, order, luts, zz_planes,
+                                     nbx, mcux, mcuy, scan["dri"],
+                                     w, h, hmax, vmax)
+    else:
+        _decode_baseline_scan(scans[0], comps, order, luts, zz_planes,
+                              nbx, mcux, n_mcu, scans[0]["dri"])
 
     planes = []
     for ci, comp in enumerate(comps):

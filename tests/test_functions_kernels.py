@@ -611,3 +611,47 @@ def test_jpeg_odd_dims_subsampled():
     img = np.stack([y * 7 % 256, x * 5 % 256, (x * y) % 256], -1).astype(np.uint8)
     dec = J.decode_jpeg_real(J.encode_jpeg(img, quality=95, subsampling="420"))
     assert dec.shape == (17, 23, 3)
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Progressive (SOF2, spectral selection + successive approximation)
+    encodes the SAME quantized coefficients as baseline, so a correct
+    multi-scan decoder must return bit-identical pixels. Covers DC
+    first/refine, AC first/refine, EOBRUN, ZRL-with-correction-bits."""
+    from godal_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:48, 0:64]
+    cases = [
+        ("smooth", np.stack([100 + yy // 2, 80 + xx // 2,
+                             90 + (xx + yy) // 4], -1).astype(np.uint8), "444"),
+        ("noisy", rng.integers(0, 256, (64, 64, 3), dtype=np.uint8), "420"),
+        ("gray", ((yy * 3 + xx * 2) % 256).astype(np.uint8), "444"),
+        ("odd", rng.integers(0, 256, (17, 23, 3), dtype=np.uint8), "422"),
+    ]
+    sparse = np.zeros((40, 40), np.uint8)
+    sparse[::7, ::5] = 200  # long zero runs: ZRL + EOBRUN stress
+    cases.append(("sparse", sparse, "444"))
+    for name, img, sub in cases:
+        kw = {"subsampling": sub} if img.ndim == 3 else {}
+        buf = J.encode_jpeg(img, quality=95, progressive=True, **kw)
+        assert buf[buf.index(b"\xFF\xC2") + 1] == 0xC2  # really SOF2
+        assert buf.count(b"\xFF\xDA") > 1  # really multi-scan
+        base = J.decode_jpeg_real(J.encode_jpeg(img, quality=95, **kw))
+        assert (J.decode_jpeg_real(buf) == base).all(), name
+
+
+def test_jpeg_progressive_fuzz_small():
+    """Randomized sizes/qualities/samplings: progressive == baseline."""
+    from godal_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(42)
+    for _ in range(10):
+        h, w = int(rng.integers(8, 50)), int(rng.integers(8, 50))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        q = int(rng.choice([40, 75, 95]))
+        sub = str(rng.choice(["444", "420"]))
+        base = J.decode_jpeg_real(J.encode_jpeg(img, quality=q, subsampling=sub))
+        prog = J.decode_jpeg_real(
+            J.encode_jpeg(img, quality=q, subsampling=sub, progressive=True))
+        assert (base == prog).all(), (h, w, q, sub)
