@@ -291,27 +291,61 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
                           into_meta["w"], into_meta["h"])
         t_srs = into_meta["srs"]
     else:
-        # ONE row for the resolution anchor + srs default — never a
-        # per-image collect. GDAL uses input order; the DataFrame
-        # analogue is ascending image_id (deterministic).
-        m0 = meta_small.orderBy("image_id").first()
-        t_srs = cfg.t_srs or m0["srs"]
-
+        # ONE fused job computes the resolution anchor (lowest image_id —
+        # GDAL's input-order analogue, deterministic) AND the mosaic
+        # extent: per-image native bounds in a metadata-only Arrow pass,
+        # then a single agg with min_by for the anchor. Round 3: this
+        # was two driver-barrier jobs (orderBy().first() + extent agg) —
+        # a measurable serial slice of every warp at executor scale.
         def bgen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = []
                 for rec in pdf.itertuples(index=False):
                     b = CRS.dataset_bounds(list(rec.gt), rec.w, rec.h)
-                    if rec.srs != t_srs:
-                        b = CRS.reproject_bounds(b, rec.srs, t_srs)
-                    rows.append(b)
-                yield pd.DataFrame(rows, columns=["bminx", "bminy", "bmaxx", "bmaxy"])
+                    rows.append((rec.image_id, list(rec.gt), int(rec.w),
+                                 int(rec.h), rec.srs, *b))
+                yield pd.DataFrame(rows, columns=[
+                    "image_id", "gt", "w", "h", "srs",
+                    "bminx", "bminy", "bmaxx", "bmaxy"])
 
-        ext_row = (meta_small.mapInPandas(
-            bgen, schema="bminx double, bminy double, bmaxx double, bmaxy double")
-            .agg(F.min("bminx"), F.min("bminy"), F.max("bmaxx"), F.max("bmaxy"))
+        row = (meta_small.mapInPandas(
+            bgen, schema="image_id string, gt array<double>, w int, h int, "
+                         "srs string, bminx double, bminy double, "
+                         "bmaxx double, bmaxy double")
+            .agg(F.min("bminx").alias("bminx"), F.min("bminy").alias("bminy"),
+                 F.max("bmaxx").alias("bmaxx"), F.max("bmaxy").alias("bmaxy"),
+                 F.min_by(F.struct("gt", "srs", "w", "h"),
+                          F.col("image_id")).alias("m0"),
+                 F.count_distinct("srs").alias("n_srs"),
+                 F.min("srs").alias("srs0"))
             .first())
-        tgt_gt, tw, th = _target_grid_scalars(tuple(ext_row), m0, cfg, t_srs)
+        m0 = row["m0"]
+        t_srs = cfg.t_srs or m0["srs"]
+        if row["n_srs"] > 1 or row["srs0"] != t_srs:
+            # mixed-srs fleet (or reprojection requested): the native
+            # bounds union is not the target-srs extent — one more
+            # metadata pass with per-image reprojection
+            def bgen2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    rows = []
+                    for rec in pdf.itertuples(index=False):
+                        b = CRS.dataset_bounds(list(rec.gt), rec.w, rec.h)
+                        if rec.srs != t_srs:
+                            b = CRS.reproject_bounds(b, rec.srs, t_srs)
+                        rows.append(b)
+                    yield pd.DataFrame(
+                        rows, columns=["bminx", "bminy", "bmaxx", "bmaxy"])
+
+            ext_row = (meta_small.mapInPandas(
+                bgen2, schema="bminx double, bminy double, "
+                              "bmaxx double, bmaxy double")
+                .agg(F.min("bminx"), F.min("bminy"),
+                     F.max("bmaxx"), F.max("bmaxy"))
+                .first())
+            ext = tuple(ext_row)
+        else:
+            ext = (row["bminx"], row["bminy"], row["bmaxx"], row["bmaxy"])
+        tgt_gt, tw, th = _target_grid_scalars(ext, m0, cfg, t_srs)
     tgt_gt_b = [float(v) for v in tgt_gt]
     alg = cfg.resampling
     init_nodata = cfg.init_nodata
