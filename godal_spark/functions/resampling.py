@@ -155,6 +155,30 @@ def resample(src: np.ndarray, out_w: int, out_h: int, alg: str = "nearest",
         ys = np.minimum(y0 + np.floor((np.arange(out_h) + off) * ry).astype(int), full_h - 1)
         return src[np.ix_(ys, xs)].astype(out_dtype)
 
+    if (alg == "average" and max(win_h, win_w) <= 8192
+            and np.issubdtype(src.dtype, np.integer)):
+        # separable box mean as two unit-weight matmuls + ONE division:
+        # integer pixels sum exactly in float64, and sum/(ny*nx) is the
+        # same single fp op np.mean performs — so values are bit-equal
+        # to the per-pixel loop (weights of 1/n instead would round
+        # twice and flip .5-boundary _round_like results; fuzz-caught).
+        # The loop was the overview-build hot spot: O(out_px) Python
+        # iterations per tile (round-3 finding). Float inputs keep the
+        # loop (BLAS FMA order vs np.mean could differ by 1 ulp).
+        win = src[y0:y0 + win_h, x0:x0 + win_w].astype(np.float64)
+        wy = np.zeros((out_h, win_h), dtype=np.float64)
+        ny = np.empty(out_h, dtype=np.float64)
+        for i, lo, hi in _box_ranges(win_h, out_h):
+            wy[i, lo:hi] = 1.0
+            ny[i] = hi - lo
+        wx = np.zeros((out_w, win_w), dtype=np.float64)
+        nx = np.empty(out_w, dtype=np.float64)
+        for i, lo, hi in _box_ranges(win_w, out_w):
+            wx[i, lo:hi] = 1.0
+            nx[i] = hi - lo
+        sums = (wy @ win) @ wx.T
+        return _round_like(sums / np.outer(ny, nx), out_dtype)
+
     if alg in ("average", "mode"):
         win = src[y0:y0 + win_h, x0:x0 + win_w]
         out = np.zeros((out_h, out_w), dtype=np.float64)

@@ -197,6 +197,16 @@ def build_overview_level(tiles: DataFrame, factor_from_prev: int = 2,
     parent = (tiles
               .withColumn("pbx", F.floor(F.col("block_x") / 2).cast("int"))
               .withColumn("pby", F.floor(F.col("block_y") / 2).cast("int")))
+    # declare the reduce parallelism: the stage is per-group Python
+    # (mosaic + downsample), so AQE's SIZE-based coalescing is wrong for
+    # it — a few MB of tiles coalesce to 1-2 tasks and serialize the
+    # kernel (measured 19 s -> ~2 s on a 4k-tile level; same lesson as
+    # warp's render, see PLANS.md). Explicit-N keyed repartition is
+    # exempt from coalescing and satisfies applyInPandas's required
+    # distribution — no second exchange.
+    sc = tiles.sparkSession.sparkContext
+    parent = parent.repartition(sc.defaultParallelism * 2,
+                                "image_id", "band", "pbx", "pby")
 
     def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         image_id, band, pbx, pby = key
