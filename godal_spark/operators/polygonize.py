@@ -470,6 +470,18 @@ def _resolve_roots_distributed(edges: DataFrame, max_iters: int = 25) -> DataFra
     return lab
 
 
+def _declare_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit keyed repartition before a Python-heavy applyInPandas:
+    AQE's size-based coalescing assumes IO-bound tasks and serializes
+    CPU-bound Arrow kernels (PLANS.md round-3 lesson; measured 19 s -> 3 s
+    on the overview reduce). Explicit-N repartitions are exempt from
+    coalescing and satisfy the grouping's required distribution."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    n = df.sparkSession.sparkContext.defaultParallelism * 4
+    return df.repartition(n, *keys)
+
+
 def _attach_roots(spark, comps: DataFrame, edges: DataFrame,
                   max_border_edges: int) -> DataFrame:
     """comps + a `root` column from the border-equivalence edge graph:
@@ -641,7 +653,8 @@ def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
             return pd.DataFrame({"image_id": key[0], "band": key[1],
                                  "cid_a": arr[:, 0], "cid_b": arr[:, 1]})
 
-        edges = strips.groupBy("image_id", "band", "key").applyInPandas(
+        edges = _declare_parallelism(strips, "image_id", "band", "key") \
+            .groupBy("image_id", "band", "key").applyInPandas(
             make_edges,
             schema="image_id string, band int, cid_a long, cid_b long"
         ).distinct()
@@ -669,7 +682,8 @@ def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
                 "n_parts": [n_parts], "geometry": [geom],
                 "area": [float(pdf["area"].sum())]})
 
-        out = comps.groupBy("image_id", "band", "root").applyInPandas(
+        out = _declare_parallelism(comps, "image_id", "band", "root") \
+            .groupBy("image_id", "band", "root").applyInPandas(
             merge, schema=_FEATURES2_SCHEMA)
         out = out.localCheckpoint(eager=True)
     finally:
@@ -854,7 +868,8 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
                 "cid_a": arr2[:, 0], "cid_b": arr2[:, 1],
                 "eq": [True] * len(eq_pairs) + [False] * len(adj_pairs)})
 
-        pairs = strips.groupBy("image_id", "band", "key").applyInPandas(
+        pairs = _declare_parallelism(strips, "image_id", "band", "key") \
+            .groupBy("image_id", "band", "key").applyInPandas(
             make_pairs,
             schema="image_id string, band int, cid_a long, cid_b long, eq boolean"
         ).distinct().persist()
@@ -951,8 +966,8 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
         keys = ["image_id", "band", "block_x", "block_y"]
         from godal_spark.operators.tiling import TILE_SCHEMA
 
-        result = (tiles.groupBy(*keys)
-                  .cogroup(cid_dec.groupBy(*keys))
+        result = (_declare_parallelism(tiles, *keys).groupBy(*keys)
+                  .cogroup(_declare_parallelism(cid_dec, *keys).groupBy(*keys))
                   .applyInPandas(rewrite, schema=TILE_SCHEMA))
         result = result.localCheckpoint(eager=True)
         pairs.unpersist()

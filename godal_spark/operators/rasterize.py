@@ -182,6 +182,13 @@ def rasterize_tiles(footprints: DataFrame, te, ts, *, bw: int = 256,
              .select("block_x", "block_y", F.col(geometry).alias("__geom")))
 
     pairs = grid.join(geoms, ["block_x", "block_y"], "left")
+    # declare burn parallelism: the stage is per-tile CPU-bound Python
+    # (ray cast over tile pixels) — AQE size-coalescing would serialize
+    # it (see PLANS.md round-3 lesson). Explicit-N keyed repartition is
+    # exempt and satisfies applyInPandas's distribution (no 2nd shuffle).
+    n_burn = max(1, min(nbx * nby,
+                        spark.sparkContext.defaultParallelism * 4))
+    pairs = pairs.repartition(n_burn, "block_x", "block_y")
     init_b, burn_b = float(init), float(burn)
     at = bool(all_touched)
 

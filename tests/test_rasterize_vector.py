@@ -321,3 +321,60 @@ def test_sieve_tiles_untouched_passthrough_and_dist_path(spark):
     am = {(t.block_x, t.block_y): bytes(t.payload) for t in a}
     bm = {(t.block_x, t.block_y): bytes(t.payload) for t in b}
     assert am == bm
+
+
+def test_sieve_tiles_megapixel_smoke(spark):
+    """1024x1536 raster (1.5 Mpx, 96 tiles of 128px) of 64px blocky
+    regions with ~60 planted specks (some straddling tile seams):
+    distributed result == sieve_array on the whole raster, and no
+    sub-threshold component survives (every speck's neighbor is a large
+    region, so one pass cleans them all)."""
+    from godal_spark.operators import polygonize as PZ, tiling as TL
+
+    rng = np.random.default_rng(31)
+    coarse = (rng.integers(0, 3, (16, 24)) * 100).astype(np.uint8)
+    arr = np.repeat(np.repeat(coarse, 64, axis=0), 64, axis=1)  # 1024x1536
+    for _ in range(60):  # specks, some crossing the 128px tile seams
+        y = int(rng.integers(1, 1023)); x = int(rng.integers(1, 1530))
+        ln = int(rng.integers(1, 6))
+        arr[y, x:x + ln] = 50
+    arr[100, 126:131] = 50   # guaranteed seam-straddler at x=128
+    images = datagen.images_df(spark, [datagen.image_row("mp", arr, "raw8")])
+    tiles = TL.explode_tiles(images, bw=128, bh=128)
+    out_tiles = PZ.sieve_tiles(tiles, 8).collect()
+    got = np.zeros_like(arr)
+    for t in out_tiles:
+        got[t.y0:t.y0 + t.bh, t.x0:t.x0 + t.bw] = \
+            np.frombuffer(t.payload, np.uint8).reshape(t.bh, t.bw)
+    want = PZ.sieve_array(arr, 8)
+    assert np.array_equal(got, want)
+    assert 50 not in np.unique(got)  # every speck merged into a region
+
+
+def test_rasterize_tiles_megapixel_smoke(spark):
+    """4096x4096 target (16 Mpx, 256 tiles): distributed burn produces a
+    complete tile set whose burned-pixel total matches the analytic
+    count for axis-aligned boxes (center rule), with no driver-side
+    pixel collect."""
+    import pandas as pd
+
+    boxes = [G.box(10.0, 10.0, 50.25, 30.75), G.box(-120.5, -45.5, -60.0, 20.0)]
+    fps = spark.createDataFrame(
+        pd.DataFrame({"fid": range(2), "geometry": [G.to_wkb(b) for b in boxes]}),
+        "fid long, geometry binary")
+    te, ts = (-180.0, -90.0, 180.0, 90.0), (4096, 4096)
+    pw = 360.0 / 4096
+    ph = 180.0 / 4096
+    tiles = RZ.rasterize_tiles(fps, te, ts, bw=256, bh=256, init=0, burn=1)
+    rows = tiles.collect()
+    assert len(rows) == 16 * 16
+    burned = sum(int(np.frombuffer(r.payload, np.uint8).sum()) for r in rows)
+
+    def count_box(minx, miny, maxx, maxy):
+        cx = -180.0 + (np.arange(4096) + 0.5) * pw
+        cy = 90.0 - (np.arange(4096) + 0.5) * ph
+        return int((np.count_nonzero((cx >= minx) & (cx <= maxx)))
+                   * np.count_nonzero((cy >= miny) & (cy <= maxy)))
+
+    want = sum(count_box(*b.bounds()) for b in boxes)  # disjoint boxes
+    assert burned == want
