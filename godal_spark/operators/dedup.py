@@ -118,6 +118,14 @@ def with_shingle_minhash_fused(docs: DataFrame, text_col: str = "text",
     import hashlib
     import re
 
+    # a small corpus parquet often reads as ONE split (sf0.1 documents:
+    # a single file under maxPartitionBytes) and the heavy shingle UDF
+    # then runs on one core — spread it before the compute. At real
+    # table scale the input already has >= cores splits and this no-ops.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+
     a, b = _minhash_params(num_hashes, seed)
     empty_mh = [0] * num_hashes
     # Java/DuckDB \s is ASCII; Python str.split()/re default are Unicode —
