@@ -57,8 +57,15 @@ def transform_points(xs, ys, src: str, dst: str):
     return ox, oy, ok & ok2
 
 
+# geographic CRSes treated as ≡ WGS84 (no datum shift; accuracy note in
+# the module docstring): NAD83 (4269), ETRS89 (4258), generic lon/lat CRS84
+_GEOGRAPHIC_WGS84_ALIASES = {4269, 4258}
+
+
 def _to_4326(xs, ys, epsg: int):
     ok = np.ones(xs.shape, dtype=bool)
+    if epsg in _GEOGRAPHIC_WGS84_ALIASES:
+        epsg = 4326
     if epsg == 4326:
         ok &= (np.abs(xs) <= 180.0) & (np.abs(ys) <= 90.0)
         return xs, ys, ok
@@ -79,6 +86,8 @@ def _to_4326(xs, ys, epsg: int):
 
 def _from_4326(lon, lat, epsg: int):
     ok = (np.abs(lon) <= 360.0) & (np.abs(lat) <= 90.0)
+    if epsg in _GEOGRAPHIC_WGS84_ALIASES:
+        epsg = 4326
     if epsg == 4326:
         return lon, lat, ok
     if epsg == 3857:
@@ -337,8 +346,9 @@ _PROJ_REGISTRY = {
 
 
 def supported_epsg() -> list[int]:
-    """Registry-backed EPSG codes (plus 4326/3857/UTM 326xx/327xx)."""
-    return sorted([4326, 3857, *_PROJ_REGISTRY])
+    """Registry-backed EPSG codes (plus 4326/3857/UTM 326xx/327xx and the
+    no-datum-shift geographic aliases 4269/4258)."""
+    return sorted([4326, 3857, 4269, 4258, *_PROJ_REGISTRY])
 
 
 # ---------------------------------------------------------------------------

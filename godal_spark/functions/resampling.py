@@ -179,6 +179,22 @@ def resample(src: np.ndarray, out_w: int, out_h: int, alg: str = "nearest",
         sums = (wy @ win) @ wx.T
         return _round_like(sums / np.outer(ny, nx), out_dtype)
 
+    if (alg == "mode" and win_h % out_h == 0 and win_w % out_w == 0
+            and (win_h // out_h) * (win_w // out_w) <= 64):
+        # exact integer-factor mode (the 2:1 overview / categorical-warp
+        # case): per-block vote without the per-output-pixel Python loop.
+        # Same semantics as the loop below — max count, ties to the
+        # SMALLEST value (np.unique sorts, argmax takes the first max).
+        fy, fx = win_h // out_h, win_w // out_w
+        win = src[y0:y0 + win_h, x0:x0 + win_w]
+        blocks = (win.reshape(out_h, fy, out_w, fx).transpose(0, 2, 1, 3)
+                  .reshape(out_h * out_w, fy * fx).astype(np.float64))
+        eq = blocks[:, :, None] == blocks[:, None, :]
+        cnt = eq.sum(axis=2)
+        top = cnt == cnt.max(axis=1, keepdims=True)
+        out = np.where(top, blocks, np.inf).min(axis=1).reshape(out_h, out_w)
+        return _round_like(out, out_dtype)
+
     if alg in ("average", "mode"):
         win = src[y0:y0 + win_h, x0:x0 + win_w]
         out = np.zeros((out_h, out_w), dtype=np.float64)

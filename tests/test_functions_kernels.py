@@ -655,3 +655,21 @@ def test_jpeg_progressive_fuzz_small():
         prog = J.decode_jpeg_real(
             J.encode_jpeg(img, quality=q, subsampling=sub, progressive=True))
         assert (base == prog).all(), (h, w, q, sub)
+
+
+def test_crs_geographic_datum_aliases():
+    """NAD83 (EPSG:4269) and ETRS89 (EPSG:4258) transform as ≡ WGS84
+    (metre-level identity, documented — no PROJ/datum grids in env)."""
+    from godal_spark.functions import crs as CRS
+
+    xs = np.array([-96.0, 10.0])
+    ys = np.array([40.0, 52.0])
+    for code in ("EPSG:4269", "EPSG:4258"):
+        gx, gy, ok = CRS.transform_points(xs, ys, code, "EPSG:4326")
+        assert ok.all() and np.allclose([gx, gy], [xs, ys])
+        # through a projected family and back
+        mx, my, ok = CRS.transform_points(xs, ys, code, "EPSG:3857")
+        assert ok.all()
+        bx, by, ok = CRS.transform_points(mx, my, "EPSG:3857", code)
+        assert np.allclose([bx, by], [xs, ys], atol=1e-9)
+    assert 4269 in CRS.supported_epsg() and 4258 in CRS.supported_epsg()
