@@ -188,3 +188,74 @@ def test_wkb_wkt_roundtrip_random_geometries(seed):
     rt2 = G.from_wkt(G.to_wkt(g, digits=12))
     assert rt2.type == g.type
     assert abs(rt2.area() - g.area()) < 1e-6
+
+
+@settings(deadline=None, max_examples=25)
+@given(st.integers(0, 10**6))
+def test_rasterize_tile_decomposition_property(seed):
+    """The sub-geotransform math the distributed rasterize relies on:
+    burning per tile with the tile's translated gt and stitching equals
+    the monolithic burn — for random boxes and random tile sizes."""
+    from godal_spark.operators.rasterize import _coverage_mask, rasterize_array
+
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(6, 40)), int(rng.integers(6, 40))
+    bw, bh = int(rng.integers(2, 12)), int(rng.integers(2, 12))
+    geoms = []
+    for _ in range(int(rng.integers(1, 4))):
+        x0, y0 = rng.uniform(-10, 30, 2)
+        geoms.append(G.box(x0, y0, x0 + rng.uniform(0.5, 25),
+                           y0 + rng.uniform(0.5, 25)))
+    te = (0.0, 0.0, float(w), float(h))
+    mono, gt = rasterize_array(geoms, te, (w, h), init=0, burn=1)
+    stitched = np.zeros((h, w), dtype=np.uint8)
+    for ty in range(0, h, bh):
+        for tx in range(0, w, bw):
+            tw_, th_ = min(bw, w - tx), min(bh, h - ty)
+            sub_gt = [gt[0] + tx * gt[1], gt[1], 0.0,
+                      gt[3] + ty * gt[5], 0.0, gt[5]]
+            acc = np.zeros((th_, tw_), dtype=bool)
+            for g in geoms:
+                acc |= _coverage_mask(g, sub_gt, tw_, th_, False)
+            stitched[ty:ty + th_, tx:tx + tw_] = acc.astype(np.uint8)
+    assert np.array_equal(stitched, mono)
+
+
+@settings(deadline=None, max_examples=25)
+@given(st.integers(0, 10**6))
+def test_resample_average_matmul_equals_loop(seed):
+    """The vectorized separable box-average must be bit-equal to the
+    reference per-pixel loop for any integer image and ratio."""
+    from godal_spark.functions.resampling import _box_ranges
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(2, 50)), int(rng.integers(2, 50))
+    oh, ow = int(rng.integers(1, h + 4)), int(rng.integers(1, w + 4))
+    a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    got = resample(a, ow, oh, alg="average", path="overview",
+                   out_dtype=np.uint8)
+    want = np.zeros((oh, ow))
+    for i, ylo, yhi in _box_ranges(h, oh):
+        for j, xlo, xhi in _box_ranges(w, ow):
+            want[i, j] = a[ylo:yhi, xlo:xhi].astype(np.float64).mean()
+    want = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+@settings(deadline=None, max_examples=15)
+@given(st.integers(0, 10**6))
+def test_jpeg_progressive_equals_baseline_property(seed):
+    """Progressive and baseline encode the same quantized coefficients,
+    so decodes must be bit-identical — any size/quality/sampling."""
+    from godal_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(8, 56)), int(rng.integers(8, 56))
+    gray = bool(rng.integers(0, 2))
+    img = rng.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    q = int(rng.choice([35, 70, 95]))
+    kw = {} if gray else {"subsampling": str(rng.choice(["444", "420", "422"]))}
+    base = J.decode_jpeg_real(J.encode_jpeg(img, quality=q, **kw))
+    prog = J.decode_jpeg_real(J.encode_jpeg(img, quality=q,
+                                            progressive=True, **kw))
+    assert np.array_equal(base, prog)
