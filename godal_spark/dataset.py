@@ -265,6 +265,23 @@ class RasterDataset:
             valid_fn = lambda a: sieve_array(a, threshold, eight=eight)  # noqa: E731
         return self._apply_kernel(valid_fn, band)
 
+    def sieve_filter_tiles(self, threshold: int, band: int = 0,
+                           eight: bool = False,
+                           no_mask: bool = False) -> DataFrame:
+        """Distributed SieveFilter over this dataset's tile rows —
+        the scale path (global cross-tile component sizes, no
+        whole-raster gather); `sieve_filter` above is the in-memory
+        single-array form (godal SieveFilter, godal.go:394-413)."""
+        from godal_spark.operators.polygonize import sieve_tiles
+
+        t = self.catalog.tiles.filter(
+            (F.col("image_id") == self.image_id) & (F.col("band") == band)
+            & (F.col("level") == 0))
+        nd = self._row["nodata"]
+        return sieve_tiles(t, threshold, eight=eight,
+                           use_nodata_mask=nd is not None and not no_mask,
+                           nodata=nd)
+
     def nearblack(self, near: int = 15, white: bool = False, band: int = 0) -> np.ndarray:
         from godal_spark.operators.fill import nearblack
 

@@ -118,3 +118,22 @@ def test_execute_sql_goldens(spark):
     filtered = DS.execute_sql(spark, "SELECT * FROM test", layers={"test": two},
                               spatial_filter=flt)
     assert filtered.count() == 1
+
+
+def test_sieve_filter_tiles_via_facade(spark):
+    """Distributed sieve through the Dataset facade == the in-memory
+    sieve_filter kernel on the same dataset."""
+    arr = np.zeros((16, 16), dtype=np.uint8)
+    arr[2, 2] = 9          # 1-px speck
+    arr[5:9, 5:12] = 7     # large region
+    images = datagen.images_df(spark, [datagen.image_row("sv", arr, "raw8")])
+    cat = DS.RasterCatalog(spark, images, block=8)
+    ds = cat.open("sv")
+    want = ds.sieve_filter(3)
+    tiles = ds.sieve_filter_tiles(3).collect()
+    got = np.zeros_like(arr)
+    for t in tiles:
+        got[t.y0:t.y0 + t.bh, t.x0:t.x0 + t.bw] = \
+            np.frombuffer(t.payload, np.uint8).reshape(t.bh, t.bw)
+    assert np.array_equal(got, want)
+    assert got[2, 2] == 0 and (got[5:9, 5:12] == 7).all()
