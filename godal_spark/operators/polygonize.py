@@ -616,7 +616,9 @@ def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
                        "payload").mapInPandas(phase1, schema=_P1_SCHEMA)
     raw = raw.persist()
     try:
-        raw.count()
+        # no eager count(): the first consumer (the border-edge collect)
+        # materializes the cache; every later branch reuses it — one
+        # fewer driver barrier per invocation
         comps = raw.filter(F.col("kind") == "comp") \
                    .select("image_id", "band", "cid", "value",
                            "n_pixels", "wkb", "area")
@@ -819,7 +821,7 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
 
     raw = tiles.mapInPandas(phase1, schema=_SV_SCHEMA).persist()
     try:
-        raw.count()
+        # no eager count() — see polygonize_tiles
         comps = raw.filter(F.col("kind") == "comp") \
                    .select("image_id", "band", "cid", "value", "n_pixels")
         strips = raw.filter(F.col("kind") == "strip") \
