@@ -1219,6 +1219,64 @@ SELECT * FROM (VALUES ('r444', true), ('r420', true), ('r420dri', true),
 """
 
 
+# constructed span-dedup corpus: BLOCK1 shared by 3 docs at different
+# alignments (the fixed-stride failure mode), BLOCK2 by 2 docs; ascii,
+# no quotes (embedded verbatim in the SQL oracle)
+_SPAN_BLOCK1 = ("this exact license paragraph is reproduced verbatim across "
+                "several documents in the corpus")
+_SPAN_BLOCK2 = "another shared header block of respectable length here"
+_SPAN_DOCS = [
+    (0, "alpha opening words " + _SPAN_BLOCK1 + " tail zero"),
+    (1, "b " + _SPAN_BLOCK1 + " something else entirely at the end one"),
+    (2, "ccc prefix of other length " + _SPAN_BLOCK1),
+    (3, "unrelated document with completely unique contents number three"),
+    (4, "intro " + _SPAN_BLOCK2 + " outro four"),
+    (5, "x " + _SPAN_BLOCK2 + " epilogue five"),
+    (6, "short"),
+]
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Span-level exact substring dedup (winnowing anchors -> gram join
+    -> maximal extension): per doc pair, the longest shared substring of
+    >= 40 chars. Oracle = brute-force stride-1 window join with
+    diagonal-partitioned run coalescing — ground truth, not a replica of
+    the winnowing plan."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(_SPAN_DOCS, "doc_id long, text string")
+    spans = DD.substring_duplicate_spans(docs, min_span=40)
+    return (spans.groupBy("id_a", "id_b")
+            .agg(F.max("span_len").cast("bigint").alias("max_span")))
+
+
+def _span_sql_values() -> str:
+    return ", ".join(f"({i}, '{t}')" for i, t in _SPAN_DOCS)
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH docs(doc_id, txt) AS (VALUES {_span_sql_values()}),
+pos AS (SELECT doc_id, txt, unnest(range(0, length(txt) - 40 + 1)) AS p
+        FROM docs WHERE length(txt) >= 40),
+win AS (SELECT doc_id, p, substr(txt, p + 1, 40) AS w FROM pos),
+m AS (SELECT a.doc_id AS id_a, a.p AS pa, b.doc_id AS id_b, b.p AS pb
+      FROM win a JOIN win b ON a.w = b.w AND a.doc_id < b.doc_id),
+r AS (SELECT *, pb - pa AS diag,
+        CASE WHEN lag(pa) OVER (PARTITION BY id_a, id_b, pb - pa
+                                ORDER BY pa) = pa - 1
+             THEN 0 ELSE 1 END AS brk
+      FROM m),
+g AS (SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM r),
+sp AS (SELECT id_a, id_b, diag, run, max(pa) - min(pa) + 40 AS span
+       FROM g GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, cast(max(span) AS bigint) AS max_span
+FROM sp GROUP BY id_a, id_b
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Simhash bucket join over a constructed corpus: 15 docs with
     disjoint vocabularies + an exact copy of each. Exact copies have
@@ -1377,6 +1435,7 @@ QUERIES = {
     "sieve": q_sieve,
     "warp_mode": q_warp_mode,
     "jpeg_ingest": q_jpeg_ingest,
+    "substring_dedup": q_substring_dedup,
     "translate_resize": q_translate_resize,
     "bounds": q_bounds,
     "geom_area": q_geom_area,
@@ -1420,6 +1479,7 @@ ORACLES = {
     "sieve": SQL_SIEVE,
     "warp_mode": SQL_WARP_MODE,
     "jpeg_ingest": SQL_JPEG_INGEST,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
     "translate_resize": SQL_TRANSLATE_RESIZE,
     "bounds": SQL_BOUNDS,
     "geom_area": SQL_GEOM_AREA,

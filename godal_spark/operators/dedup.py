@@ -12,6 +12,9 @@ over the `documents` table:
     bucket join finds pairs within distance ≤ 3 (pigeonhole over chunks
     guarantees recall for d ≤ 3 with 4 chunks).
   * ngram_jaccard_join — exact n-gram Jaccard over candidate pairs.
+  * substring_duplicate_spans — SPAN-level exact dedup (winnowing
+    anchors → gram equi-join → maximal extension): finds the shared
+    license blocks / boilerplate runs that doc-level near-dup misses.
 
 All hashing is deterministic (no Python hash()); heavy lifting stays in
 built-in functions (xxhash64, explode, groupBy) — Python only where a
@@ -424,3 +427,138 @@ def embedding_dedup(emb: DataFrame, *, id_col: str = "vec_id",
     cos = dot / (nrm(F.col("__va")) * nrm(F.col("__vb")))
     return (j.withColumn("__cos", cos).filter(F.col("__cos") >= threshold)
             .select("id_a", "id_b", F.round("__cos", 6).alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# span-level EXACT substring dedup (training-data pipelines deduplicate
+# repeated SPANS — license blocks, boilerplate — that doc-level near-dup
+# misses; cf. the published "Deduplicating Training Data" methodology and
+# the winnowing fingerprinting scheme of Schleimer et al., SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+
+def with_winnowing_anchors(docs: DataFrame, *, k: int = 16,
+                           select_window: int = 16,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """One row per winnowing-selected k-gram: (id, pos, gram).
+
+    Winnowing picks, in every sliding window of `select_window`
+    consecutive k-gram hashes, the RIGHTMOST minimal hash. Selection is
+    content-relative, so two documents sharing ANY substring of length
+    >= k + select_window - 1 select at least one identical in-span
+    k-gram at the same content offset — the detection guarantee that a
+    fixed-stride sampling lacks (stride anchors only match when the
+    shared block lands at equal offsets mod stride).
+
+    Anchor density ~ 2/(select_window+1); hashing + sliding min run in
+    numpy per Arrow batch, one pass per document.
+    """
+    import zlib
+
+    guard = k  # noqa: F841  (documented: guarantee = k + select_window - 1)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, poss, grams = [], [], []
+            for rec in pdf.itertuples(index=False):
+                t = getattr(rec, text_col) or ""
+                did = getattr(rec, id_col)
+                n = len(t) - k + 1
+                if n <= 0:
+                    continue
+                h = np.fromiter(
+                    (zlib.crc32(t[i:i + k].encode("utf-8", "surrogatepass"))
+                     for i in range(n)),
+                    dtype=np.int64, count=n)
+                if n <= select_window:
+                    sel = {int(np.flatnonzero(h == h.min())[-1])}
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(
+                        h, select_window)
+                    # rightmost minimum per window: argmin of the
+                    # reversed window
+                    rev = sw[:, ::-1]
+                    am = select_window - 1 - np.argmin(rev, axis=1)
+                    sel = set((np.arange(len(sw)) + am).tolist())
+                for p in sorted(sel):
+                    ids.append(did)
+                    poss.append(p)
+                    grams.append(t[p:p + k])
+            yield pd.DataFrame({"__id": ids, "pos": poss, "gram": grams})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src = docs.select(F.col(id_col), F.col(text_col))
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(gen, schema="__id long, pos int, gram string")
+
+
+def substring_duplicate_spans(docs: DataFrame, *, k: int = 16,
+                              select_window: int = 16, min_span: int = 40,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              max_fanout: int = 256) -> DataFrame:
+    """Maximal EXACT shared substrings of length >= min_span across
+    documents — the span-level dedup doc-level near-dup misses
+    (boilerplate, license blocks, shared headers).
+
+    Plan shape (never all-pairs, no Python on the join path):
+      1. winnowing anchors per doc (content-defined — see
+         with_winnowing_anchors); detection guaranteed for spans
+         >= k + select_window - 1 chars;
+      2. grams above `max_fanout` occurrences are dropped BEFORE the
+         join (a header shared by 10^6 docs is a doc-level-dedup case,
+         not a 10^12-pair join — documented recall bound);
+      3. anchor self-join on the 16-char gram TEXT (exact equality —
+         no hash-collision verify pass);
+      4. candidate pairs join their two texts once and an Arrow batch
+         EXTENDS each matched anchor left+right to the maximal equal
+         run; spans < min_span are dropped, duplicates (several anchors
+         inside one span) collapse via distinct.
+
+    Output: (id_a, pos_a, id_b, pos_b, span_len), id_a < id_b, maximal.
+    """
+    anchors = with_winnowing_anchors(
+        docs, k=k, select_window=select_window,
+        id_col=id_col, text_col=text_col)
+    counts = anchors.groupBy("gram").count()                     .filter(F.col("count") <= max_fanout)
+    kept = anchors.join(counts.select("gram"), "gram", "left_semi")
+    a = kept.select("gram", F.col("__id").alias("id_a"),
+                    F.col("pos").alias("pos_a"))
+    b = kept.select("gram", F.col("__id").alias("id_b"),
+                    F.col("pos").alias("pos_b"))
+    cand = (a.join(b, "gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "pos_a", "id_b", "pos_b"))
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("ta_txt"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("tb_txt"))
+    j = cand.join(ta, "id_a").join(tb, "id_b")
+
+    def extend(batches):
+        for pdf in batches:
+            rows = {"id_a": [], "pos_a": [], "id_b": [], "pos_b": [],
+                    "span_len": []}
+            for r in pdf.itertuples(index=False):
+                taa, tbb = r.ta_txt, r.tb_txt
+                pa, pb = int(r.pos_a), int(r.pos_b)
+                left = 0
+                while (pa - left - 1 >= 0 and pb - left - 1 >= 0
+                       and taa[pa - left - 1] == tbb[pb - left - 1]):
+                    left += 1
+                right = k
+                while (pa + right < len(taa) and pb + right < len(tbb)
+                       and taa[pa + right] == tbb[pb + right]):
+                    right += 1
+                ln = left + right
+                if ln < min_span:
+                    continue
+                rows["id_a"].append(r.id_a)
+                rows["pos_a"].append(pa - left)
+                rows["id_b"].append(r.id_b)
+                rows["pos_b"].append(pb - left)
+                rows["span_len"].append(ln)
+            yield pd.DataFrame(rows)
+
+    return j.mapInPandas(
+        extend, schema="id_a long, pos_a int, id_b long, pos_b int, "
+                       "span_len int").distinct()

@@ -289,3 +289,43 @@ def test_embedding_dedup_oversized_metrics(spark, emb):
     DD.embedding_dedup(emb, threshold=0.9, max_bucket=10**9,
                        oversized_metrics=m2).count()
     assert m2["oversized_buckets"] == 0
+
+
+def test_substring_spans_planted(spark):
+    """Winnowing span dedup: planted shared blocks found at ANY alignment
+    (the fixed-stride sampling failure mode), maximal extension, min_span
+    filter, and no pairs among unrelated docs."""
+    BLOCK = "shared boilerplate license text that appears verbatim in many documents"
+    rows = []
+    pads = ["", "a ", "ab ", "abc ", "abcd ", "abcde "]  # every alignment shift
+    for i, pad in enumerate(pads):
+        rows.append((i, pad + "unique prefix %d " % i + BLOCK + " unique tail %d" % i))
+    rows.append((100, "totally unrelated content with no duplicated spans at all"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.substring_duplicate_spans(docs, min_span=40).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    import itertools
+    assert pairs == set(itertools.combinations(range(len(pads)), 2))
+    for r in out:
+        assert r.span_len >= len(BLOCK)  # full block + shared spaces
+        ta = dict(rows)[r.id_a]
+        tb = dict(rows)[r.id_b]
+        assert ta[r.pos_a:r.pos_a + r.span_len] == tb[r.pos_b:r.pos_b + r.span_len]
+    # min_span above the block length: nothing survives
+    assert DD.substring_duplicate_spans(docs, min_span=200).count() == 0
+
+
+def test_substring_spans_fanout_cap(spark):
+    """Grams shared by more than max_fanout docs are excluded before the
+    join (documented recall bound for mega-boilerplate)."""
+    BLOCK = "the same enormous boilerplate block across every single document here"
+    docs = spark.createDataFrame(
+        [(i, "doc %d " % i + BLOCK) for i in range(12)],
+        "doc_id long, text string")
+    full = DD.substring_duplicate_spans(docs, min_span=40, max_fanout=64)
+    assert full.select("id_a", "id_b").distinct().count() == 12 * 11 // 2
+    # max_fanout=1 kills every joinable gram (the cap is per-gram: at
+    # fanout 2, boundary grams like "0 the same..." still legitimately
+    # pair docs 0 and 10)
+    capped = DD.substring_duplicate_spans(docs, min_span=40, max_fanout=1)
+    assert capped.count() == 0
