@@ -37,8 +37,9 @@ BENCH_QUERIES = [
     "histogram", "rasterize", "sql_q1", "dedup_exact", "dedup_minhash",
     "text_stats", "ann_topk", "events_window", "events_sessions",
     "warp_mosaic", "overview_pixels", "simhash_pairs", "ann_ivf", "lang_id",
-    # round-3 operators (distributed rasterize / sieve / warp mode)
-    "rasterize_tiles", "sieve", "warp_mode",
+    # round-3 operators (distributed rasterize / sieve / warp mode,
+    # span-level substring dedup)
+    "rasterize_tiles", "sieve", "warp_mode", "substring_dedup",
 ]
 
 
