@@ -530,9 +530,31 @@ def substring_duplicate_spans(docs: DataFrame, *, k: int = 16,
     cand = (a.join(b, "gram")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "pos_a", "id_b", "pos_b"))
+    # every anchor inside one shared span extends to the SAME maximal
+    # run, and winnowing guarantees in-span anchors at most
+    # ~select_window apart — so keep ONE representative per
+    # (pair, diagonal, gap-cluster) before joining the texts back. This
+    # cuts the text-join fanout from #matching-anchors to #spans (a
+    # 10 kB shared block would otherwise ship both texts ~600x).
+    from pyspark.sql import Window as W
+
+    gap = k + select_window
+    dw = W.partitionBy("id_a", "id_b",
+                       F.col("pos_a") - F.col("pos_b")).orderBy("pos_a")
+    clustered = (cand
+                 .withColumn("__new", F.when(
+                     F.col("pos_a") - F.lag("pos_a").over(dw) <= gap,
+                     F.lit(0)).otherwise(F.lit(1)))
+                 .withColumn("__cl", F.sum("__new").over(
+                     dw.rowsBetween(W.unboundedPreceding, 0))))
+    reps = (clustered
+            .groupBy("id_a", "id_b",
+                     (F.col("pos_a") - F.col("pos_b")).alias("__diag"), "__cl")
+            .agg(F.min("pos_a").alias("pos_a"), F.min("pos_b").alias("pos_b"))
+            .drop("__diag", "__cl"))
     ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("ta_txt"))
     tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("tb_txt"))
-    j = cand.join(ta, "id_a").join(tb, "id_b")
+    j = reps.join(ta, "id_a").join(tb, "id_b")
 
     def extend(batches):
         for pdf in batches:
