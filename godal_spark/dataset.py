@@ -64,6 +64,7 @@ class RasterDataset:
         self._metadata: dict[str, dict[str, str]] = {"": {}}
         self._color_tables: dict[int, list[tuple[int, int, int, int]]] = {}
         self._gcps: list[tuple[float, float, float, float]] = []
+        self._scale_offset: dict[int, tuple[float, float]] = {}
 
     # -- metadata KV (godal.go:1876-1944) -----------------------------------
     def set_metadata(self, key: str, value: str, domain: str = "") -> None:
@@ -107,6 +108,26 @@ class RasterDataset:
         godal_test.go:5165-5241)."""
         return CRS.fit_gcps(self._gcps)
 
+    # -- band scale/offset (godal.go:216-232; godal_test.go:569-589) -------
+    def set_scale_offset(self, band: int, scale: float, offset: float) -> None:
+        self._scale_offset[band] = (float(scale), float(offset))
+
+    def clear_scale_offset(self, band: int) -> None:
+        """Reset to the identity (Structure reads 1.0 / 0.0 after —
+        godal_test.go:587-589)."""
+        self._scale_offset.pop(band, None)
+
+    def scale_offset(self, band: int = 0) -> tuple[float, float]:
+        return self._scale_offset.get(band, (1.0, 0.0))
+
+    def apply_scale_offset(self, band: int = 0) -> np.ndarray:
+        """Physical values: raw * scale + offset (the GDAL unscaling
+        convention consumers of Scale/Offset metadata apply)."""
+        arr = self._decode()
+        plane = arr if arr.ndim == 2 else arr[:, :, band]
+        sc, off = self.scale_offset(band)
+        return plane.astype(np.float64) * sc + off
+
     # -- structure (reference structure.go:66-95) --------------------------
     @property
     def structure(self) -> dict:
@@ -115,6 +136,8 @@ class RasterDataset:
             "block_w": self.catalog.block, "block_h": self.catalog.block,
             "nbands": self._nbands(),
             "dtype": "uint8",
+            "scale": self.scale_offset(0)[0],
+            "offset": self.scale_offset(0)[1],
         }
 
     def _nbands(self) -> int:

@@ -137,3 +137,20 @@ def test_sieve_filter_tiles_via_facade(spark):
             np.frombuffer(t.payload, np.uint8).reshape(t.bh, t.bw)
     assert np.array_equal(got, want)
     assert got[2, 2] == 0 and (got[5:9, 5:12] == 7).all()
+
+
+def test_set_scale_offset_golden(catalog):
+    """godal_test.go:569-589: set (100, 100) on a band, Structure reads
+    them back; clear resets to the (1.0, 0.0) identity."""
+    ds = catalog.open("ramp")
+    ds.set_scale_offset(0, 100, 100)
+    assert ds.scale_offset(0) == (100.0, 100.0)
+    assert ds.structure["scale"] == 100.0 and ds.structure["offset"] == 100.0
+    # unscaling convention: physical = raw * scale + offset
+    phys = ds.apply_scale_offset(0)
+    raw = ds.read().astype(np.float64)
+    raw = raw if raw.ndim == 2 else raw[:, :, 0]
+    assert np.allclose(phys, raw * 100 + 100)
+    ds.clear_scale_offset(0)
+    assert ds.scale_offset(0) == (1.0, 0.0)
+    assert ds.structure["scale"] == 1.0 and ds.structure["offset"] == 0.0
