@@ -102,10 +102,11 @@ def headline_pipeline(spark, n_images: int, n_footprints: int) -> dict:
         bw=32, bh=32).write.format("noop").mode("overwrite").save()
 
     # --- metric 1: tile-assignment + PIP join (column-pruned scan: no
-    # bytes). Best-of-2: the shared host's foreign load swings a single
-    # 1-2 s measurement by 5x (round-3: 21.4k vs 3.2k img/s back-to-back)
+    # bytes). Best-of-3: the shared host's foreign load swings a single
+    # 1-2 s measurement by 5-8x (round-3: 21.4k vs 3.2k img/s
+    # back-to-back) — three 1-2 s trials buy real robustness
     bw = int(os.environ.get("BENCH_BLOCK", "32"))
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
     join_wall = float("inf")
     n_pairs = 0
     for _ in range(trials):
