@@ -132,3 +132,18 @@ def tile_completeness(tile_stream: DataFrame, expected_col: str = "n_expected"):
 
     return tile_stream.groupBy("image_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
+def stream_exact_dedup(docs_stream: DataFrame, *, text_col: str = "text",
+                       ts_col: str | None = None,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop later arrivals of an already-seen
+    text. Spark-first: this IS the built-in stateful dropDuplicates —
+    state keyed by the content hash, bounded by the watermark when an
+    event-time column exists (unbounded state otherwise, the documented
+    Spark semantics for keep-forever dedup)."""
+    hashed = docs_stream.withColumn("__th", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        return (hashed.withWatermark(ts_col, watermark)
+                .dropDuplicates(["__th", ts_col]).drop("__th"))
+    return hashed.dropDuplicates(["__th"]).drop("__th")

@@ -81,3 +81,27 @@ def test_tile_completeness_stateful(spark, tmp_path):
     got2 = run_once()
     # state for B survived the restart: its count includes the batch-1 tile
     assert got2 == {"A": 4, "B": 2}
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (built-in stateful dropDuplicates) keeps
+    exactly one row per distinct text across micro-batches — the same
+    survivor multiset as batch exact dedup."""
+    import pandas as pd
+    from godal_spark.streaming import events as EV
+
+    import os
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src, exist_ok=True)
+    # two files -> two micro-batches; dups within AND across batches
+    pd.DataFrame({"doc_id": [1, 2, 3], "text": ["aa", "bb", "aa"]}) \
+        .to_parquet(src + "/p1.parquet")
+    pd.DataFrame({"doc_id": [4, 5], "text": ["bb", "cc"]}) \
+        .to_parquet(src + "/p2.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = EV.stream_exact_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("SELECT text FROM dedup_out").toPandas()["text"].tolist()
+    assert sorted(got) == ["aa", "bb", "cc"]
