@@ -398,3 +398,29 @@ def test_warp_average_tiled_and_multisource(spark):
     got = _mosaic_array(WP.warp(spark, i2, ["-r", "average"], block=256)
                         .collect(), 6, 4)
     assert (got[:, :2] == 10).all() and (got[:, 2:] == 200).all()
+
+
+def test_warp_forward_kernels_multiband(spark):
+    """average/mode over a 3-band source: each band reduces
+    independently (per-(image, band) forward accumulation)."""
+    rng = np.random.default_rng(53)
+    arr = np.stack([rng.integers(0, 200, (8, 8)),
+                    (rng.integers(0, 4, (8, 8)) * 60),
+                    np.full((8, 8), 99)], axis=-1).astype(np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("mb", arr, "raw8", gt=[0, 1, 0, 8, 0, -1])])
+    for alg in ("average", "mode"):
+        tiles = WP.warp(spark, images, ["-ts", "4", "4", "-r", alg],
+                        block=256).collect()
+        got = {t.band: np.frombuffer(t.payload, np.uint8).reshape(4, 4)
+               for t in tiles}
+        assert set(got) == {0, 1, 2}
+        # constant band stays constant under both kernels
+        assert (got[2] == 99).all()
+        if alg == "average":
+            exp0 = np.floor(arr[:, :, 0].reshape(4, 2, 4, 2)
+                            .mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+            assert np.array_equal(got[0], exp0)
+        else:
+            # every mode output value must come from the band's inputs
+            assert set(np.unique(got[1])) <= set(np.unique(arr[:, :, 1]))
