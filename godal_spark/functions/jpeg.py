@@ -25,9 +25,12 @@ modest compression cost vs the Annex-K optimized tables. Quantization —
 which controls PSNR — uses the real Annex-K base matrices with IJG
 quality scaling.
 
-Only baseline DCT (SOF0), 8-bit, 1 or 3 components. Progressive /
-arithmetic / 12-bit streams raise NotImplementedError (error-first,
-reference errs.go pattern).
+Encoder emits baseline DCT (SOF0), 8-bit, 1 or 3 components. The
+DECODER additionally handles progressive DCT (SOF2: spectral selection
++ successive approximation, interleaved DC scans + per-component AC
+scans) and any spec-legal sampling-factor combination via index-mapped
+nearest upsample. Arithmetic-coded / lossless / 12-bit streams raise
+NotImplementedError (error-first, reference errs.go pattern).
 """
 
 from __future__ import annotations
@@ -918,6 +921,23 @@ def _decode_progressive_scan(scan, comps, order, luts, zz_planes, nbx,
         raise ValueError(f"jpeg: truncated AC scan ({m}/{n_units})")
 
 
+def _upsample_plane(p: np.ndarray, hi: int, vi: int, hmax: int, vmax: int,
+                    w: int, h: int) -> np.ndarray:
+    """Nearest-neighbour upsample of a component plane to full (h, w).
+
+    Index-mapped so it handles ANY spec-legal factor combination,
+    including non-dividing ones (e.g. hi=3 with hmax=4): output pixel
+    (y, x) reads plane pixel (floor(y*vi/vmax), floor(x*hi/hmax)).
+    Integer-repeat (vmax//vi) only worked when factors divide
+    (ADVICE r3)."""
+    if vi == vmax and hi == hmax:
+        return p[:h, :w]
+    yi = (np.arange(h, dtype=np.int64) * vi) // vmax
+    xi = (np.arange(w, dtype=np.int64) * hi) // hmax
+    return p[np.minimum(yi, p.shape[0] - 1)[:, None],
+             np.minimum(xi, p.shape[1] - 1)[None, :]]
+
+
 def decode_jpeg_real(buf: bytes) -> np.ndarray:
     """Decode a JFIF/JPEG byte stream to uint8 (h, w) or (h, w, 3) RGB.
     Baseline (SOF0) AND progressive (SOF2) DCT, arbitrary sampling
@@ -1025,10 +1045,8 @@ def decode_jpeg_real(buf: bytes) -> np.ndarray:
         ch = (h * comp["v"] + vmax - 1) // vmax
         p = _dequant_idct(zz_planes[ci], qt[comp["tq"]],
                           nby[ci], nbx[ci], ch, cw).astype(np.float64)
-        fy, fx = vmax // comp["v"], hmax // comp["h"]
-        if fy > 1 or fx > 1:
-            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)[:h, :w]
-        planes.append(p)
+        planes.append(_upsample_plane(p, comp["h"], comp["v"],
+                                      hmax, vmax, w, h))
     if len(planes) == 1:
         return planes[0].astype(np.uint8)
     y, cb, cr = planes

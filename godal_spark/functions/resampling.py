@@ -120,6 +120,17 @@ def _box_ranges(n_in: int, n_out: int):
         yield i, lo, min(hi, n_in)
 
 
+def _box_sums_exact_in_f64(dtype, win_h, win_w, out_h, out_w) -> bool:
+    """True when every box sum of the average fast path is exactly
+    representable in float64 (|sum| < 2^53), so the matmul accumulation
+    order cannot differ from the loop path (ADVICE r3: int32/int64
+    inputs with huge boxes could flip .5-boundary rounding)."""
+    info = np.iinfo(dtype)
+    box_h = -(-win_h // out_h) + 1
+    box_w = -(-win_w // out_w) + 1
+    return max(abs(info.min), info.max) * box_h * box_w < 2 ** 53
+
+
 def _round_like(out: np.ndarray, dtype) -> np.ndarray:
     if np.issubdtype(np.dtype(dtype), np.integer):
         info = np.iinfo(dtype)
@@ -156,7 +167,9 @@ def resample(src: np.ndarray, out_w: int, out_h: int, alg: str = "nearest",
         return src[np.ix_(ys, xs)].astype(out_dtype)
 
     if (alg == "average" and max(win_h, win_w) <= 8192
-            and np.issubdtype(src.dtype, np.integer)):
+            and np.issubdtype(src.dtype, np.integer)
+            and _box_sums_exact_in_f64(src.dtype, win_h, win_w,
+                                       out_h, out_w)):
         # separable box mean as two unit-weight matmuls + ONE division:
         # integer pixels sum exactly in float64, and sum/(ny*nx) is the
         # same single fp op np.mean performs — so values are bit-equal
@@ -180,7 +193,12 @@ def resample(src: np.ndarray, out_w: int, out_h: int, alg: str = "nearest",
         return _round_like(sums / np.outer(ny, nx), out_dtype)
 
     if (alg == "mode" and win_h % out_h == 0 and win_w % out_w == 0
-            and (win_h // out_h) * (win_w // out_w) <= 64):
+            and (win_h // out_h) * (win_w // out_w) <= 64
+            and (not np.issubdtype(src.dtype, np.integer)
+                 or np.dtype(src.dtype).itemsize <= 4)):
+        # int64/uint64 fall through to the loop: the vote below compares
+        # values after a float64 cast, which would merge distinct
+        # categories above 2^53 (ADVICE r3).
         # exact integer-factor mode (the 2:1 overview / categorical-warp
         # case): per-block vote without the per-output-pixel Python loop.
         # Same semantics as the loop below — max count, ties to the
@@ -197,7 +215,11 @@ def resample(src: np.ndarray, out_w: int, out_h: int, alg: str = "nearest",
 
     if alg in ("average", "mode"):
         win = src[y0:y0 + win_h, x0:x0 + win_w]
-        out = np.zeros((out_h, out_w), dtype=np.float64)
+        # mode emits EXISTING pixel values — keep the source dtype so
+        # int64 categories above 2^53 survive (a float64 buffer would
+        # merge them; ADVICE r3). average genuinely computes in float64.
+        out = np.zeros((out_h, out_w),
+                       dtype=win.dtype if alg == "mode" else np.float64)
         for i, ylo, yhi in _box_ranges(win_h, out_h):
             for jj, xlo, xhi in _box_ranges(win_w, out_w):
                 blk = win[ylo:yhi, xlo:xhi]
@@ -206,7 +228,11 @@ def resample(src: np.ndarray, out_w: int, out_h: int, alg: str = "nearest",
                 else:
                     vals, counts = np.unique(blk, return_counts=True)
                     out[i, jj] = vals[np.argmax(counts)]
-        return _round_like(out, out_dtype)
+        if alg == "mode" and np.issubdtype(win.dtype, np.integer) \
+                and np.issubdtype(np.dtype(out_dtype), np.integer):
+            info = np.iinfo(out_dtype)
+            return np.clip(out, info.min, info.max).astype(out_dtype)
+        return _round_like(out.astype(np.float64), out_dtype)
 
     if alg == "gauss":
         Wy = _gauss_matrix(full_h, y0, win_h, out_h)

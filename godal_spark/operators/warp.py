@@ -277,6 +277,14 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
     same `block` size on that grid. Existing pixels survive wherever no
     source writes (godal_test.go:1945-1982), including inside
     partially-covered blocks.
+
+    DEVIATION from the reference: GDAL accepts ``-r gauss`` only for
+    overview builds, not warp. This engine additionally accepts it for
+    warp as a forward-mapped 3x3 gaussian spread (sigma 0.5, chosen so
+    a 2:1 downscale reproduces the [1 2 1] binomial weights) — an
+    ENGINE-SPECIFIC kernel with no GDAL counterpart; its pixel values
+    match no reference implementation. All other kernels follow GDAL
+    semantics (godal.go:1679-1748).
     """
     cfg = parse_warp_switches(switches)  # fail-fast
     if cfg.resampling not in _WARP_HALO:

@@ -144,6 +144,12 @@ def stream_exact_dedup(docs_stream: DataFrame, *, text_col: str = "text",
     Spark semantics for keep-forever dedup)."""
     hashed = docs_stream.withColumn("__th", F.md5(F.col(text_col)))
     if ts_col is not None:
+        # dropDuplicatesWithinWatermark keys state by the hash ALONE, so a
+        # later arrival of already-seen text with a *different* event time
+        # is still dropped (as long as it lands within the watermark delay);
+        # state per key is evicted once the watermark passes.  A plain
+        # dropDuplicates(['__th', ts_col]) would only drop identical
+        # (text, timestamp) pairs — not the dedup contract.
         return (hashed.withWatermark(ts_col, watermark)
-                .dropDuplicates(["__th", ts_col]).drop("__th"))
+                .dropDuplicatesWithinWatermark(["__th"]).drop("__th"))
     return hashed.dropDuplicates(["__th"]).drop("__th")

@@ -572,6 +572,30 @@ def test_jpeg_subsampling_smooth_psnr40(sub):
     assert codecs.psnr(img, dec) >= 40.0
 
 
+def test_jpeg_upsample_non_dividing_factors():
+    """Index-mapped chroma upsample handles spec-legal NON-dividing
+    sampling combos (e.g. hi=3 with hmax=4) that integer-repeat could
+    not express (ADVICE r3). Compare against a per-pixel loop oracle."""
+    from godal_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(7)
+    for (hi, vi, hmax, vmax, w, h) in [
+            (3, 1, 4, 2, 17, 9),    # non-dividing horizontal
+            (2, 3, 3, 4, 10, 13),   # non-dividing both axes
+            (1, 1, 3, 3, 12, 12),   # dividing factor 3
+            (2, 2, 2, 2, 8, 8),     # identity
+            (1, 2, 2, 2, 33, 21)]:  # classic 4:4:0-ish
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        p = rng.integers(0, 256, (ch, cw)).astype(np.float64)
+        got = J._upsample_plane(p, hi, vi, hmax, vmax, w, h)
+        assert got.shape == (h, w)
+        for y in range(h):
+            for x in range(w):
+                assert got[y, x] == p[min((y * vi) // vmax, ch - 1),
+                                      min((x * hi) // hmax, cw - 1)]
+
+
 def test_jpeg_restart_intervals_roundtrip():
     """DRI/RSTn streams: markers present, DC predictors reset per
     segment, decode equals the no-restart decode exactly."""

@@ -242,6 +242,23 @@ def test_resample_average_matmul_equals_loop(seed):
     assert np.array_equal(got, want)
 
 
+def test_resample_wide_int_exact():
+    """int64 values above 2^53: mode must not merge distinct categories
+    through a float64 cast, and average must fall back to the exact loop
+    when box sums could exceed 2^53 (ADVICE r3)."""
+    big = 2 ** 60
+    a = np.array([[big, big + 1], [big + 1, big + 1]], dtype=np.int64)
+    m = resample(a, 1, 1, alg="mode", path="overview")
+    assert m.dtype == np.int64 and m[0, 0] == big + 1
+    b = np.full((4, 4), 2 ** 54, dtype=np.int64)
+    avg = resample(b, 2, 2, alg="average", path="overview")
+    assert (avg == 2 ** 54).all()
+    # 2x2 integer-factor mode on int64 also exact (fast path skipped)
+    c = np.array([[big, big], [big + 1, big]], dtype=np.int64)
+    m2 = resample(c, 1, 1, alg="mode", path="overview")
+    assert m2[0, 0] == big
+
+
 @settings(deadline=None, max_examples=15)
 @given(st.integers(0, 10**6))
 def test_jpeg_progressive_equals_baseline_property(seed):

@@ -105,3 +105,38 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("SELECT text FROM dedup_out").toPandas()["text"].tolist()
     assert sorted(got) == ["aa", "bb", "cc"]
+
+
+def test_stream_exact_dedup_event_time_distinct_timestamps(spark, tmp_path):
+    """With an event-time column, duplicate text arriving at DIFFERENT
+    timestamps must still be dropped (ADVICE r3: dropDuplicates on
+    (hash, ts) only dropped identical pairs; now
+    dropDuplicatesWithinWatermark keys state by the hash alone)."""
+    import os
+    import pandas as pd
+    from godal_spark.streaming import events as EV
+
+    src = str(tmp_path / "docs_ts_in")
+    os.makedirs(src, exist_ok=True)
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    df1 = pd.DataFrame({"doc_id": [1, 2],
+                        "text": ["aa", "bb"],
+                        "ts": [t0, t0 + pd.Timedelta(minutes=1)]})
+    df1["ts"] = df1["ts"].astype("datetime64[us]")
+    df1.to_parquet(src + "/p1.parquet")
+    # same text 'aa', later timestamp, later micro-batch
+    df2 = pd.DataFrame({"doc_id": [3, 4],
+                        "text": ["aa", "cc"],
+                        "ts": [t0 + pd.Timedelta(minutes=5),
+                               t0 + pd.Timedelta(minutes=6)]})
+    df2["ts"] = df2["ts"].astype("datetime64[us]")
+    df2.to_parquet(src + "/p2.parquet")
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = EV.stream_exact_dedup(stream, ts_col="ts", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_ts_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("SELECT text FROM dedup_ts_out").toPandas()["text"]
+    assert sorted(got.tolist()) == ["aa", "bb", "cc"]
