@@ -1013,9 +1013,15 @@ def decode_jpeg_real(buf: bytes) -> np.ndarray:
                 scomps.append({"id": cid, "dc": tt >> 4, "ac": tt & 0xF})
             ss_, se_, a = payload[1 + 2 * ns:4 + 2 * ns]
             segments, pos = _split_scan(buf, pos)
+            # snapshot the Huffman tables CURRENT at this scan's
+            # position: real encoders (libjpeg, javax.imageio) emit a
+            # fresh DHT before each progressive scan, reusing table ids
+            # — decoding every scan with the final tables produced
+            # garbage (caught by the round-4 external-encoder fixture)
             scans.append({"comps": scomps, "ss": ss_, "se": se_,
                           "ah": a >> 4, "al": a & 0xF,
-                          "segments": segments, "dri": dri})
+                          "segments": segments, "dri": dri,
+                          "luts": dict(luts)})
     if not scans or h is None:
         raise ValueError("jpeg: missing SOS/SOF")
 
@@ -1032,12 +1038,13 @@ def decode_jpeg_real(buf: bytes) -> np.ndarray:
                  for i in range(len(comps))]
     if progressive:
         for scan in scans:
-            _decode_progressive_scan(scan, comps, order, luts, zz_planes,
-                                     nbx, mcux, mcuy, scan["dri"],
-                                     w, h, hmax, vmax)
+            _decode_progressive_scan(scan, comps, order, scan["luts"],
+                                     zz_planes, nbx, mcux, mcuy,
+                                     scan["dri"], w, h, hmax, vmax)
     else:
-        _decode_baseline_scan(scans[0], comps, order, luts, zz_planes,
-                              nbx, mcux, n_mcu, scans[0]["dri"])
+        _decode_baseline_scan(scans[0], comps, order, scans[0]["luts"],
+                              zz_planes, nbx, mcux, n_mcu,
+                              scans[0]["dri"])
 
     planes = []
     for ci, comp in enumerate(comps):

@@ -572,6 +572,34 @@ def test_jpeg_subsampling_smooth_psnr40(sub):
     assert codecs.psnr(img, dec) >= 40.0
 
 
+def test_jpeg_external_encoder_fixtures():
+    """Decode JPEGs produced by an EXTERNAL encoder (javax.imageio, no
+    shared code or conventions with this engine): baseline 4:2:0 q95,
+    the same content as a multi-scan progressive (SOF2 with per-scan
+    DHT redefinition — the round-4 bug: tables must be snapshotted at
+    each scan's position), and a q50 baseline. PSNR vs the KNOWN source
+    pixels, not a round-trip (r3 verdict item 1)."""
+    import base64
+    from godal_spark.functions import jpeg as J
+    from godal_spark.functions.jpeg_fixtures import (
+        JAVA_BASELINE_420_Q95, JAVA_BASELINE_420_Q50,
+        JAVA_PROGRESSIVE_420_Q95)
+
+    y, x = np.mgrid[0:48, 0:64]
+    src = np.stack([120 + y // 4, 90 + x // 4, 100 + (x + y) // 8],
+                   axis=-1).astype(np.uint8)
+    for b64, min_psnr, marker in [(JAVA_BASELINE_420_Q95, 40.0, b"\xFF\xC0"),
+                                  (JAVA_PROGRESSIVE_420_Q95, 40.0, b"\xFF\xC2"),
+                                  (JAVA_BASELINE_420_Q50, 35.0, b"\xFF\xC0")]:
+        buf = base64.b64decode(b64)
+        assert marker in buf  # really is the claimed SOF type
+        sof = buf.index(marker)
+        assert buf[sof + 11] == 0x22  # really is 4:2:0
+        dec = J.decode_jpeg_real(buf)
+        assert dec.shape == src.shape
+        assert codecs.psnr(src, dec) >= min_psnr
+
+
 def test_jpeg_upsample_non_dividing_factors():
     """Index-mapped chroma upsample handles spec-legal NON-dividing
     sampling combos (e.g. hi=3 with hmax=4) that integer-repeat could
