@@ -571,6 +571,72 @@ def intersects(a: Geom, b: Geom) -> bool:
     return _edges_cross(a, b)
 
 
+def boxes_intersect_geom(minx, miny, maxx, maxy, g: Geom, *,
+                         chunk: int = 2048) -> np.ndarray:
+    """Vectorized ``intersects(box(minx[i], ...), g)`` for N axis-aligned
+    boxes against ONE geometry — the batched kernel behind the
+    all-touched rasterize path (a per-pixel Python loop before round 4).
+
+    Same decomposition as :func:`intersects` for box/polygon pairs:
+    geometry vertex inside a box, box corner inside the geometry, or a
+    proper edge crossing (the strict d1*d2<0 & d3*d4<0 test of
+    ``_polyline_cross``). Chunked so the (boxes x segments) orientation
+    arrays stay bounded."""
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    out = np.zeros(len(minx), dtype=bool)
+    g0, g1, g2, g3 = g.bounds()
+    cand = ~((maxx < g0) | (g2 < minx) | (maxy < g1) | (g3 < miny))
+    if not cand.any():
+        return out
+    idx = np.flatnonzero(cand)
+    pts = g._all_points()
+    seg_list = [s for s in _segments(g) if len(s) >= 2]
+    if seg_list:
+        C = np.concatenate([s[:-1] for s in seg_list]).astype(np.float64)
+        D = np.concatenate([s[1:] for s in seg_list]).astype(np.float64)
+    eps = 1e-12
+    for lo in range(0, len(idx), chunk):
+        ii = idx[lo:lo + chunk]
+        bx0, by0 = minx[ii], miny[ii]
+        bx1, by1 = maxx[ii], maxy[ii]
+        m = np.zeros(len(ii), dtype=bool)
+        if len(pts):
+            vx, vy = pts[:, 0][None, :], pts[:, 1][None, :]
+            m |= ((vx >= bx0[:, None] - eps) & (vx <= bx1[:, None] + eps)
+                  & (vy >= by0[:, None] - eps)
+                  & (vy <= by1[:, None] + eps)).any(axis=1)
+        rem = np.flatnonzero(~m)
+        if len(rem) and g.polygons():
+            cxs = np.stack([bx0, bx1, bx1, bx0], axis=1)[rem]
+            cys = np.stack([by0, by0, by1, by1], axis=1)[rem]
+            hit = points_in_polygon(cxs.ravel(), cys.ravel(), g) \
+                .reshape(-1, 4).any(axis=1)
+            m[rem[hit]] = True
+            rem = rem[~hit]
+        if len(rem) and seg_list:
+            # proper crossing of a geometry segment with any of the 4
+            # box edges, all boxes at once: (r, 4, S) orientation tests
+            x0b, y0b = bx0[rem], by0[rem]
+            x1b, y1b = bx1[rem], by1[rem]
+            ax = np.stack([x0b, x1b, x1b, x0b], axis=1)[:, :, None]
+            ay = np.stack([y0b, y0b, y1b, y1b], axis=1)[:, :, None]
+            bx = np.stack([x1b, x1b, x0b, x0b], axis=1)[:, :, None]
+            by = np.stack([y0b, y1b, y1b, y0b], axis=1)[:, :, None]
+            cx, cy = C[:, 0][None, None, :], C[:, 1][None, None, :]
+            dx, dy = D[:, 0][None, None, :], D[:, 1][None, None, :]
+            d1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            d2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+            d3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+            d4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+            crossed = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=(1, 2))
+            m[rem[crossed]] = True
+        out[ii] = m
+    return out
+
+
 def _any_vertex_in(a: Geom, b: Geom) -> bool:
     if not b.polygons():
         return False

@@ -55,19 +55,48 @@ def _coverage_mask(geom: G.Geom, gt, w: int, h: int, all_touched: bool) -> np.nd
     cx, cy = _pixel_centers(gt, w, h)
     mask = G.points_in_polygon(cx, cy, geom).reshape(h, w)
     if all_touched:
-        # pixel square intersects the geometry (not just its center)
-        gminx, gminy, gmaxx, gmaxy = geom.bounds()
-        for y in range(h):
-            for x in range(w):
-                if mask[y, x]:
-                    continue
-                xs, ys = CRS.pixel_to_geo(gt, np.array([x, x + 1.0]), np.array([y, y + 1.0]))
-                pminx, pmaxx = min(xs), max(xs)
-                pminy, pmaxy = min(ys), max(ys)
-                if pmaxx < gminx or gmaxx < pminx or pmaxy < gminy or gmaxy < pminy:
-                    continue
-                if G.intersects(G.box(pminx, pminy, pmaxx, pmaxy), geom):
-                    mask[y, x] = True
+        # pixel square intersects the geometry (not just its center) —
+        # batched over every center-miss pixel at once (the per-pixel
+        # Python loop here was a 65k-iteration hot spot; r3 verdict)
+        # candidate prefilter: a center-miss pixel can only intersect
+        # the geometry if a BOUNDARY segment passes through (or within a
+        # cell of) its box — sample each segment at half-pixel spacing
+        # in pixel space and mark the 3x3 neighborhood of every sample.
+        # Cuts the exact test from O(tile px) to O(boundary length).
+        cand = np.zeros_like(mask)
+        pts = geom._all_points()
+        if len(pts):  # covers Point/MultiPoint (no segments to sample)
+            vx, vy = CRS.geo_to_pixel(gt, pts[:, 0], pts[:, 1])
+            cvx = np.floor(vx).astype(np.int64)
+            cvy = np.floor(vy).astype(np.int64)
+            for oy in (-1, 0, 1):
+                yy = np.clip(cvy + oy, 0, h - 1)
+                for ox in (-1, 0, 1):
+                    cand[yy, np.clip(cvx + ox, 0, w - 1)] = True
+        for seg in G._segments(geom):
+            sx, sy = CRS.geo_to_pixel(gt, seg[:, 0], seg[:, 1])
+            for k in range(len(seg) - 1):
+                dx, dy = sx[k + 1] - sx[k], sy[k + 1] - sy[k]
+                n = max(2, int(2 * max(abs(dx), abs(dy))) + 2)
+                ts = np.linspace(0.0, 1.0, n)
+                cx = np.floor(sx[k] + ts * dx).astype(np.int64)
+                cy = np.floor(sy[k] + ts * dy).astype(np.int64)
+                for oy in (-1, 0, 1):
+                    yy = np.clip(cy + oy, 0, h - 1)
+                    for ox in (-1, 0, 1):
+                        cand[yy, np.clip(cx + ox, 0, w - 1)] = True
+        ys, xs = np.nonzero(cand & ~mask)
+        if len(ys):
+            fx, fy = xs.astype(np.float64), ys.astype(np.float64)
+            corner_x = np.empty((4, len(xs)))
+            corner_y = np.empty((4, len(xs)))
+            for k, (ox, oy) in enumerate([(0, 0), (1, 0), (1, 1), (0, 1)]):
+                corner_x[k], corner_y[k] = CRS.pixel_to_geo(
+                    gt, fx + ox, fy + oy)
+            hit = G.boxes_intersect_geom(
+                corner_x.min(axis=0), corner_y.min(axis=0),
+                corner_x.max(axis=0), corner_y.max(axis=0), geom)
+            mask[ys[hit], xs[hit]] = True
     return mask
 
 
