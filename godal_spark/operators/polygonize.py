@@ -478,7 +478,11 @@ def _declare_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     coalescing and satisfy the grouping's required distribution."""
     from pyspark.sql import functions as F  # noqa: F401
 
-    n = df.sparkSession.sparkContext.defaultParallelism * 4
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    # width scales with the incoming partitioning (cheap plan-side
+    # metadata, no job): a 6-tile toy input doesn't pay for 4*dp empty
+    # tasks, a wide scan still fans out to the full 4*dp
+    n = max(dp, min(dp * 4, df.rdd.getNumPartitions()))
     return df.repartition(n, *keys)
 
 
@@ -872,11 +876,14 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
                 "cid_a": arr2[:, 0], "cid_b": arr2[:, 1],
                 "eq": [True] * len(eq_pairs) + [False] * len(adj_pairs)})
 
+        # no .distinct() here (it cost a full extra shuffle in the first
+        # job): duplicate equivalence edges are harmless to union-find /
+        # pointer doubling, and adjacency is deduped at adj_sym below
         pairs = _declare_parallelism(strips, "image_id", "band", "key") \
             .groupBy("image_id", "band", "key").applyInPandas(
             make_pairs,
             schema="image_id string, band int, cid_a long, cid_b long, eq boolean"
-        ).distinct().persist()
+        ).persist()
         edges_eq = pairs.filter(F.col("eq")).drop("eq")
         edges_adj = pairs.filter(~F.col("eq")).drop("eq") \
                          .unionByName(adj_local)
@@ -927,8 +934,6 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
                    F.struct(F.col("size_b").alias("s"),
                             (-F.col("rb")).alias("nr"))).alias("new_value"))
                .withColumnRenamed("ra", "root"))
-        if ddf.isEmpty():
-            return tiles
         cid_dec = (cidmap.join(ddf, ["image_id", "band", "root"])
                    .withColumn("block_x",
                                F.shiftrightunsigned("cid", 42).cast("int"))
@@ -937,7 +942,12 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
                                    F.lit((1 << 21) - 1).cast("long")).cast("int"))
                    .select("image_id", "band", "block_x", "block_y",
                            "cid", "new_value"))
-        cid_dec = cid_dec.localCheckpoint(eager=True)
+        # no intermediate barrier: the decision chain flows straight
+        # into the rewrite cogroup's plan, so the whole sieve after the
+        # root collect is ONE job (the separate isEmpty() probe and
+        # cid_dec localCheckpoint cost ~1.9 s of pure re-evaluation on
+        # toy inputs, r3 verdict #5; an empty decision set just passes
+        # every tile through the rewrite unchanged)
 
         def rewrite(key, tpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
             out = tpdf.copy()
