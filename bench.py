@@ -173,7 +173,24 @@ def run_suite() -> dict:
         times[name] = round(time.time() - t0, 3)
 
     n_images = max(2000, int(20000 * (sf / 0.1))) if sf > 0 else 20000
-    head = headline_pipeline(spark, n_images, max(500, n_images // 10))
+    spark.stop()
+    # headline + decode throughput measured in a FRESH session (own
+    # subprocess): after the 23-query suite this session carries GC and
+    # Arrow-allocator pressure that halved the decode number
+    # (BENCH_r03: 13.0k in-suite vs 26-27k isolated — r3 verdict #3);
+    # a production decode job is its own application, so the fresh
+    # session is the honest measurement
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR,
+               BENCH_HEADLINE_ONLY="1",
+               BENCH_N_IMAGES=str(n_images),
+               BENCH_N_FOOTPRINTS=str(max(500, n_images // 10)))
+    p = subprocess.run([sys.executable, __file__], env=env,
+                       capture_output=True, text=True, timeout=3600)
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+        raise RuntimeError("headline subprocess produced no JSON")
+    head = json.loads(lines[-1])["headline"]
     out = {
         "metric": (f"engine suite wall time ({len(BENCH_QUERIES)} queries; "
                    f"ALL {len(qs)} driver entries oracle-checked) "
@@ -186,7 +203,6 @@ def run_suite() -> dict:
         "throughput_images_per_sec": round(head["images_per_sec"], 2),
         "headline": head,
     }
-    spark.stop()
     return out
 
 
@@ -385,7 +401,8 @@ def run_headline_only() -> dict:
     out = {"metric": "headline tile+PIP throughput", "value": round(head["wall_s"], 3),
            "unit": "sec", "queries": {"headline_tile_pip": round(head["wall_s"], 3)},
            "sf": sf, "cpus": CPUS,
-           "throughput_images_per_sec": round(head["images_per_sec"], 2)}
+           "throughput_images_per_sec": round(head["images_per_sec"], 2),
+           "headline": head}
     spark.stop()
     if elog:
         from godal_spark.plans.metrics import task_metrics

@@ -294,6 +294,13 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
     halo = _WARP_HALO[cfg.resampling]
 
     meta_small = images.select("image_id", "w", "h", "gt", "srs")
+    # the extent/anchor pass is metadata-only (a few dozen bytes/row):
+    # don't let it inherit the pixel scan's split sizing — cap its task
+    # count so the serial pre-render slice is scheduling-cheap (narrow
+    # coalesce, no shuffle; measured ~2 s of empty-task scheduling on a
+    # 1 MB-split bench scan at executor scale)
+    sc = spark.sparkContext
+    meta_small = meta_small.coalesce(max(8, sc.defaultParallelism))
     if into_meta is not None:
         tgt_gt, tw, th = (list(map(float, into_meta["gt"])),
                           into_meta["w"], into_meta["h"])
