@@ -1302,6 +1302,32 @@ FROM sp GROUP BY id_a, id_b
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive closure over a duplicate-pair graph (the clustering
+    tail of every dedup family: a pair list alone can't drop documents
+    — survivors come from component labels). Chain components of
+    diameter 4 over the embeddings ids force multi-hop pointer doubling;
+    the oracle derives each node's component label in closed form."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.operators import dedup as DD
+
+    ids = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id").filter(F.col("vec_id") < 200))
+    edges = (ids.filter(F.col("vec_id") % 5 != 4)
+             .select(F.col("vec_id").alias("id_a"),
+                     (F.col("vec_id") + 1).alias("id_b")))
+    return (DD.duplicate_clusters(edges)
+            .select(F.col("id").cast("long").alias("id"),
+                    F.col("cluster").cast("long").alias("cluster")))
+
+
+SQL_DEDUP_CLUSTERS = """
+SELECT cast(vec_id AS bigint) AS id,
+       cast((vec_id // 5) * 5 AS bigint) AS cluster
+FROM embeddings WHERE vec_id < 200
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Simhash bucket join over a constructed corpus: 15 docs with
     disjoint vocabularies + an exact copy of each. Exact copies have
@@ -1461,6 +1487,7 @@ QUERIES = {
     "warp_mode": q_warp_mode,
     "jpeg_ingest": q_jpeg_ingest,
     "substring_dedup": q_substring_dedup,
+    "dedup_clusters": q_dedup_clusters,
     "translate_resize": q_translate_resize,
     "bounds": q_bounds,
     "geom_area": q_geom_area,
@@ -1505,6 +1532,7 @@ ORACLES = {
     "warp_mode": SQL_WARP_MODE,
     "jpeg_ingest": SQL_JPEG_INGEST,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "translate_resize": SQL_TRANSLATE_RESIZE,
     "bounds": SQL_BOUNDS,
     "geom_area": SQL_GEOM_AREA,

@@ -14,7 +14,9 @@ environment, so the engine carries its own small, deterministic kernel:
     axis-aligned rectilinear polygons via coordinate-grid decomposition
     (covers the reference's golden corpus: godal_test.go:2960-3021 areas
     3.0 / 1.0 / 7.0 over unit squares); convex clips via
-    Sutherland–Hodgman; anything else raises NotImplementedError;
+    Sutherland–Hodgman; GENERAL polygons (concave, with holes, multi)
+    via the snap-rounded overlay further down (round 2; fuzz-tested
+    against containment oracles);
   * buffer (convex, arc-segmented; negative buffer may collapse to
     EMPTY — godal_test.go:2807-2811) and Douglas–Peucker simplify.
 

@@ -429,6 +429,57 @@ def embedding_dedup(emb: DataFrame, *, id_col: str = "vec_id",
             .select("id_a", "id_b", F.round("__cos", 6).alias("cosine")))
 
 
+def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
+                       id_b: str = "id_b",
+                       max_iter: int = 25) -> DataFrame:
+    """Connected components over verified duplicate pairs →
+    (id, cluster) with cluster = the component's minimum id.
+
+    The transitive-closure step behind the oversized-bucket star trade
+    (r3 ADVICE follow-on): two members of an oversized LSH bucket never
+    get a DIRECT verified pair — both only paired with the bucket
+    representative — but closure over those star edges still places them
+    in one cluster. Distributed min-label propagation with pointer
+    doubling (label[n] ← min over neighbors, then hop compression):
+    O(log diameter) rounds, and a star graph converges in 2 — no driver
+    collect at any scale. Same machinery class as the polygonize border
+    graph (operators/polygonize.py _resolve_roots_distributed)."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    lab = (edges.select(F.col("a").alias("id"))
+           .distinct().withColumn("lab", F.col("id")))
+    for _ in range(max_iter):
+        # neighbor-min pass
+        nbr = (edges.join(lab.withColumnRenamed("id", "b")
+                          .withColumnRenamed("lab", "nl"), "b")
+               .groupBy("a").agg(F.min("nl").alias("nl"))
+               .withColumnRenamed("a", "id"))
+        new = (lab.join(nbr, "id", "left")
+               .select("id", F.least("lab", F.coalesce("nl", "lab"))
+                       .alias("lab")))
+        # pointer doubling: lab ← lab's own label (hop compression)
+        hop = new.select(F.col("id").alias("lab"),
+                         F.col("lab").alias("ll"))
+        new = (new.join(hop, "lab", "left")
+               .select("id", F.least("lab", F.coalesce("ll", "lab"))
+                       .alias("lab")))
+        new = new.localCheckpoint(eager=True)  # truncate iterative lineage
+        changed = (new.join(lab.withColumnRenamed("lab", "ol"), "id")
+                   .filter(F.col("lab") != F.col("ol")).limit(1).count())
+        lab = new
+        if changed == 0:
+            break
+    return lab.select(F.col("id"), F.col("lab").alias("cluster"))
+
+
+def embedding_dedup_clusters(emb: DataFrame, **kwargs) -> DataFrame:
+    """embedding_dedup + transitive closure: (id, cluster) for every
+    vector that has at least one verified near-duplicate."""
+    return duplicate_clusters(embedding_dedup(emb, **kwargs))
+
+
 # ---------------------------------------------------------------------------
 # span-level EXACT substring dedup (training-data pipelines deduplicate
 # repeated SPANS — license blocks, boilerplate — that doc-level near-dup

@@ -250,6 +250,42 @@ def test_embedding_dedup_degenerate_bucket_star(spark):
     assert all(r.cosine == pytest.approx(1.0) for r in rows)
 
 
+def test_embedding_dedup_cluster_closure_oversized(spark):
+    """Two NON-representatives that share only an OVERSIZED bucket get
+    no direct verified pair (the star trade) — but the transitive
+    closure over the star edges still clusters them together
+    (r3 verdict item 8)."""
+    pdf = pd.DataFrame({
+        "vec_id": [1, 2, 3, 10, 11],
+        "embedding": [[1.0, 0.5, 0.25, 0.125]] * 3          # dup cluster
+        + [[-1.0, 2.0, -0.5, 0.75], [0.3, -0.9, 1.4, 0.2]],  # singletons
+    })
+    emb2 = spark.createDataFrame(pdf)
+    pairs = DD.embedding_dedup(emb2, threshold=0.999, max_bucket=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # premise: the oversized bucket emitted only star edges to rep 1
+    assert got == {(1, 2), (1, 3)}
+    clusters = DD.duplicate_clusters(pairs).collect()
+    bycl = {}
+    for r in clusters:
+        bycl.setdefault(r.cluster, set()).add(r.id)
+    # 2 and 3 share a cluster despite never pairing directly
+    assert bycl == {1: {1, 2, 3}}
+    # convenience wrapper produces the same assignment
+    cl2 = {(r.id, r.cluster) for r in DD.embedding_dedup_clusters(
+        emb2, threshold=0.999, max_bucket=2).collect()}
+    assert cl2 == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_duplicate_clusters_chain_closure(spark):
+    """Chain topology A-B, B-C, C-D (log-diameter pointer doubling):
+    one component labeled by its min id; disjoint pair keeps its own."""
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 7), (7, 3), (20, 21)], "id_a long, id_b long")
+    got = {(r.id, r.cluster) for r in DD.duplicate_clusters(pairs).collect()}
+    assert got == {(2, 2), (5, 2), (7, 2), (3, 2), (20, 20), (21, 20)}
+
+
 def test_multimodal_mixed_jpeg_sampling_ingest(spark):
     """Real-world ingest mix: 4:4:4, 4:2:0, and 4:2:0+restart JPEG rows
     side by side through the Spark decode path (round-3: external data
