@@ -64,27 +64,33 @@ def _coverage_mask(geom: G.Geom, gt, w: int, h: int, all_touched: bool) -> np.nd
         # in pixel space and mark the 3x3 neighborhood of every sample.
         # Cuts the exact test from O(tile px) to O(boundary length).
         cand = np.zeros_like(mask)
+        # 3x3 neighborhood suffices for axis-aligned grids (a half-pixel
+        # sample is within 0.25 px of any boundary point its cell box
+        # touches); a ROTATED gt tests against the geo-space bbox of the
+        # pixel parallelogram, which can reach ~1.7 cells from the
+        # boundary in pixel space — widen to 5x5 there
+        reach = 2 if (gt[2] != 0.0 or gt[4] != 0.0) else 1
+        offs = range(-reach, reach + 1)
+
+        def mark(cx, cy):
+            for oy in offs:
+                yy = np.clip(cy + oy, 0, h - 1)
+                for ox in offs:
+                    cand[yy, np.clip(cx + ox, 0, w - 1)] = True
+
         pts = geom._all_points()
         if len(pts):  # covers Point/MultiPoint (no segments to sample)
             vx, vy = CRS.geo_to_pixel(gt, pts[:, 0], pts[:, 1])
-            cvx = np.floor(vx).astype(np.int64)
-            cvy = np.floor(vy).astype(np.int64)
-            for oy in (-1, 0, 1):
-                yy = np.clip(cvy + oy, 0, h - 1)
-                for ox in (-1, 0, 1):
-                    cand[yy, np.clip(cvx + ox, 0, w - 1)] = True
+            mark(np.floor(vx).astype(np.int64),
+                 np.floor(vy).astype(np.int64))
         for seg in G._segments(geom):
             sx, sy = CRS.geo_to_pixel(gt, seg[:, 0], seg[:, 1])
             for k in range(len(seg) - 1):
                 dx, dy = sx[k + 1] - sx[k], sy[k + 1] - sy[k]
                 n = max(2, int(2 * max(abs(dx), abs(dy))) + 2)
                 ts = np.linspace(0.0, 1.0, n)
-                cx = np.floor(sx[k] + ts * dx).astype(np.int64)
-                cy = np.floor(sy[k] + ts * dy).astype(np.int64)
-                for oy in (-1, 0, 1):
-                    yy = np.clip(cy + oy, 0, h - 1)
-                    for ox in (-1, 0, 1):
-                        cand[yy, np.clip(cx + ox, 0, w - 1)] = True
+                mark(np.floor(sx[k] + ts * dx).astype(np.int64),
+                     np.floor(sy[k] + ts * dy).astype(np.int64))
         ys, xs = np.nonzero(cand & ~mask)
         if len(ys):
             fx, fy = xs.astype(np.float64), ys.astype(np.float64)
