@@ -190,6 +190,41 @@ def test_wkb_wkt_roundtrip_random_geometries(seed):
     assert abs(rt2.area() - g.area()) < 1e-6
 
 
+def test_coverage_mask_all_touched_rotated_gt():
+    """-at on a ROTATED geotransform: the supercover prefilter (5x5
+    reach for rotated grids) must reproduce the brute-force batched box
+    test exactly — concave polygon, 30-degree rotation."""
+    import math
+
+    from godal_spark.functions import crs as CRS, geom as GG
+    from godal_spark.operators.rasterize import _coverage_mask
+
+    th = math.radians(30)
+    gt = [5.0, math.cos(th), -math.sin(th), 40.0, -math.sin(th),
+          -math.cos(th)]
+    t = np.linspace(0, 2 * np.pi, 23)
+    shell = np.stack([15 + 8 * np.cos(t) + 3 * np.sin(3 * t),
+                      20 + 8 * np.sin(t)], axis=1)
+    shell[-1] = shell[0]
+    g = GG.polygon(shell)
+    w = h = 48
+    got = _coverage_mask(g, gt, w, h, True)
+    cx, cy = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    gx, gy = CRS.pixel_to_geo(gt, cx.ravel(), cy.ravel())
+    ref = GG.points_in_polygon(gx, gy, g).reshape(h, w)
+    ys, xs = np.nonzero(~ref)
+    corner_x = np.empty((4, len(xs)))
+    corner_y = np.empty((4, len(xs)))
+    for k, (ox, oy) in enumerate([(0, 0), (1, 0), (1, 1), (0, 1)]):
+        corner_x[k], corner_y[k] = CRS.pixel_to_geo(
+            gt, xs + float(ox), ys + float(oy))
+    hit = GG.boxes_intersect_geom(
+        corner_x.min(axis=0), corner_y.min(axis=0),
+        corner_x.max(axis=0), corner_y.max(axis=0), g)
+    ref[ys[hit], xs[hit]] = True
+    assert got.sum() > 0 and np.array_equal(got, ref)
+
+
 @settings(deadline=None, max_examples=25)
 @given(st.integers(0, 10**6))
 def test_rasterize_tile_decomposition_property(seed):
