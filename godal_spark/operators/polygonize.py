@@ -74,8 +74,16 @@ def label_components(arr: np.ndarray, eight: bool = False,
             vmask = lab >= 0
             while True:
                 prev = lab.copy()
-                np.minimum.at(lab, a_idx, lab[b_idx])
-                np.minimum.at(lab, b_idx, lab[a_idx])
+                # hook ROOTS, not nodes: scattering the neighbor's root
+                # onto this node's ROOT lets the next compression pass
+                # relabel the node's whole tree at once — O(log n)
+                # outer rounds. (Scattering onto the node itself spread
+                # merged labels one BFS layer per round = O(diameter):
+                # 1,030 rounds / 17 s on a 1024^2 snaky-blob tile,
+                # round-4 finding; now 10 rounds / 0.4 s.)
+                ra, rb = lab[a_idx], lab[b_idx]
+                np.minimum.at(lab, ra, rb)
+                np.minimum.at(lab, rb, ra)
                 while True:  # path compression to the current roots
                     nxt = lab.copy()
                     nxt[vmask] = lab[lab[vmask]]

@@ -378,3 +378,34 @@ def test_rasterize_tiles_megapixel_smoke(spark):
 
     want = sum(count_box(*b.bounds()) for b in boxes)  # disjoint boxes
     assert burned == want
+
+
+def test_label_components_adversarial_diameter():
+    """Huge-diameter components (concentric 1-px rings, perimeter up to
+    ~1000 px each) must label fast — the round-4 root-hooking fix.
+    Node-hooking propagated merged labels one BFS layer per round
+    (O(diameter): 1,030 rounds / 17 s on a 1024^2 snaky-blob tile);
+    root-hooking + pointer doubling is O(log n) rounds."""
+    import time
+
+    from godal_spark.operators.polygonize import label_components
+
+    sp = np.zeros((256, 256), np.uint8)
+    x0, y0, x1, y1 = 0, 0, 255, 255
+    while x0 <= x1 and y0 <= y1:
+        sp[y0, x0:x1 + 1] = 1
+        sp[y0:y1 + 1, x1] = 1
+        sp[y1, x0:x1 + 1] = 1
+        sp[y0:y1 + 1, x0] = 1
+        x0 += 2; y0 += 2; x1 -= 2; y1 -= 2
+    t0 = time.perf_counter()
+    lab, n = label_components(sp)
+    wall = time.perf_counter() - t0
+    # 64 one-valued rings + 64 zero gap rings, each its own component
+    assert n == 128
+    # the outermost ring is ONE component end-to-end
+    assert lab[0, 0] == lab[255, 255] == lab[0, 255] == lab[255, 0]
+    # and distinct from the next ring inward
+    assert lab[0, 0] != lab[2, 2]
+    # wall guard: ~2 s pre-fix on this input, <50 ms after
+    assert wall < 1.0
