@@ -471,6 +471,14 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
         lab = new
         if changed == 0:
             break
+    else:
+        # error-first: a silent non-converged return would hand back
+        # WRONG cluster labels (neighbor-min + pointer jumping compounds,
+        # so 25 rounds cover any realistic diameter — a 299-hop path
+        # converges well within it; hitting this means the graph is
+        # pathological, not that the answer is approximately right)
+        raise RuntimeError(
+            f"duplicate_clusters: no fixpoint after {max_iter} rounds")
     return lab.select(F.col("id"), F.col("lab").alias("cluster"))
 
 
