@@ -194,7 +194,14 @@ def mask_to_geom(mask: np.ndarray, gt=None, x_off: int = 0,
     """Pixel mask → Polygon/MultiPolygon in geo coords (or pixel coords
     when gt is None, y-down). x_off/y_off shift the (bbox-local) mask
     back to full-image pixel coordinates before the gt transform."""
-    rings = [_merge_collinear(r) for r in _trace_rings(mask)]
+    if mask.shape == (1, 1) and mask[0, 0]:
+        # 1-px fast path (they dominate high-component tiles: 34k of a
+        # 256^2 random-categorical tile's components) — same ring the
+        # generic walk produces, byte-equal output
+        rings = [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0],
+                           [0.0, 1.0], [0.0, 0.0]])]
+    else:
+        rings = [_merge_collinear(r) for r in _trace_rings(mask)]
     if x_off or y_off:
         for r in rings:
             r[:, 0] += x_off
@@ -580,12 +587,40 @@ def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
                         "local components — exceeds the 21-bit cid budget; "
                         "use tiles smaller than 2048x1024 px")
                 base = _cid_base(int(r.block_x), int(r.block_y))
+                # per-component stats + bboxes in ONE vectorized pass,
+                # then trace each component inside ITS bbox slice only.
+                # The previous `labels == ci` over the full tile per
+                # component was O(n_components * tile_area) — quadratic
+                # on high-component tiles (round-4 finding: 28 s for a
+                # 256^2 random-categorical tile, 0.6 s now).
+                bh_, bw_ = labels.shape
+                fl = labels.ravel()
+                ok = fl >= 0
+                sizes = np.bincount(fl[ok], minlength=n)
+                iok = np.flatnonzero(ok)
+                first = np.full(n, fl.size, dtype=np.int64)
+                np.minimum.at(first, fl[iok], iok)
+                vals = arr.ravel()[first]
+                ys_g = iok // bw_
+                xs_g = iok % bw_
+                ymin = np.full(n, bh_, np.int64)
+                xmin = np.full(n, bw_, np.int64)
+                ymax = np.full(n, -1, np.int64)
+                xmax = np.full(n, -1, np.int64)
+                lo = fl[iok]
+                np.minimum.at(ymin, lo, ys_g)
+                np.minimum.at(xmin, lo, xs_g)
+                np.maximum.at(ymax, lo, ys_g)
+                np.maximum.at(xmax, lo, xs_g)
                 for ci in range(n):
-                    m = labels == ci
+                    y0c, y1c = int(ymin[ci]), int(ymax[ci]) + 1
+                    x0c, x1c = int(xmin[ci]), int(xmax[ci]) + 1
+                    m = labels[y0c:y1c, x0c:x1c] == ci
                     g = mask_to_geom(m, gt=[float(r.x0), 1.0, 0.0,
-                                            float(r.y0), 0.0, 1.0])
+                                            float(r.y0), 0.0, 1.0],
+                                     x_off=x0c, y_off=y0c)
                     rows.append(("comp", r.image_id, int(r.band), base | ci,
-                                 float(arr[m][0]), int(m.sum()),
+                                 float(vals[ci]), int(sizes[ci]),
                                  G.to_wkb(g), g.area(),
                                  None, None, None, None))
 
