@@ -287,24 +287,44 @@ def sieve_array(arr: np.ndarray, threshold: int, *, eight: bool = False,
     if small.size == 0:
         return out
     # adjacency via 4-neighborhood label pairs (GDAL merges into the
-    # largest 4-adjacent neighbor)
-    adj: dict[int, set[int]] = {int(s): set() for s in small}
-    h, w = arr.shape
+    # largest 4-adjacent neighbor) — unique pairs vectorized (the
+    # per-boundary-pixel Python zip loop was O(boundary px), round 4)
+    pair_list = []
     for sl_a, sl_b in ((np.s_[:, 1:], np.s_[:, :-1]), (np.s_[1:, :], np.s_[:-1, :])):
         la, lb = labels[sl_a].ravel(), labels[sl_b].ravel()
         m = (la != lb) & (la >= 0) & (lb >= 0)
-        for a, b in zip(la[m].tolist(), lb[m].tolist()):
+        if m.any():
+            pair_list.append(np.stack([np.minimum(la[m], lb[m]),
+                                       np.maximum(la[m], lb[m])], axis=1))
+    adj: dict[int, set[int]] = {int(s): set() for s in small}
+    if pair_list:
+        for a, b in np.unique(np.concatenate(pair_list), axis=0).tolist():
             if a in adj:
                 adj[a].add(b)
             if b in adj:
                 adj[b].add(a)
-    # iterate smallest-first like GDAL so chains collapse deterministically
-    for s in sorted(small.tolist(), key=lambda s: (sizes[s], s)):
-        nbrs = adj.get(s, set())
+    # representative ORIGINAL value per component (first scan occurrence)
+    fl = labels.ravel()
+    iok = np.flatnonzero(fl >= 0)
+    first = np.full(n, fl.size, dtype=np.int64)
+    np.minimum.at(first, fl[iok], iok)
+    comp_val = arr.ravel()[first]
+    # decision per small component (independent: sizes fixed, values
+    # original), then ONE O(area) gather applies every merge — the
+    # previous per-component `out[labels == s]` was O(n_small * area)
+    new_val = comp_val.copy()
+    touched = np.zeros(n, dtype=bool)
+    for s in small.tolist():
+        nbrs = adj.get(int(s), set())
         if not nbrs:
             continue
         tgt = max(nbrs, key=lambda nb: (sizes[nb], -nb))
-        out[labels == s] = arr[labels == tgt][0]
+        new_val[s] = comp_val[tgt]
+        touched[s] = True
+    if touched.any():
+        sel = (fl >= 0) & touched[np.maximum(fl, 0)]
+        of = out.ravel()
+        of[sel] = new_val[fl[sel]].astype(out.dtype)
     return out
 
 
