@@ -905,7 +905,14 @@ def _stitch(edges) -> list[np.ndarray]:
     tol = 1e-9
     reps: dict = {}
 
+    # integer fast path (pixel-grid dissolve feeds exact integers): the
+    # 9-probe fuzzy snap per endpoint dominated large dissolves (r4)
+    all_int = all(float(c).is_integer()
+                  for p, q in edges for c in (*p, *q))
+
     def key(pt):
+        if all_int:
+            return (pt[0], pt[1])
         gx, gy = round(pt[0] / tol), round(pt[1] / tol)
         for dx in (0, -1, 1):
             for dy in (0, -1, 1):
@@ -938,14 +945,17 @@ def _stitch(edges) -> list[np.ndarray]:
         ring = [start[0]]
         walk = []  # commit to `used` only if the ring closes — a failed
         # walk must not consume edges other components still need
+        walk_set = set()  # incremental membership (used.union(walk)
+        # per step was O(walk^2) — quadratic on long rings, r4)
         cur = start
         for _ in range(len(uniq) + 1):
             walk.append(cur)
+            walk_set.add(cur)
             ring.append(cur[1])
             if cur[1] == start[0]:
                 break
-            seen = used.union(walk)
-            cands = [e for e in outs[cur[1]] if e not in seen]
+            cands = [e for e in outs[cur[1]]
+                     if e not in used and e not in walk_set]
             if not cands:
                 ring = None
                 break
@@ -977,14 +987,29 @@ def _assemble(rings) -> Geom:
     if not shells:
         return empty("Polygon")
     polys = [[s] for s in shells]
+    # bbox prefilter + cached shell areas: a hole's bbox is contained in
+    # its parent shell's bbox (nesting, boundary contact allowed), so
+    # most shell candidates reject on four comparisons instead of a full
+    # every-vertex ray cast (the classification dominated large
+    # multi-part dissolves, r4)
+    eps = 1e-9
+    shell_bb = [(s[:, 0].min(), s[:, 1].min(), s[:, 0].max(), s[:, 1].max())
+                for s in shells]
+    shell_area = [abs(_signed_ring_area(s)) for s in shells]
     for hole in holes:
+        hb = (hole[:, 0].min(), hole[:, 1].min(),
+              hole[:, 0].max(), hole[:, 1].max())
         best, best_area = None, None
         for i, p in enumerate(polys):
+            sb = shell_bb[i]
+            if (hb[0] < sb[0] - eps or hb[1] < sb[1] - eps
+                    or hb[2] > sb[2] + eps or hb[3] > sb[3] + eps):
+                continue
+            if best is not None and shell_area[i] >= best_area:
+                continue  # can't beat the current tightest parent
             inside = points_in_ring(hole[:-1, 0], hole[:-1, 1], p[0])
             if inside.any():
-                a = abs(_signed_ring_area(p[0]))
-                if best is None or a < best_area:
-                    best, best_area = i, a
+                best, best_area = i, shell_area[i]
         if best is not None:
             polys[best].append(hole)
     if len(polys) == 1:
