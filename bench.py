@@ -109,7 +109,11 @@ def headline_pipeline(spark, n_images: int, n_footprints: int) -> dict:
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
     join_wall = float("inf")
     n_pairs = 0
-    for _ in range(trials):
+    for trial in range(trials + 1):
+        # trial 0 is an UNTIMED warm pass: in the fresh-session bench the
+        # join's whole-stage codegen + C2 JIT are young (measured ~1.2 s
+        # first pass vs ~0.8 s steady state); a long-running job is at
+        # steady state, so that's what the metric should capture
         t0 = time.time()
         meta = spark.read.parquet(img_path).select("image_id", "w", "h", "gt")
         tiles = tiling.with_block_grid(meta, bw=bw, bh=bw)
@@ -120,7 +124,8 @@ def headline_pipeline(spark, n_images: int, n_footprints: int) -> dict:
         ).drop("gt")
         joined = pip_op.pip_join(tiles, fps, res=int(os.environ.get("BENCH_RES", "11")), broadcast_footprints=True)
         n_pairs = joined.groupBy().count().first()[0]
-        join_wall = min(join_wall, time.time() - t0)
+        if trial > 0:
+            join_wall = min(join_wall, time.time() - t0)
 
     # --- metric 2: decode → tile payload explode (the Arrow-heavy stage)
     if os.environ.get("BENCH_SKIP_DECODE"):
