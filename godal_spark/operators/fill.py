@@ -306,31 +306,42 @@ def viewshed_ref(dem: np.ndarray, ox: int, oy: int, oz: float = 0.0) -> np.ndarr
     ref[oy, ox] = z[oy, ox]
     prop[oy, ox] = z[oy, ox]
     max_r = max(ox, w - 1 - ox, oy, h - 1 - oy)
+    # ring r cells read ONLY ring r-1 (za/zb/prev neighbors all have
+    # Chebyshev radius r-1), so each ring vectorizes as one numpy batch
+    # — same per-cell float ops as the original per-pixel loop
+    # (bit-equal; goldens pinned), O(max_r) Python iterations instead of
+    # O(area): 256^2 went 0.9 s → 8 ms (round 4)
     for r in range(1, max_r + 1):
-        for dy in range(-r, r + 1):
-            for dx in range(-r, r + 1):
-                if max(abs(dx), abs(dy)) != r:
-                    continue
-                x, y = ox + dx, oy + dy
-                if not (0 <= x < w and 0 <= y < h):
-                    continue
-                sx = (dx > 0) - (dx < 0)
-                sy = (dy > 0) - (dy < 0)
-                if r == 1:
-                    rv = z[y, x]
-                elif dx == 0 or dy == 0 or abs(dx) == abs(dy):
-                    rv = prop[y - sy, x - sx] * r / (r - 1)
-                else:
-                    i, j = max(abs(dx), abs(dy)), min(abs(dx), abs(dy))
-                    if abs(dx) > abs(dy):
-                        za = prop[y, x - sx]
-                        zb = prop[y - sy, x - sx]
-                    else:
-                        za = prop[y - sy, x]
-                        zb = prop[y - sy, x - sx]
-                    rv = (za * j + zb * (i - j)) / (i - 1)
-                ref[y, x] = rv
-                prop[y, x] = max(z[y, x], rv)
+        side = np.arange(-r, r + 1, dtype=np.int64)
+        inner = side[1:-1]
+        dx = np.concatenate([side, side,
+                             np.full(inner.size, -r), np.full(inner.size, r)])
+        dy = np.concatenate([np.full(side.size, -r), np.full(side.size, r),
+                             inner, inner])
+        x = ox + dx
+        y = oy + dy
+        inb = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+        if not inb.any():
+            continue
+        dx, dy, x, y = dx[inb], dy[inb], x[inb], y[inb]
+        sx = np.sign(dx)
+        sy = np.sign(dy)
+        if r == 1:
+            rv = z[y, x]
+        else:
+            adx, ady = np.abs(dx), np.abs(dy)
+            j = np.minimum(adx, ady).astype(np.float64)
+            prev = prop[y - sy, x - sx]
+            rv = prev * r / (r - 1)
+            off = (dx != 0) & (dy != 0) & (adx != ady)
+            if off.any():
+                horiz = adx > ady
+                za = np.where(horiz, prop[y, x - sx], prop[y - sy, x])
+                zb = prev
+                rv_off = (za * j + zb * (r - j)) / (r - 1)
+                rv = np.where(off, rv_off, rv)
+        ref[y, x] = rv
+        prop[y, x] = np.maximum(z[y, x], rv)
     return ref + (dem[oy, ox] + oz)
 
 
