@@ -48,31 +48,28 @@ def fillnodata(arr: np.ndarray, valid: np.ndarray, max_distance: int = 100,
     vals = np.zeros((8, h, w), dtype=np.float64)
     dist = np.full((8, h, w), np.inf)
 
+    arr64 = arr.astype(np.float64)
+    invalid = ~valid
     for k, (dx, dy) in enumerate(_DIRS8):
-        v = np.where(valid, arr.astype(np.float64), np.nan)
+        v = np.where(valid, arr64, np.nan)
         d = np.where(valid, 0.0, np.inf)
         step = math.hypot(dx, dy)
-        # propagate along the direction, max_distance steps
-        for _ in range(max_distance):
-            # shift the (value, dist) wavefront one step in (dx, dy)
-            sv = np.full((h, w), np.nan)
-            sd = np.full((h, w), np.inf)
-            ys = slice(max(dy, 0), h + min(dy, 0))
-            yd = slice(max(-dy, 0), h + min(-dy, 0)) if dy else slice(0, h)
-            xs = slice(max(dx, 0), w + min(dx, 0))
-            xd = slice(max(-dx, 0), w + min(-dx, 0)) if dx else slice(0, w)
-            # moving from source (ys,xs grid positions shifted) — compute
-            # candidate arriving at each pixel from its (x-dx, y-dy)
-            src_y = slice(max(-dy, 0), h - max(dy, 0))
-            dst_y = slice(max(dy, 0), h - max(-dy, 0))
-            src_x = slice(max(-dx, 0), w - max(dx, 0))
-            dst_x = slice(max(dx, 0), w - max(-dx, 0))
-            sv[dst_y, dst_x] = v[src_y, src_x]
-            sd[dst_y, dst_x] = d[src_y, src_x] + step
-            better = sd < d
-            v = np.where(better, sv, v)
-            d = np.where(better, sd, d)
-            if not np.isinf(d[~valid]).any():
+        src_y = slice(max(-dy, 0), h - max(dy, 0))
+        dst_y = slice(max(dy, 0), h - max(-dy, 0))
+        src_x = slice(max(-dx, 0), w - max(dx, 0))
+        dst_x = slice(max(dx, 0), w - max(-dx, 0))
+        # propagate along the direction, max_distance steps; work only
+        # on the shifted sub-window (the previous full-frame sv/sd
+        # temporaries allocated 6 area-sized arrays per step, r4)
+        for it in range(max_distance):
+            cand_v = v[src_y, src_x].copy()  # copy: src/dst overlap
+            cand_d = d[src_y, src_x] + step
+            dv = d[dst_y, dst_x]
+            better = cand_d < dv
+            if better.any():
+                v[dst_y, dst_x][better] = cand_v[better]
+                dv[better] = cand_d[better]
+            if it % 4 == 3 and not np.isinf(d[invalid]).any():
                 break
         vals[k] = np.nan_to_num(v)
         dist[k] = d
