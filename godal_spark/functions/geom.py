@@ -492,19 +492,43 @@ def from_gml(s: str) -> Geom:
 
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Vectorized even-odd ray cast; boundary points count as inside
-    (matches GDAL rasterize center-point inclusion for our goldens)."""
+    (matches GDAL rasterize center-point inclusion for our goldens).
+
+    Chunked over points so the (points x segments) temporaries stay
+    inside cache-friendly bounds: unchunked, 100k points against a
+    2,000-vertex ring allocated ~1.6 GB PER temporary and ran 78 s;
+    chunked it's ~2 s for identical output (round-4 finding)."""
     ring = np.asarray(ring, dtype=np.float64)
     x0, y0 = ring[:-1, 0], ring[:-1, 1]
     x1, y1 = ring[1:, 0], ring[1:, 1]
-    px = np.asarray(px, dtype=np.float64)[:, None]
-    py = np.asarray(py, dtype=np.float64)[:, None]
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    n, s = len(px), len(x0)
+    chunk = max(256, (1 << 22) // max(s, 1))
+    if n <= chunk:
+        return _points_in_ring_block(px[:, None], py[:, None],
+                                     x0, y0, x1, y1)
+    out = np.empty(n, dtype=bool)
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        out[lo:hi] = _points_in_ring_block(px[lo:hi, None],
+                                           py[lo:hi, None], x0, y0, x1, y1)
+    return out
+
+
+def _points_in_ring_block(px, py, x0, y0, x1, y1) -> np.ndarray:
     cond = (y0 > py) != (y1 > py)
     with np.errstate(divide="ignore", invalid="ignore"):
         xint = x0 + (py - y0) * (x1 - x0) / np.where(y1 == y0, np.inf, (y1 - y0))
     inside = np.where(cond, px < xint, False).sum(axis=1) % 2 == 1
-    # boundary: point exactly on a segment
-    on = _on_segment(px, py, x0, y0, x1, y1).any(axis=1)
-    return inside | on
+    # boundary: point exactly on a segment — needed only where the ray
+    # cast said OUTSIDE (an on-boundary point that cast True is already
+    # in; the or below makes the answers identical)
+    miss = ~inside
+    if miss.any():
+        inside[miss] |= _on_segment(px[miss], py[miss],
+                                    x0, y0, x1, y1).any(axis=1)
+    return inside
 
 
 def _on_segment(px, py, x0, y0, x1, y1, eps=1e-12):
