@@ -877,13 +877,38 @@ def _subdivide_pair(ea, eb, eps=1e-12):
     each intersection point between the two cut lists."""
     cuts_a: list[list] = [[] for _ in ea]
     cuts_b: list[list] = [[] for _ in eb]
-    for i, (p, q) in enumerate(ea):
-        for j, (c, d) in enumerate(eb):
-            for t, u, pt in _seg_intersections(p, q, c, d):
-                if eps < t < 1 - eps:
-                    cuts_a[i].append((t, pt))
-                if eps < u < 1 - eps:
-                    cuts_b[j].append((u, pt))
+    # vectorized bbox prefilter: only segment pairs whose eps-padded
+    # bboxes overlap can intersect — the exact test (a Python call per
+    # pair) was O(Ea*Eb) on every pair: 4M calls / ~4.5 s for two
+    # 2,000-vertex rings, vs ~1% surviving the prefilter (round 4)
+    if ea and eb:
+        A = np.asarray([(p[0], p[1], q[0], q[1]) for p, q in ea])
+        B = np.asarray([(p[0], p[1], q[0], q[1]) for p, q in eb])
+        # pad matches the exact test's RELATIVE tolerance (eps * scale
+        # with scale up to the coordinate magnitude), so the prefilter
+        # can never drop a pair the exact test would accept
+        pad = eps * 4 * (1.0 + max(np.abs(A).max(), np.abs(B).max()))
+        aminx = np.minimum(A[:, 0], A[:, 2])[:, None] - pad
+        amaxx = np.maximum(A[:, 0], A[:, 2])[:, None] + pad
+        aminy = np.minimum(A[:, 1], A[:, 3])[:, None] - pad
+        amaxy = np.maximum(A[:, 1], A[:, 3])[:, None] + pad
+        bminx = np.minimum(B[:, 0], B[:, 2])[None, :]
+        bmaxx = np.maximum(B[:, 0], B[:, 2])[None, :]
+        bminy = np.minimum(B[:, 1], B[:, 3])[None, :]
+        bmaxy = np.maximum(B[:, 1], B[:, 3])[None, :]
+        overlap = ((aminx <= bmaxx) & (bminx <= amaxx)
+                   & (aminy <= bmaxy) & (bminy <= amaxy))
+        cand_i, cand_j = np.nonzero(overlap)
+    else:
+        cand_i = cand_j = ()
+    for i, j in zip(cand_i, cand_j):
+        p, q = ea[i]
+        c, d = eb[j]
+        for t, u, pt in _seg_intersections(p, q, c, d):
+            if eps < t < 1 - eps:
+                cuts_a[i].append((t, pt))
+            if eps < u < 1 - eps:
+                cuts_b[j].append((u, pt))
 
     def build(edges, cuts):
         out = []
