@@ -17,7 +17,7 @@ reference Transform.TransformEx, godal.go:2151-2233 — per-point success
 flags; out-of-domain latitudes fail, godal_test.go:1767-1776).
 
 DATUM SHIFTS: none are applied. Every supported family is referenced to
-WGS84; NAD83 and ETRS89 are treated as ≡ WGS84. That identity is exact
+WGS84; NAD83, ETRS89, RGF93 and GDA94 are treated as ≡ WGS84. That identity is exact
 to ~1-2 m (NAD83) / ~0.7 m (ETRS89, drifting ~2.5 cm/yr) — far below a
 Web-Mercator tile pixel at the zoom levels this engine serves, but NOT
 survey-grade. Grids needing true datum transformation (NTv2/geoid
@@ -336,12 +336,64 @@ def _polar_stereo(lat_ts_deg: float, lon0_deg: float, fe: float, fn: float,
     return fwd, inv
 
 
+def _lcc2sp(lat1_deg, lat2_deg, lat0_deg, lon0_deg, fe, fn):
+    """Lambert conformal conic 2SP, ellipsoidal (Snyder 15-1..15-11 /
+    EPSG guidance 7-2 method 9802). Validated by its DEFINING
+    properties in tests (no PROJ in this env for a numeric oracle):
+    grid origin maps to (FE, FN) exactly, scale factor k = 1 on both
+    standard parallels, local conformality (equal scale in all
+    directions), and sub-nanodegree round-trips."""
+    e = _E
+    p1, p2 = math.radians(lat1_deg), math.radians(lat2_deg)
+    phi0, lam0 = math.radians(lat0_deg), math.radians(lon0_deg)
+
+    def _t(phi):
+        return (np.tan(math.pi / 4 - phi / 2)
+                * ((1 + e * np.sin(phi)) / (1 - e * np.sin(phi))) ** (e / 2))
+
+    m1, m2 = float(_m_of(p1)), float(_m_of(p2))
+    t1, t2 = float(_t(np.array(p1))), float(_t(np.array(p2)))
+    t0 = float(_t(np.array(phi0)))
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    big_f = m1 / (n * t1 ** n)
+    rho0 = R_a * big_f * t0 ** n
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - lam0
+        phi = np.radians(np.asarray(lat, np.float64))
+        rho = R_a * big_f * _t(phi) ** n
+        th = n * lam
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inv(x, y):
+        xp = np.asarray(x, np.float64) - fe
+        yp = rho0 - (np.asarray(y, np.float64) - fn)
+        rho = np.sign(n) * np.hypot(xp, yp)
+        th = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+        tp = np.maximum(rho / (R_a * big_f), 1e-300) ** (1.0 / n)
+        chi = math.pi / 2 - 2 * np.arctan(tp)
+        phi = (chi
+               + (E2 / 2 + 5 * _E4 / 24 + _E6 / 12 + 13 * _E8 / 360) * np.sin(2 * chi)
+               + (7 * _E4 / 48 + 29 * _E6 / 240 + 811 * _E8 / 11520) * np.sin(4 * chi)
+               + (7 * _E6 / 120 + 81 * _E8 / 1120) * np.sin(6 * chi)
+               + (4279 * _E8 / 161280) * np.sin(8 * chi))
+        return _wrap_lon(np.degrees(lam0 + th / n)), np.degrees(phi)
+
+    return fwd, inv
+
+
 _PROJ_REGISTRY = {
     6933: _cea(30.0),                                # WGS84 / EASE-Grid 2.0 Global
     3035: _laea(52.0, 10.0, 4321000.0, 3210000.0),   # ETRS89 / LAEA Europe
     5070: _albers(29.5, 45.5, 23.0, -96.0, 0.0, 0.0),  # NAD83 / CONUS Albers
     3031: _polar_stereo(-71.0, 0.0, 0.0, 0.0, True),   # Antarctic PS
     3413: _polar_stereo(70.0, -45.0, 0.0, 0.0, False),  # NSIDC Arctic PS
+    # round 4 (families on demand — r3 verdict item 9). Datum policy
+    # unchanged (RGF93/NAD83/GDA94 ≡ WGS84, metre-level; header note):
+    2154: _lcc2sp(49.0, 44.0, 46.5, 3.0,
+                  700000.0, 6600000.0),                # RGF93 / Lambert-93
+    3978: _lcc2sp(49.0, 77.0, 49.0, -95.0, 0.0, 0.0),  # NAD83 / Canada Atlas
+    3577: _albers(-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),  # GDA94 / Australian Albers
 }
 
 

@@ -485,10 +485,61 @@ def test_crs_registry_defining_anchors():
     assert y == pytest.approx(2999718.85, abs=0.01)
 
 
+def test_crs_lcc2sp_defining_properties():
+    """Lambert-93 (EPSG:2154) / Canada Atlas (EPSG:3978): no PROJ oracle
+    exists in this env, so the LCC 2SP implementation is validated by
+    the projection's DEFINING properties — origin exactness, k = 1 on
+    both standard parallels (secant signature: k < 1 between, k > 1
+    outside), conformality, plus a published-coordinate sanity band."""
+    import math
+
+    def k_parallel(epsg, lon, lat):
+        d = 1e-6
+        x1, y1, _ = crs.transform_points([lon], [lat], "EPSG:4326", epsg)
+        x2, y2, _ = crs.transform_points([lon + d], [lat], "EPSG:4326", epsg)
+        ground = math.radians(d) * crs.R_a * float(
+            crs._m_of(np.array(math.radians(lat))))
+        return math.hypot(x2[0] - x1[0], y2[0] - y1[0]) / ground
+
+    def k_meridian(epsg, lon, lat):
+        d = 1e-6
+        x1, y1, _ = crs.transform_points([lon], [lat], "EPSG:4326", epsg)
+        x2, y2, _ = crs.transform_points([lon], [lat + d], "EPSG:4326", epsg)
+        s = math.sin(math.radians(lat))
+        m_rad = crs.R_a * (1 - crs.E2) / (1 - crs.E2 * s * s) ** 1.5
+        return math.hypot(x2[0] - x1[0], y2[0] - y1[0]) / (math.radians(d) * m_rad)
+
+    # grid origin exact by definition
+    x, y, ok = crs.transform_points([3.0], [46.5], "EPSG:4326", "EPSG:2154")
+    assert ok.all()
+    assert x[0] == pytest.approx(700000.0, abs=1e-6)
+    assert y[0] == pytest.approx(6600000.0, abs=1e-6)
+    # k = 1 on the standard parallels; secant cone between/outside
+    for lat in (49.0, 44.0):
+        assert k_parallel("EPSG:2154", 3.0, lat) == pytest.approx(1.0, abs=1e-7)
+    assert k_parallel("EPSG:2154", 3.0, 46.5) < 1.0
+    assert k_parallel("EPSG:2154", 3.0, 52.0) > 1.0
+    # conformal: meridian scale == parallel scale everywhere sampled
+    for lon, lat in ((2.35, 48.86), (5.0, 43.3), (-1.5, 47.2)):
+        assert k_parallel("EPSG:2154", lon, lat) == pytest.approx(
+            k_meridian("EPSG:2154", lon, lat), abs=1e-5)
+    # Paris (2.3522E, 48.8566N) lands in the published Lambert-93 band
+    x, y, _ = crs.transform_points([2.3522], [48.8566],
+                                   "EPSG:4326", "EPSG:2154")
+    assert 650000 < x[0] < 660000 and 6858000 < y[0] < 6868000
+    # Canada Atlas: origin + standard parallels
+    x, y, _ = crs.transform_points([-95.0], [49.0], "EPSG:4326", "EPSG:3978")
+    assert abs(x[0]) < 1e-6
+    for lat in (49.0, 77.0):
+        assert k_parallel("EPSG:3978", -95.0, lat) == pytest.approx(1.0, abs=1e-7)
+
+
 @pytest.mark.parametrize("epsg,lonr,latr", [
     (6933, (-179, 179), (-84, 84)), (3035, (-10, 30), (35, 70)),
     (5070, (-125, -65), (23, 50)), (3031, (-179, 179), (-89, -60)),
-    (3413, (-179, 179), (60, 89))])
+    (3413, (-179, 179), (60, 89)),
+    (2154, (-5, 10), (41, 51)), (3978, (-140, -55), (42, 83)),
+    (3577, (113, 154), (-44, -10))])
 def test_crs_registry_roundtrip(epsg, lonr, latr):
     rng = np.random.default_rng(1)
     lons = rng.uniform(*lonr, 300)
@@ -502,7 +553,7 @@ def test_crs_registry_roundtrip(epsg, lonr, latr):
 @pytest.mark.parametrize("epsg,cell", [
     (6933, (10, 11, 45, 46)), (3035, (10, 11, 45, 46)),
     (5070, (-96, -95, 40, 41)), (3031, (10, 11, -76, -75)),
-    (3413, (10, 11, 75, 76))])
+    (3413, (10, 11, 75, 76)), (3577, (132, 133, -26, -25))])
 def test_crs_equal_area_property(epsg, cell):
     """Equal-area projections must map any region to its authalic area;
     polar stereographic is conformal NOT equal-area — expect distortion."""
