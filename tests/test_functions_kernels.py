@@ -569,7 +569,7 @@ def test_crs_equal_area_property(epsg, cell):
     dq = float(crs._q_authalic(np.sin(np.radians(p2)))
                - crs._q_authalic(np.sin(np.radians(p1))))
     truth = math.radians(l2 - l1) * crs.R_a ** 2 * dq / 2
-    if epsg in (6933, 3035, 5070):
+    if epsg in (6933, 3035, 5070, 3577):
         assert abs(area / truth - 1) < 1e-6
     else:  # polar stereo: conformal NOT equal-area — scale is 1 only on
         # the standard parallel, so this off-parallel cell's area deviates
