@@ -103,6 +103,33 @@ def test_warp_reproject_4326_to_3857(spark):
     assert t.srs == "EPSG:3857"
 
 
+def test_warp_reproject_4326_to_lambert93(spark):
+    """Round-4 CRS family (LCC 2SP) through the full warp path: a
+    gradient over France reprojected into EPSG:2154 keeps its value set
+    and lands at the right metric scale (~111 km per degree at these
+    latitudes -> a 1-deg-square source becomes ~78-111 km in grid
+    units)."""
+    y, x = np.mgrid[0:8, 0:8]
+    a = (20 + 10 * x + y).astype(np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("fr", a, "raw8",
+                          gt=[2.0, 0.125, 0, 47.0, 0, -0.125],
+                          srs="EPSG:4326")])
+    tiles = WP.warp(spark, images, ["-t_srs", "EPSG:2154", "-ts", "8", "8"],
+                    block=256)
+    t = tiles.first()
+    got = np.frombuffer(t.payload, dtype=np.uint8).reshape(8, 8)
+    assert t.srs == "EPSG:2154"
+    # values come from the source (nearest): subset, gradient preserved
+    assert set(np.unique(got)) <= set(np.unique(a))
+    assert got[0, 0] != got[-1, -1]
+    gt = list(t.gt)
+    # pixel width in metres: 1 deg lon at 46.5N is ~76.5 km -> the
+    # 1-degree source maps to ~76-78 km east-west, /8 px
+    assert 8000 < gt[1] < 11000
+    assert -15000 < gt[5] < -8000
+
+
 def _mosaic_array(tiles, tw, th, dtype=np.uint8):
     out = np.zeros((th, tw), dtype=dtype)
     for t in tiles:
