@@ -1328,6 +1328,38 @@ FROM embeddings WHERE vec_id < 200
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup executed AS A STREAM inside the gate: the
+    documents table replayed as availableNow micro-batches (4 files) →
+    stream_exact_dedup (built-in stateful dropDuplicates keyed on the
+    content hash) → memory sink. Emitting only the text makes the
+    survivor SET deterministic regardless of which arrival wins:
+    oracle = SELECT DISTINCT text."""
+    _ensure_workers_can_import(spark)
+    import os
+    import tempfile
+    import uuid
+
+    from godal_spark.streaming.events import stream_exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    src = os.path.join(tempfile.gettempdir(),
+                       f"godal_streamdedup_{abs(hash(sf_dir)) % 10**8}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    qname = f"sd_{uuid.uuid4().hex[:8]}"
+    q = (stream_exact_dedup(stream)
+         .writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(qname).select("text")
+
+
+SQL_STREAM_DEDUP = "SELECT DISTINCT text FROM documents"
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Simhash bucket join over a constructed corpus: 15 docs with
     disjoint vocabularies + an exact copy of each. Exact copies have
@@ -1488,6 +1520,7 @@ QUERIES = {
     "jpeg_ingest": q_jpeg_ingest,
     "substring_dedup": q_substring_dedup,
     "dedup_clusters": q_dedup_clusters,
+    "stream_dedup": q_stream_dedup,
     "translate_resize": q_translate_resize,
     "bounds": q_bounds,
     "geom_area": q_geom_area,
@@ -1533,6 +1566,7 @@ ORACLES = {
     "jpeg_ingest": SQL_JPEG_INGEST,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "stream_dedup": SQL_STREAM_DEDUP,
     "translate_resize": SQL_TRANSLATE_RESIZE,
     "bounds": SQL_BOUNDS,
     "geom_area": SQL_GEOM_AREA,
