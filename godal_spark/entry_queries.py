@@ -1343,8 +1343,13 @@ def q_stream_dedup(spark, sf_dir):
     from godal_spark.streaming.events import stream_exact_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    import hashlib
+
+    mtime = int(os.path.getmtime(f"{sf_dir}/documents.parquet"))
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across
+    # processes (builtin hash() is salted per run -> cache never hits)
     src = os.path.join(tempfile.gettempdir(),
-                       f"godal_streamdedup_{abs(hash(sf_dir)) % 10**8}")
+                       f"godal_streamdedup_{key}_{mtime}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         docs.repartition(4).write.mode("overwrite").parquet(src)
     stream = (spark.readStream.schema("text string")
