@@ -115,9 +115,21 @@ _E6 = _E4 * E2
 
 
 def _ll_to_utm(lon, lat, zone: int, south: bool):
+    return _ll_to_tm(lon, lat, (zone - 1) * 6 - 180 + 3, _K0,
+                     500000.0, 10000000.0 if south else 0.0)
+
+
+def _utm_to_ll(x, y, zone: int, south: bool):
+    return _tm_to_ll(x, y, (zone - 1) * 6 - 180 + 3, _K0,
+                     500000.0, 10000000.0 if south else 0.0)
+
+
+def _ll_to_tm(lon, lat, lon0_deg: float, k0: float, fe: float, fn: float):
+    """Transverse Mercator forward (same standard series as the UTM
+    path, parameterized for non-UTM TM grids like NZTM; lat0 = 0)."""
     lon = np.asarray(lon, dtype=np.float64) * math.pi / 180.0
     lat = np.asarray(lat, dtype=np.float64) * math.pi / 180.0
-    lon0 = math.radians((zone - 1) * 6 - 180 + 3)
+    lon0 = math.radians(lon0_deg)
     ep2 = E2 / (1 - E2)
     N = R_a / np.sqrt(1 - E2 * np.sin(lat) ** 2)
     T = np.tan(lat) ** 2
@@ -127,23 +139,19 @@ def _ll_to_utm(lon, lat, zone: int, south: bool):
                - (3 * E2 / 8 + 3 * _E4 / 32 + 45 * _E6 / 1024) * np.sin(2 * lat)
                + (15 * _E4 / 256 + 45 * _E6 / 1024) * np.sin(4 * lat)
                - (35 * _E6 / 3072) * np.sin(6 * lat))
-    x = _K0 * N * (A + (1 - T + C) * A**3 / 6
-                   + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120) + 500000.0
-    y = _K0 * (M + N * np.tan(lat) * (A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
-               + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720))
-    if south:
-        y = y + 10000000.0
+    x = k0 * N * (A + (1 - T + C) * A**3 / 6
+                  + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120) + fe
+    y = k0 * (M + N * np.tan(lat) * (A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+              + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720)) + fn
     return x, y
 
 
-def _utm_to_ll(x, y, zone: int, south: bool):
-    x = np.asarray(x, dtype=np.float64) - 500000.0
-    y = np.asarray(y, dtype=np.float64)
-    if south:
-        y = y - 10000000.0
-    lon0 = math.radians((zone - 1) * 6 - 180 + 3)
+def _tm_to_ll(x, y, lon0_deg: float, k0: float, fe: float, fn: float):
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    lon0 = math.radians(lon0_deg)
     ep2 = E2 / (1 - E2)
-    M = y / _K0
+    M = y / k0
     mu = M / (R_a * (1 - E2 / 4 - 3 * _E4 / 64 - 5 * _E6 / 256))
     e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
     phi1 = (mu + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
@@ -154,7 +162,7 @@ def _utm_to_ll(x, y, zone: int, south: bool):
     T1 = np.tan(phi1) ** 2
     N1 = R_a / np.sqrt(1 - E2 * np.sin(phi1) ** 2)
     R1 = R_a * (1 - E2) / (1 - E2 * np.sin(phi1) ** 2) ** 1.5
-    D = x / (N1 * _K0)
+    D = x / (N1 * k0)
     lat = phi1 - (N1 * np.tan(phi1) / R1) * (
         D**2 / 2 - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
         + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * ep2 - 3 * C1**2) * D**6 / 720)
@@ -394,6 +402,15 @@ _PROJ_REGISTRY = {
                   700000.0, 6600000.0),                # RGF93 / Lambert-93
     3978: _lcc2sp(49.0, 77.0, 49.0, -95.0, 0.0, 0.0),  # NAD83 / Canada Atlas
     3577: _albers(-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),  # GDA94 / Australian Albers
+    # NZGD2000 / NZTM2000: plain TM (lat0=0, k0=0.9996) on the shared
+    # parameterized series; NZGD2000 ≡ WGS84 under the datum policy.
+    # NZ spans ±7 deg from the central meridian (UTM zones span ±3), so
+    # the series truncation grows to ~15 cm at the country's edges —
+    # documented accuracy bound, sub-pixel at tile zoom levels
+    2193: (lambda lon, lat: _ll_to_tm(lon, lat, 173.0, _K0,
+                                      1600000.0, 10000000.0),
+           lambda x, y: _tm_to_ll(x, y, 173.0, _K0,
+                                  1600000.0, 10000000.0)),
 }
 
 
