@@ -343,6 +343,131 @@ def run_warp_only() -> dict:
             "throughput_images_per_sec": round(n_images / wall, 2)}
 
 
+def _sieve_bench_table(spark, n_tiles: int) -> str:
+    """K x K grid of 256^2 uint8 tiles of ONE categorical raster
+    (deterministic): 32-px blocky regions that CROSS tile borders (so
+    global sizes need the exchange) + per-tile 2x2 specks that the
+    sieve must merge away. Written once (setup, untimed)."""
+    import math
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"godal_sievebench_{n_tiles}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    k = int(math.sqrt(n_tiles))
+    side = 256
+    W = H = k * side
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {c: [] for c in (
+                "image_id", "band", "level", "block_x", "block_y",
+                "x0", "y0", "bw", "bh", "w", "h", "dtype", "payload",
+                "caption")}
+            for i in pdf["id"].tolist():
+                bx, by = i % k, i // k
+                x0, y0 = bx * side, by * side
+                gx = (x0 + np.arange(side)[None, :])
+                gy = (y0 + np.arange(side)[:, None])
+                arr = (((gx // 32) + (gy // 32)) % 4 * 10).astype(np.uint8)
+                # deterministic 2x2 specks (value 77) every 64 px
+                arr[(gy % 64 < 2) & (gx % 64 < 2)] = 77
+                rows["image_id"].append("sv")
+                rows["band"].append(0)
+                rows["level"].append(0)
+                rows["block_x"].append(int(bx))
+                rows["block_y"].append(int(by))
+                rows["x0"].append(int(x0))
+                rows["y0"].append(int(y0))
+                rows["bw"].append(side)
+                rows["bh"].append(side)
+                rows["w"].append(W)
+                rows["h"].append(H)
+                rows["dtype"].append("uint8")
+                rows["payload"].append(arr.tobytes())
+                rows["caption"].append("")
+            yield pd.DataFrame(rows)
+
+    from godal_spark.operators.tiling import TILE_SCHEMA
+
+    spark.range(0, n_tiles, 1, 128).mapInPandas(gen, schema=TILE_SCHEMA) \
+        .write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_sieve_only() -> dict:
+    """One timed sieve_tiles run (the OTHER shuffle-heavy stage: border
+    strips exchange -> root resolution -> decision aggregation ->
+    cogrouped rewrite), at BENCH_EXECUTORS executors."""
+    from godal_spark.operators.polygonize import sieve_tiles
+    from godal_spark.session import get_spark
+
+    n_exec = os.environ.get("BENCH_EXECUTORS")
+    extra = {"spark.sql.files.maxPartitionBytes": os.environ.get("BENCH_SPLIT", "8m"),
+             "spark.sql.files.openCostInBytes": "262144"}
+    spark = get_spark("bench-sieve", cores=CPUS, shuffle_partitions=max(CPUS, 32),
+                      executors=int(n_exec) if n_exec else None, extra=extra)
+    n_tiles = int(os.environ.get("BENCH_SIEVE_TILES", "1024"))
+    path = _sieve_bench_table(spark, n_tiles)
+    tiles = spark.read.parquet(path)
+    # warm worker pool + the sieve plan on a tiny table (untimed JIT)
+    spark.range(CPUS * 2, numPartitions=CPUS * 2) \
+        .mapInPandas(lambda it: it, "id long").write.format("noop").mode("overwrite").save()
+    wpath = _sieve_bench_table(spark, 4)
+    sieve_tiles(spark.read.parquet(wpath), 8, use_nodata_mask=False) \
+        .write.format("noop").mode("overwrite").save()
+    t0 = time.time()
+    sieve_tiles(tiles, 8, use_nodata_mask=False) \
+        .write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    spark.stop()
+    px = n_tiles * 256 * 256
+    return {"metric": "sieve_tiles wall", "value": round(wall, 3), "unit": "sec",
+            "queries": {"sieve_tiles_scaling": round(wall, 3)},
+            "n_tiles": n_tiles,
+            "throughput_images_per_sec": round(px / wall / 1e6, 2)}
+
+
+def run_sieve_scaling(trials: int = 3) -> None:
+    """--scaling-sieve: N -> 4N executor series over the distributed
+    sieve (same interleaved best-of protocol as --scaling-warp; the
+    throughput unit is Mpx/s, reported in the same JSON field)."""
+    setup_env = dict(os.environ, SPARK_GRAFT_CPUS="32",
+                     BENCH_SIEVE_SETUP_ONLY="1")
+    subprocess.run([sys.executable, __file__], env=setup_env,
+                   capture_output=True, text=True, timeout=3600)
+    n_lo = int(os.environ.get("BENCH_EXEC_N", "1"))
+    n_hi = 4 * n_lo
+    results: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    loads: list[str] = []
+    for _ in range(trials):
+        for n_exec in (n_lo, n_hi):
+            env = dict(os.environ, BENCH_SIEVE_ONLY="1",
+                       BENCH_EXECUTORS=str(n_exec))
+            p = subprocess.run([sys.executable, __file__], env=env,
+                               capture_output=True, text=True, timeout=3600)
+            lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+            if not lines:
+                sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+                raise RuntimeError(f"sieve scaling subprocess (executors={n_exec}) produced no JSON")
+            results[n_exec].append(json.loads(lines[-1])["throughput_images_per_sec"])
+            with open("/proc/loadavg") as fh:
+                loads.append(fh.read().split()[0])
+    rn, r4n = max(results[n_lo]), max(results[n_hi])
+    eff = (r4n / rn) / 4.0
+    print(json.dumps({
+        "metric": f"sieve_tiles scaling N={n_lo} -> 4N={n_hi} executors (border exchange + cogroup rewrite)",
+        "value": round(eff, 3), "unit": "ratio",
+        "mpx_per_sec_N": rn, "mpx_per_sec_4N": r4n,
+        "trials_N": results[n_lo], "trials_4N": results[n_hi],
+        "host_loadavg_after_each_trial": loads,
+        "pass_north_rule": eff >= 0.8,
+    }))
+
+
 def run_warp_scaling(trials: int = 3) -> None:
     """--scaling-warp: the round-2 scaling evidence covered the
     broadcast-only headline join; this series exercises warp's REAL
@@ -417,7 +542,18 @@ def run_headline_only() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling-warp" in sys.argv:
+    if "--scaling-sieve" in sys.argv:
+        run_sieve_scaling()
+    elif os.environ.get("BENCH_SIEVE_SETUP_ONLY"):
+        from godal_spark.session import get_spark
+
+        _sp = get_spark("bench-sieve-setup", cores=CPUS)
+        _sieve_bench_table(_sp, int(os.environ.get("BENCH_SIEVE_TILES", "1024")))
+        _sieve_bench_table(_sp, 4)
+        _sp.stop()
+    elif os.environ.get("BENCH_SIEVE_ONLY"):
+        print(json.dumps(run_sieve_only()))
+    elif "--scaling-warp" in sys.argv:
         run_warp_scaling()
     elif "--scaling" in sys.argv:
         run_scaling()
