@@ -683,9 +683,13 @@ def polygonize_tiles(tiles: DataFrame, *, eight: bool = False,
                        "payload").mapInPandas(phase1, schema=_P1_SCHEMA)
     raw = raw.persist()
     try:
-        # no eager count(): the first consumer (the border-edge collect)
-        # materializes the cache; every later branch reuses it — one
-        # fewer driver barrier per invocation
+        # EAGER materialization: the first consumer is a LIMIT-bounded
+        # collect, and Spark short-circuits limits — it computes only
+        # enough partitions to fill 500k rows, leaving the cache PARTIAL
+        # and every later branch re-running phase1 for the rest (round-4
+        # scaling series finding: the feature pass redid most of the
+        # Arrow labeling). One count() pays the phase1 cost exactly once.
+        raw.count()
         comps = raw.filter(F.col("kind") == "comp") \
                    .select("image_id", "band", "cid", "value",
                            "n_pixels", "wkb", "area")
@@ -890,7 +894,6 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
     raw = tiles.mapInPandas(phase1, schema=_SV_SCHEMA).persist()
     pairs = None
     try:
-        # no eager count() — see polygonize_tiles
         comps = raw.filter(F.col("kind") == "comp") \
                    .select("image_id", "band", "cid", "value", "n_pixels")
         strips = raw.filter(F.col("kind") == "strip") \
@@ -947,6 +950,10 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
             make_pairs,
             schema="image_id string, band int, cid_a long, cid_b long, eq boolean"
         ).persist()
+        # full materialization before _attach_roots' LIMIT-bounded
+        # collect (limits short-circuit -> partial caches -> the rewrite
+        # job re-ran phase1; round-4 scaling series finding)
+        pairs.count()
         edges_eq = pairs.filter(F.col("eq")).drop("eq")
         edges_adj = pairs.filter(~F.col("eq")).drop("eq") \
                          .unionByName(adj_local)
@@ -1005,12 +1012,17 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
                                    F.lit((1 << 21) - 1).cast("long")).cast("int"))
                    .select("image_id", "band", "block_x", "block_y",
                            "cid", "new_value"))
-        # no intermediate barrier: the decision chain flows straight
-        # into the rewrite cogroup's plan, so the whole sieve after the
-        # root collect is ONE job (the separate isEmpty() probe and
-        # cid_dec localCheckpoint cost ~1.9 s of pure re-evaluation on
-        # toy inputs, r3 verdict #5; an empty decision set just passes
-        # every tile through the rewrite unchanged)
+        # checkpoint the SMALL side: cid_dec is bounded by decision
+        # count (metadata rows), and checkpointing it truncates every
+        # cache dependency — so the returned rewrite plan reads only the
+        # ORIGINAL tiles input + this checkpoint, the caches can be
+        # dropped in finally, and the full-size OUTPUT is never
+        # materialized twice (an eager result checkpoint stored the
+        # whole payload volume before the consumer read it — measured
+        # as the non-scaling slice of the round-4 sieve series)
+        cid_dec = cid_dec.localCheckpoint(eager=True)
+        if cid_dec.isEmpty():  # free: reads the checkpointed rows
+            return tiles
 
         def rewrite(key, tpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
             out = tpdf.copy()
@@ -1038,7 +1050,6 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
         result = (_declare_parallelism(tiles, *keys).groupBy(*keys)
                   .cogroup(_declare_parallelism(cid_dec, *keys).groupBy(*keys))
                   .applyInPandas(rewrite, schema=TILE_SCHEMA))
-        result = result.localCheckpoint(eager=True)
         return result
     finally:
         # unpersist in finally so the early no-decision return and any
