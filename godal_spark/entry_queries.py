@@ -1507,6 +1507,257 @@ FROM (SELECT unnest(range(0, 36)) AS i)
 
 
 # ---------------------------------------------------------------------------
+# §2.7 analytic family: Dem / Viewshed / Grid / FillNoData / Nearblack
+# (round 5). Oracles are constant tables hand-derived from the documented
+# kernels / reference goldens (godal_test.go:5243-5359, 4472-4592,
+# 4279-4332, 2285-2363, 4638-4780) — never from engine output. Kernels
+# run distributed (image_kernel_pixels / grid_tiles in operators/fill.py).
+# ---------------------------------------------------------------------------
+
+def q_dem_plane(spark, sf_dir):
+    """All six gdaldem scalar modes over the analytic plane z = 2x + y
+    (12x12): Horn gradients are exact on a plane (dzdx=2, dzdy=1), so
+    every interior pixel is one closed-form constant and edges are the
+    documented nodata (0, or -9999 for aspect). Per-(mode, value) pixel
+    counts, values rounded to 4 dp on both sides."""
+    _ensure_workers_can_import(spark)
+    from functools import reduce
+
+    from godal_spark import datagen
+    from godal_spark.operators import fill as FL
+
+    yy, xx = np.mgrid[0:12, 0:12]
+    z = (2 * xx + yy).astype(np.uint8)  # max 33, uint8-safe
+    imgs = datagen.images_df(spark, [datagen.image_row("demp", z, "raw8")])
+    kernels = [
+        ("hillshade", lambda a: FL.dem_hillshade(a)),
+        ("slope", lambda a: FL.dem_slope(a)),
+        ("aspect", lambda a: FL.dem_aspect(a)),
+        ("tri", lambda a: FL.dem_tri(a)),
+        ("tpi", lambda a: FL.dem_tpi(a)),
+        ("roughness", lambda a: FL.dem_roughness(a)),
+    ]
+    parts = [
+        FL.image_kernel_pixels(imgs, fn)
+          .select(F.lit(m).alias("mode"), F.round("value", 4).alias("value"))
+        for m, fn in kernels]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return u.groupBy("mode", "value").agg(
+        F.count("*").cast("bigint").alias("n_pixels"))
+
+
+# Hand derivation (formulas from the module docstrings, math module —
+# independent of the numpy kernels): slope = degrees(atan(hypot(2,1)))
+# = 65.90515744788931 → 65.9052; aspect: atan2(1,-2) → 153.43494882°,
+# >90 → 450-asp = 296.565051177078 → 296.5651; hillshade: az=135°,
+# alt=45°, shade = sin·cos + cos·sin·cos(az-aspect) = 0.901048...,
+# floor(1+254·shade+0.5) = 230; tri Riley = sqrt(sum dz² over the 8
+# neighbors: 9+1+1+4+4+1+1+9=30) = 5.47722557 → 5.4772; Wilson not
+# queried; tpi = 0 (plane symmetric); roughness = max-min = 6.
+# 12x12 ⇒ 44 edge px, 100 interior px. 4-dp margins all ≥ 1e-6
+# (nearest boundary: aspect, 1.18e-6) — cross-libm-safe.
+SQL_DEM_PLANE = """
+SELECT * FROM (VALUES
+  ('hillshade', cast(0.0 AS double),     cast(44 AS bigint)),
+  ('hillshade', cast(230.0 AS double),   cast(100 AS bigint)),
+  ('slope',     cast(0.0 AS double),     cast(44 AS bigint)),
+  ('slope',     cast(65.9052 AS double), cast(100 AS bigint)),
+  ('aspect',    cast(-9999.0 AS double), cast(44 AS bigint)),
+  ('aspect',    cast(296.5651 AS double), cast(100 AS bigint)),
+  ('tri',       cast(0.0 AS double),     cast(44 AS bigint)),
+  ('tri',       cast(5.4772 AS double),  cast(100 AS bigint)),
+  ('tpi',       cast(0.0 AS double),     cast(144 AS bigint)),
+  ('roughness', cast(0.0 AS double),     cast(44 AS bigint)),
+  ('roughness', cast(6.0 AS double),     cast(100 AS bigint)))
+  t(mode, value, n_pixels)
+"""
+
+
+# the reference viewshed golden DEM and its observable-height table
+# (godal_test.go:4472-4592; also pinned in tests/test_fill_ops.py)
+_VS_IN = np.array([
+    -1, 0, 1, 0, -1,
+    -1, 2, 0, 4, -1,
+    -1, 1, 0, -1, -1,
+    0, 3, 0, 2, 0,
+    -1, 0, 0, 3, -1], dtype=np.int8).reshape(5, 5)
+_VS_OBSERVABLE = np.array([
+    4, 2, 0, 4, 8,
+    3, 2, 0, 4, 3,
+    2, 1, 0, -1, -2,
+    4, 3, 0, 2, 1,
+    6, 3, 0, 2, 4], dtype=float).reshape(5, 5)
+
+
+def q_viewshed_modes(spark, sf_dir):
+    """Viewshed, all three height modes (normal / MinTargetHeightFromDem
+    / MinTargetHeightFromGround) over the reference golden 5x5 DEM,
+    observer (2,2). Full 25-px table per mode. The DEM rides the images
+    table biased +10 into uint8 (raw8 is unsigned); the kernel stage
+    un-biases before running."""
+    _ensure_workers_can_import(spark)
+    from functools import reduce
+
+    from godal_spark import datagen
+    from godal_spark.operators import fill as FL
+
+    imgs = datagen.images_df(spark, [datagen.image_row(
+        "vs", (_VS_IN.astype(np.int16) + 10).astype(np.uint8), "raw8")])
+    parts = [
+        FL.image_kernel_pixels(
+            imgs, lambda a, m=m: FL.viewshed(a - 10.0, 2, 2, 0.0, mode=m))
+          .select(F.lit(m).alias("mode"), "y", "x", "value")
+        for m in ("normal", "dem", "ground")]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _vs_oracle_rows():
+    """Golden-table derivation (mode rules from godal.go:4188-4219):
+    normal → 127 where z >= observable else 0; dem → max(0, observable);
+    ground → max(0, observable - z)."""
+    rows = []
+    for mode in ("normal", "dem", "ground"):
+        for y in range(5):
+            for x in range(5):
+                z = float(_VS_IN[y, x])
+                ob = float(_VS_OBSERVABLE[y, x])
+                if mode == "normal":
+                    v = 127.0 if z >= ob else 0.0
+                elif mode == "dem":
+                    v = max(0.0, ob)
+                else:
+                    v = max(0.0, ob - z)
+                rows.append((mode, y, x, v))
+    return rows
+
+
+SQL_VIEWSHED_MODES = ("SELECT * FROM (VALUES " + ", ".join(
+    f"('{m}', {y}, {x}, cast({v!r} AS double))"
+    for m, y, x, v in _vs_oracle_rows()) + ") t(mode, y, x, value)")
+
+
+def q_grid_linear(spark, sf_dir):
+    """GridCreate linear (Delaunay barycentric) 256x256 from the 4-corner
+    point set, computed DISTRIBUTED (grid_tiles: spark.range over 64x64
+    windows, broadcast points, zero shuffles), probed at the reference
+    golden pixels incl. the 1/256 half-pixel-offset corners
+    (godal_test.go:4279-4332). All probe values are exact dyadic floats."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.operators import fill as FL
+
+    g = FL.grid_tiles(spark, "linear",
+                      [0.0, 1.0, 0.0, 1.0], [0.0, 0.0, 1.0, 1.0],
+                      [1.0, 0.0, 0.0, 1.0],
+                      256, 256, 0.0, 1.0, 0.0, 1.0, block=64)
+    cond = F.lit(False)
+    for py_, px_ in ((0, 0), (0, 255), (255, 0), (255, 255), (127, 255)):
+        cond = cond | ((F.col("y") == py_) & (F.col("x") == px_))
+    return g.filter(cond).select("y", "x", "value")
+
+
+SQL_GRID_LINEAR = """
+SELECT * FROM (VALUES
+  (0,   0,   cast(1.0 AS double)),
+  (0,   255, cast(0.00390625 AS double)),
+  (255, 0,   cast(0.00390625 AS double)),
+  (255, 255, cast(1.0 AS double)),
+  (127, 255, cast(0.5 AS double)))
+  t(y, x, value)
+"""
+
+
+def q_fillnodata(spark, sf_dir):
+    """FillNoData over the reference 1000x1000 zero raster with a uniform
+    128 patch at the center (godal_test.go:2285-2363): probes mirror the
+    reference assertions — MaxDistance 100 fills (595,500) but not
+    (604,509); MaxDistance 10 leaves (595,500) empty but fills the
+    diagonal (510,510). Probe pushdown: only 2 pixels per config cross
+    Arrow (image_kernel_pixels probes=...)."""
+    _ensure_workers_can_import(spark)
+    from godal_spark import datagen
+    from godal_spark.operators import fill as FL
+
+    arr = np.zeros((1000, 1000), np.uint8)
+    arr[495:505, 495:505] = 128
+    imgs = datagen.images_df(spark, [
+        datagen.image_row("fnd", arr, "raw8", nodata=0.0)])
+    p100 = FL.image_kernel_pixels(
+        imgs, lambda a: FL.fillnodata(a, a != 0, 100),
+        probes=[(595, 500), (604, 509)])
+    p10 = FL.image_kernel_pixels(
+        imgs, lambda a: FL.fillnodata(a, a != 0, 10),
+        probes=[(595, 500), (510, 510)])
+    return (p100.select(F.lit("d100").alias("cfg"), "y", "x", "value")
+            .unionByName(
+                p10.select(F.lit("d10").alias("cfg"), "y", "x", "value")))
+
+
+# uniform sources fill exactly to the uniform value; reachability along
+# the 8 search rays: (595,500) is 91 px below the patch (<=100, >10);
+# (604,509) is 100·sqrt(2) diagonal (>100); (510,510) is 6·sqrt(2)=8.49
+# diagonal (<=10).
+SQL_FILLNODATA = """
+SELECT * FROM (VALUES
+  ('d100', 595, 500, cast(128.0 AS double)),
+  ('d100', 604, 509, cast(0.0 AS double)),
+  ('d10',  595, 500, cast(0.0 AS double)),
+  ('d10',  510, 510, cast(128.0 AS double)))
+  t(cfg, y, x, value)
+"""
+
+
+def q_nearblack(spark, sf_dir):
+    """Nearblack black + white ramps (godal_test.go:4638-4780) and the
+    border-connectivity rule (an interior dark pixel NOT connected to the
+    border survives). Per-(cfg, value) pixel counts; the oracle
+    recomputes the collapse rule relationally over range(256)."""
+    _ensure_workers_can_import(spark)
+    from functools import reduce
+
+    from godal_spark import datagen
+    from godal_spark.operators import fill as FL
+
+    ramp = np.tile(np.arange(256, dtype=np.uint8), (4, 1))
+    interior = np.full((9, 9), 100, np.uint8)
+    interior[4, 4] = 2
+    ib = datagen.images_df(spark, [datagen.image_row("nb_b", ramp, "raw8")])
+    iw = datagen.images_df(spark, [datagen.image_row(
+        "nb_w", (255 - ramp).astype(np.uint8), "raw8")])
+    ii = datagen.images_df(spark, [datagen.image_row("nb_i", interior, "raw8")])
+    parts = [
+        FL.image_kernel_pixels(ib, lambda a: FL.nearblack(a, 10))
+          .select(F.lit("black").alias("cfg"), "value"),
+        FL.image_kernel_pixels(iw, lambda a: FL.nearblack(a, 10, white=True))
+          .select(F.lit("white").alias("cfg"), "value"),
+        FL.image_kernel_pixels(ii, lambda a: FL.nearblack(a, 10))
+          .select(F.lit("interior").alias("cfg"), "value"),
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return u.groupBy("cfg", "value").agg(
+        F.count("*").cast("bigint").alias("n_pixels"))
+
+
+SQL_NEARBLACK = """
+WITH xs AS (SELECT unnest(range(0, 256)) AS x),
+raw AS (
+  SELECT 'black' AS cfg,
+         CASE WHEN x <= 10 THEN cast(0 AS double)
+              ELSE cast(x AS double) END AS value,
+         4 AS n FROM xs
+  UNION ALL
+  SELECT 'white',
+         CASE WHEN 255 - x >= 245 THEN cast(255 AS double)
+              ELSE cast(255 - x AS double) END,
+         4 FROM xs
+  UNION ALL SELECT 'interior', cast(2 AS double), 1
+  UNION ALL SELECT 'interior', cast(100 AS double), 80
+)
+SELECT cfg, value, cast(sum(n) AS bigint) AS n_pixels
+FROM raw GROUP BY cfg, value
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1554,6 +1805,13 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "image_phash": q_image_phash,
+    # round 5: the §2.7 analytic family (constant-table oracles derived
+    # from the documented kernels / reference goldens)
+    "dem_plane": q_dem_plane,
+    "viewshed_modes": q_viewshed_modes,
+    "grid_linear": q_grid_linear,
+    "fillnodata": q_fillnodata,
+    "nearblack": q_nearblack,
 }
 
 ORACLES = {
@@ -1597,4 +1855,9 @@ ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_ivf": SQL_ANN_IVF,
     "lang_id": SQL_LANG_ID,
+    "dem_plane": SQL_DEM_PLANE,
+    "viewshed_modes": SQL_VIEWSHED_MODES,
+    "grid_linear": SQL_GRID_LINEAR,
+    "fillnodata": SQL_FILLNODATA,
+    "nearblack": SQL_NEARBLACK,
 }

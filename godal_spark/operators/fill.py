@@ -26,9 +26,11 @@ as `halo_join` here and usable by any stencil op.
 from __future__ import annotations
 
 import math
+from typing import Iterator
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 # ---------------------------------------------------------------------------
@@ -374,10 +376,19 @@ def grid_create(alg: str, px: np.ndarray, py: np.ndarray, pz: np.ndarray,
     to x = minx + (col+0.5)*(maxx-minx)/w, y = miny + (row+0.5)*...
     (half-pixel centers — the 0.00390625 = 1/256 offset golden,
     godal_test.go:4264-4276)."""
-    alg = alg.split(":")[0].lower()
     xs = minx + (np.arange(out_w) + 0.5) * (maxx - minx) / out_w
     ys = miny + (np.arange(out_h) + 0.5) * (maxy - miny) / out_h
     gx, gy = np.meshgrid(xs, ys)
+    return _grid_eval(alg, px, py, pz, gx, gy, **kw)
+
+
+def _grid_eval(alg: str, px, py, pz, gx: np.ndarray, gy: np.ndarray,
+               **kw) -> np.ndarray:
+    """Evaluate a grid algorithm on explicit sample-center arrays —
+    shared by the whole-array grid_create and the tile-windowed
+    grid_tiles (windows pass centers from the SAME global half-pixel
+    formula, so tiled output is bit-equal to the single array)."""
+    alg = alg.split(":")[0].lower()
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     pz = np.asarray(pz, dtype=np.float64)
@@ -570,3 +581,99 @@ def halo_join(tiles: DataFrame) -> DataFrame:
             & (expanded.block_y + expanded.n_dy == neigh.nby))
     return expanded.join(neigh, cond, "inner") \
         .drop(neigh.image_id).drop(neigh.band)
+
+
+# ---------------------------------------------------------------------------
+# Spark runners: per-image kernel + distributed grid
+# ---------------------------------------------------------------------------
+
+def image_kernel_pixels(images: DataFrame, fn,
+                        probes: list[tuple[int, int]] | None = None) -> DataFrame:
+    """Run a whole-image numpy kernel per image row ON THE WORKERS (the
+    per-image stencil shape documented in the module header) and emit
+    per-pixel rows (image_id, y, x, value).
+
+    `fn(arr) -> 2-D array` runs once per image inside an Arrow-batched
+    mapInPandas stage — pixels cross JVM<->Python once, images stay
+    distributed (one task can hold many images; a 1000-executor run
+    spreads the catalog by partition).
+
+    `probes` (list of (y, x)) pushes a pixel-coordinate filter INTO the
+    kernel stage so only the probed pixels cross Arrow — use it when the
+    caller needs a handful of samples from a large kernel output (the
+    equivalent of a projection pushdown for pixel data).
+    """
+    from godal_spark.functions import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "y": [], "x": [], "value": []}
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(r.bytes, r.fmt, r.w, r.h)
+                if arr.ndim == 3:
+                    arr = arr[:, :, 0]
+                res = np.asarray(fn(arr), dtype=np.float64)
+                if probes is not None:
+                    for py_, px_ in probes:
+                        out["image_id"].append(r.image_id)
+                        out["y"].append(py_)
+                        out["x"].append(px_)
+                        out["value"].append(float(res[py_, px_]))
+                else:
+                    h, w = res.shape
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    out["image_id"].extend([r.image_id] * (h * w))
+                    out["y"].extend(yy.ravel().tolist())
+                    out["x"].extend(xx.ravel().tolist())
+                    out["value"].extend(res.ravel().tolist())
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        run, schema="image_id string, y int, x int, value double")
+
+
+def grid_tiles(spark: SparkSession, alg: str, px, py, pz,
+               out_w: int, out_h: int, minx: float, maxx: float,
+               miny: float, maxy: float, block: int = 256,
+               **kw) -> DataFrame:
+    """Distributed GridCreate (godal.go:4001-4084 semantics): the target
+    raster is split into block x block windows enumerated by spark.range
+    (codegen — never a driver-side tile list); each task evaluates the
+    grid kernel on its window against the BROADCAST point set.
+
+    Scale shape: scattered points are the small side (broadcast once);
+    the output grid is the big side (one embarrassingly-parallel task
+    per tile, zero shuffles). Window sample centers use the same global
+    half-pixel formula as grid_create, so the tiled output is bit-equal
+    to the single-array kernel (pinned by the oracle-gate probes).
+    Returns per-pixel rows (y, x, value).
+    """
+    nbx = -(-out_w // block)
+    nby = -(-out_h // block)
+    bpts = spark.sparkContext.broadcast(
+        (np.asarray(px, np.float64), np.asarray(py, np.float64),
+         np.asarray(pz, np.float64)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ppx, ppy, ppz = bpts.value
+        for pdf in batches:
+            frames = []
+            for tid in pdf["id"].tolist():
+                bx, by = int(tid) % nbx, int(tid) // nbx
+                x0, x1 = bx * block, min((bx + 1) * block, out_w)
+                y0, y1 = by * block, min((by + 1) * block, out_h)
+                xs = minx + (np.arange(x0, x1) + 0.5) * (maxx - minx) / out_w
+                ys = miny + (np.arange(y0, y1) + 0.5) * (maxy - miny) / out_h
+                gx, gy = np.meshgrid(xs, ys)
+                res = _grid_eval(alg, ppx, ppy, ppz, gx, gy, **kw)
+                yy, xx = np.mgrid[y0:y1, x0:x1]
+                frames.append(pd.DataFrame(
+                    {"y": yy.ravel().astype(np.int32),
+                     "x": xx.ravel().astype(np.int32),
+                     "value": res.ravel().astype(np.float64)}))
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"y": [], "x": [], "value": []})
+
+    n_tiles = nbx * nby
+    grid = spark.range(0, n_tiles, 1, min(n_tiles, 32))
+    return grid.mapInPandas(run, schema="y int, x int, value double")
