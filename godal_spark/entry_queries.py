@@ -1351,14 +1351,24 @@ def q_stream_dedup(spark, sf_dir):
     src = os.path.join(tempfile.gettempdir(),
                        f"godal_streamdedup_{key}_{mtime}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        docs.repartition(4).write.mode("overwrite").parquet(src)
+        # write to a per-process dir and atomically rename into place:
+        # two concurrent gate runs must never read a half-written cache
+        import shutil
+
+        tmp = f"{src}.tmp.{os.getpid()}"
+        docs.repartition(4).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, src)
+        except OSError:  # another process won the race; use its copy
+            shutil.rmtree(tmp, ignore_errors=True)
     stream = (spark.readStream.schema("text string")
               .option("maxFilesPerTrigger", 1).parquet(src))
     qname = f"sd_{uuid.uuid4().hex[:8]}"
     q = (stream_exact_dedup(stream)
          .writeStream.format("memory").queryName(qname)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        raise RuntimeError("stream_dedup: query did not finish within 120 s")
     return spark.table(qname).select("text")
 
 

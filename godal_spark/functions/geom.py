@@ -597,6 +597,35 @@ def intersects(a: Geom, b: Geom) -> bool:
     return _edges_cross(a, b)
 
 
+def map_coords(g: Geom, fn) -> Geom:
+    """Apply a vectorized coordinate mapping ``fn(x_arr, y_arr) ->
+    (x'_arr, y'_arr)`` to every vertex, returning a new Geom of the same
+    type — e.g. moving a geometry into pixel space (affine, so incidence
+    topology is preserved) for exact per-pixel footprint tests."""
+    t, c = g.type, g.coords
+    if c is None:
+        return Geom(t, None)
+
+    def arr(a):
+        a = np.asarray(a, dtype=np.float64).reshape(-1, 2)
+        nx, ny = fn(a[:, 0], a[:, 1])
+        return np.column_stack([np.asarray(nx, np.float64),
+                                np.asarray(ny, np.float64)])
+
+    if t == "Point":
+        nx, ny = fn(np.array([c[0]]), np.array([c[1]]))
+        return Geom(t, (float(nx[0]), float(ny[0])))
+    if t in ("LineString", "MultiPoint"):
+        return Geom(t, arr(c))
+    if t in ("Polygon", "MultiLineString"):
+        return Geom(t, [arr(r) for r in c])
+    if t == "MultiPolygon":
+        return Geom(t, [[arr(r) for r in rings] for rings in c])
+    if t == "GeometryCollection":
+        return Geom(t, [map_coords(gg, fn) for gg in c])
+    raise ValueError(f"map_coords: unsupported type {t!r}")
+
+
 def boxes_intersect_geom(minx, miny, maxx, maxy, g: Geom, *,
                          chunk: int = 2048) -> np.ndarray:
     """Vectorized ``intersects(box(minx[i], ...), g)`` for N axis-aligned

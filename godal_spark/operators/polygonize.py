@@ -783,6 +783,12 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
     onto the polygonize_tiles border machinery, without ever gathering a
     raster into one task.
 
+    `max_small_components` is IGNORED since the decision phase went
+    fully distributed (round 4: per-root max_by aggregation, no driver
+    gather to bound) — a non-default value raises DeprecationWarning so
+    callers relying on the old error-first ceiling see the contract
+    change.
+
     Plan shape (the scale path for a 100k x 100k categorical raster):
       1. per-tile labeling (mapInPandas): component partials
          (cid, value, n_pixels), border strips, and intra-tile
@@ -806,6 +812,15 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
     order is scan-dependent and cannot be reproduced distributed).
     """
     from pyspark.sql import functions as F
+
+    if max_small_components != 5_000_000:
+        import warnings
+
+        warnings.warn(
+            "sieve_tiles: max_small_components is ignored since the "
+            "decision phase went fully distributed (no driver gather to "
+            "bound); the parameter will be removed",
+            DeprecationWarning, stacklevel=2)
 
     spark = tiles.sparkSession
     tiles = tiles.select("image_id", "band", "level", "block_x", "block_y",

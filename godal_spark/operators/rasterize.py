@@ -64,13 +64,13 @@ def _coverage_mask(geom: G.Geom, gt, w: int, h: int, all_touched: bool) -> np.nd
         # in pixel space and mark the 3x3 neighborhood of every sample.
         # Cuts the exact test from O(tile px) to O(boundary length).
         cand = np.zeros_like(mask)
-        # 3x3 neighborhood suffices for axis-aligned grids (a half-pixel
-        # sample is within 0.25 px of any boundary point its cell box
-        # touches); a ROTATED gt tests against the geo-space bbox of the
-        # pixel parallelogram, which can reach ~1.7 cells from the
-        # boundary in pixel space — widen to 5x5 there
-        reach = 2 if (gt[2] != 0.0 or gt[4] != 0.0) else 1
-        offs = range(-reach, reach + 1)
+        # 3x3 neighborhood suffices: samples sit at half-pixel spacing in
+        # pixel space, so the boundary between consecutive samples stays
+        # within 0.5 px of one — every cell whose unit square the
+        # boundary touches is in some sample's 3x3. (Rotated grids used
+        # a 5x5 when the exact test ran on geo-space AABBs; the round-5
+        # pixel-space exact test restores the 3x3 bound for them too.)
+        offs = range(-1, 2)
 
         def mark(cx, cy):
             for oy in offs:
@@ -94,14 +94,26 @@ def _coverage_mask(geom: G.Geom, gt, w: int, h: int, all_touched: bool) -> np.nd
         ys, xs = np.nonzero(cand & ~mask)
         if len(ys):
             fx, fy = xs.astype(np.float64), ys.astype(np.float64)
-            corner_x = np.empty((4, len(xs)))
-            corner_y = np.empty((4, len(xs)))
-            for k, (ox, oy) in enumerate([(0, 0), (1, 0), (1, 1), (0, 1)]):
-                corner_x[k], corner_y[k] = CRS.pixel_to_geo(
-                    gt, fx + ox, fy + oy)
-            hit = G.boxes_intersect_geom(
-                corner_x.min(axis=0), corner_y.min(axis=0),
-                corner_x.max(axis=0), corner_y.max(axis=0), geom)
+            if gt[2] != 0.0 or gt[4] != 0.0:
+                # ROTATED gt: test the EXACT unit pixel square against
+                # the geometry mapped into pixel space (the affine map
+                # preserves incidence, so this equals GDAL's pixel-space
+                # test; the geo-space AABB of the 4 corners over-covered
+                # the true pixel parallelogram — round-5 fix)
+                pg = G.map_coords(
+                    geom, lambda x, y: CRS.geo_to_pixel(gt, x, y))
+                hit = G.boxes_intersect_geom(fx, fy, fx + 1.0, fy + 1.0, pg)
+            else:
+                # axis-aligned: the geo AABB of the 4 corners IS the
+                # exact pixel rectangle
+                corner_x = np.empty((4, len(xs)))
+                corner_y = np.empty((4, len(xs)))
+                for k, (ox, oy) in enumerate([(0, 0), (1, 0), (1, 1), (0, 1)]):
+                    corner_x[k], corner_y[k] = CRS.pixel_to_geo(
+                        gt, fx + ox, fy + oy)
+                hit = G.boxes_intersect_geom(
+                    corner_x.min(axis=0), corner_y.min(axis=0),
+                    corner_x.max(axis=0), corner_y.max(axis=0), geom)
             mask[ys[hit], xs[hit]] = True
     return mask
 

@@ -26,9 +26,22 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 
+MAX_DRIVER_QUERIES = 100_000
+
+
 def _collect_queries(emb: DataFrame, query_ids, id_col: str, vec_col: str):
+    """Gather the QUERY side to the driver (it is broadcast into the scan
+    stage). The query side must be bounded: with query_ids=None this
+    would collect the whole corpus, a driver OOM at scale — error-first
+    above MAX_DRIVER_QUERIES instead (limit k+1 detects overflow without
+    scanning past the cap)."""
     q = emb.filter(F.col(id_col).isin(list(query_ids))) if query_ids is not None else emb
-    rows = q.select(id_col, vec_col).collect()
+    rows = q.select(id_col, vec_col).limit(MAX_DRIVER_QUERIES + 1).collect()
+    if len(rows) > MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"similarity: query side exceeds {MAX_DRIVER_QUERIES} vectors "
+            "(pass query_ids to bound it; an unbounded query side means "
+            "all-pairs — use the LSH/IVF dedup operators for that)")
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     qmat = np.array([r[1] for r in rows], dtype=np.float64)
     return qids, qmat

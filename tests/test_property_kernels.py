@@ -191,9 +191,11 @@ def test_wkb_wkt_roundtrip_random_geometries(seed):
 
 
 def test_coverage_mask_all_touched_rotated_gt():
-    """-at on a ROTATED geotransform: the supercover prefilter (5x5
-    reach for rotated grids) must reproduce the brute-force batched box
-    test exactly — concave polygon, 30-degree rotation."""
+    """-at on a ROTATED geotransform: the prefilter + exact test must
+    reproduce the brute-force EXACT pixel-space reference (geometry
+    affine-mapped into pixel space, every non-center pixel's unit square
+    tested — GDAL's pixel-space semantics, no AABB approximation) —
+    concave polygon, 30-degree rotation."""
     import math
 
     from godal_spark.functions import crs as CRS, geom as GG
@@ -213,16 +215,23 @@ def test_coverage_mask_all_touched_rotated_gt():
     gx, gy = CRS.pixel_to_geo(gt, cx.ravel(), cy.ravel())
     ref = GG.points_in_polygon(gx, gy, g).reshape(h, w)
     ys, xs = np.nonzero(~ref)
+    pg = GG.map_coords(g, lambda x, y: CRS.geo_to_pixel(gt, x, y))
+    hit = GG.boxes_intersect_geom(
+        xs.astype(float), ys.astype(float),
+        xs + 1.0, ys + 1.0, pg)
+    ref[ys[hit], xs[hit]] = True
+    assert got.sum() > 0 and np.array_equal(got, ref)
+    # the exact test must be strictly tighter than the old geo-space
+    # AABB of the pixel corners (which over-covers a rotated pixel)
     corner_x = np.empty((4, len(xs)))
     corner_y = np.empty((4, len(xs)))
     for k, (ox, oy) in enumerate([(0, 0), (1, 0), (1, 1), (0, 1)]):
         corner_x[k], corner_y[k] = CRS.pixel_to_geo(
             gt, xs + float(ox), ys + float(oy))
-    hit = GG.boxes_intersect_geom(
+    aabb_hit = GG.boxes_intersect_geom(
         corner_x.min(axis=0), corner_y.min(axis=0),
         corner_x.max(axis=0), corner_y.max(axis=0), g)
-    ref[ys[hit], xs[hit]] = True
-    assert got.sum() > 0 and np.array_equal(got, ref)
+    assert aabb_hit.sum() > hit.sum()  # AABB over-covered; exact is tighter
 
 
 @settings(deadline=None, max_examples=25)
