@@ -16,13 +16,16 @@ All functions are vectorized over numpy arrays (batch point transform =
 reference Transform.TransformEx, godal.go:2151-2233 — per-point success
 flags; out-of-domain latitudes fail, godal_test.go:1767-1776).
 
-DATUM SHIFTS: none are applied. Every supported family is referenced to
-WGS84; NAD83, ETRS89, RGF93 and GDA94 are treated as ≡ WGS84. That identity is exact
-to ~1-2 m (NAD83) / ~0.7 m (ETRS89, drifting ~2.5 cm/yr) — far below a
-Web-Mercator tile pixel at the zoom levels this engine serves, but NOT
-survey-grade. Grids needing true datum transformation (NTv2/geoid
-grids) require PROJ, which this environment does not have; adding a
-family is a documented manual step (see _PROJ_REGISTRY below).
+DATUM SHIFTS: two tiers. (1) Modern geocentric datums (NAD83, ETRS89,
+RGF93, GDA94, NZGD2000) are treated as ≡ WGS84 — exact to ~1-2 m
+(NAD83) / ~0.7 m (ETRS89, drifting ~2.5 cm/yr), far below a tile pixel
+at served zoom levels. (2) Classical datums get a TRUE Helmert
+7-parameter position-vector transformation (EPSG method 9606, round 5):
+OSGB36 (EPSG:27700) and Ireland 1965 (EPSG:29903) use the published
+country-wide fits, accurate to ~2 m against the definitive grid
+transformations (OSTN15 / OSi-OSNI), which require PROJ + grid files
+this environment does not have. NOT survey-grade; adding a family is a
+documented manual step (see _PROJ_REGISTRY below).
 """
 
 from __future__ import annotations
@@ -124,44 +127,64 @@ def _utm_to_ll(x, y, zone: int, south: bool):
                      500000.0, 10000000.0 if south else 0.0)
 
 
-def _ll_to_tm(lon, lat, lon0_deg: float, k0: float, fe: float, fn: float):
+def _tm_meridian_arc(lat, a: float, e2: float):
+    """Meridian arc length M(lat) — the standard series shared by the
+    forward and the lat0 offset (lat in radians)."""
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat
+                - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * lat)
+                + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * lat)
+                - (35 * e6 / 3072) * np.sin(6 * lat))
+
+
+def _ll_to_tm(lon, lat, lon0_deg: float, k0: float, fe: float, fn: float,
+              a: float | None = None, e2: float | None = None,
+              lat0_deg: float = 0.0):
     """Transverse Mercator forward (same standard series as the UTM
-    path, parameterized for non-UTM TM grids like NZTM; lat0 = 0)."""
+    path, parameterized for non-UTM TM grids: NZTM lat0=0 on WGS84,
+    OSGB lat0=49 on Airy 1830 — pass (a, e2, lat0_deg))."""
+    a = R_a if a is None else a
+    e2 = E2 if e2 is None else e2
     lon = np.asarray(lon, dtype=np.float64) * math.pi / 180.0
     lat = np.asarray(lat, dtype=np.float64) * math.pi / 180.0
     lon0 = math.radians(lon0_deg)
-    ep2 = E2 / (1 - E2)
-    N = R_a / np.sqrt(1 - E2 * np.sin(lat) ** 2)
+    ep2 = e2 / (1 - e2)
+    N = a / np.sqrt(1 - e2 * np.sin(lat) ** 2)
     T = np.tan(lat) ** 2
     C = ep2 * np.cos(lat) ** 2
     A = np.cos(lat) * (lon - lon0)
-    M = R_a * ((1 - E2 / 4 - 3 * _E4 / 64 - 5 * _E6 / 256) * lat
-               - (3 * E2 / 8 + 3 * _E4 / 32 + 45 * _E6 / 1024) * np.sin(2 * lat)
-               + (15 * _E4 / 256 + 45 * _E6 / 1024) * np.sin(4 * lat)
-               - (35 * _E6 / 3072) * np.sin(6 * lat))
+    M = _tm_meridian_arc(lat, a, e2)
+    M0 = float(_tm_meridian_arc(np.float64(math.radians(lat0_deg)), a, e2))
     x = k0 * N * (A + (1 - T + C) * A**3 / 6
                   + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120) + fe
-    y = k0 * (M + N * np.tan(lat) * (A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+    y = k0 * (M - M0 + N * np.tan(lat) * (A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
               + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720)) + fn
     return x, y
 
 
-def _tm_to_ll(x, y, lon0_deg: float, k0: float, fe: float, fn: float):
+def _tm_to_ll(x, y, lon0_deg: float, k0: float, fe: float, fn: float,
+              a: float | None = None, e2: float | None = None,
+              lat0_deg: float = 0.0):
+    a = R_a if a is None else a
+    e2 = E2 if e2 is None else e2
+    e4 = e2 * e2
     x = np.asarray(x, dtype=np.float64) - fe
     y = np.asarray(y, dtype=np.float64) - fn
     lon0 = math.radians(lon0_deg)
-    ep2 = E2 / (1 - E2)
-    M = y / k0
-    mu = M / (R_a * (1 - E2 / 4 - 3 * _E4 / 64 - 5 * _E6 / 256))
-    e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+    ep2 = e2 / (1 - e2)
+    M0 = float(_tm_meridian_arc(np.float64(math.radians(lat0_deg)), a, e2))
+    M = y / k0 + M0
+    mu = M / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e4 * e2 / 256))
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
     phi1 = (mu + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
             + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
             + (151 * e1**3 / 96) * np.sin(6 * mu)
             + (1097 * e1**4 / 512) * np.sin(8 * mu))
     C1 = ep2 * np.cos(phi1) ** 2
     T1 = np.tan(phi1) ** 2
-    N1 = R_a / np.sqrt(1 - E2 * np.sin(phi1) ** 2)
-    R1 = R_a * (1 - E2) / (1 - E2 * np.sin(phi1) ** 2) ** 1.5
+    N1 = a / np.sqrt(1 - e2 * np.sin(phi1) ** 2)
+    R1 = a * (1 - e2) / (1 - e2 * np.sin(phi1) ** 2) ** 1.5
     D = x / (N1 * k0)
     lat = phi1 - (N1 * np.tan(phi1) / R1) * (
         D**2 / 2 - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
@@ -390,6 +413,105 @@ def _lcc2sp(lat1_deg, lat2_deg, lat0_deg, lon0_deg, fe, fn):
     return fwd, inv
 
 
+# ---------------------------------------------------------------------------
+# datum shifts (round 5): Helmert 7-parameter position-vector
+# transformation (EPSG method 9606) in pure numpy — unlocks the
+# non-WGS84-datum national grids (OSGB 27700, Irish Grid 29903) that the
+# "no datum shifts" policy above excluded. Accuracy: the single-Helmert
+# country-wide fits are ~2 m against the definitive grid transformations
+# (OSTN15 / OSi-OSNI polynomial), which need PROJ + grid files this
+# environment does not have. Documented bound, NOT survey-grade.
+# ---------------------------------------------------------------------------
+
+def _geodetic_to_ecef(lon_deg, lat_deg, a: float, e2: float):
+    """Geodetic (h=0) → geocentric cartesian on the given ellipsoid."""
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    n = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    return (n * np.cos(phi) * np.cos(lam),
+            n * np.cos(phi) * np.sin(lam),
+            n * (1 - e2) * np.sin(phi))
+
+
+def _ecef_to_geodetic(X, Y, Z, a: float, e2: float):
+    """Geocentric cartesian → geodetic lon/lat (height discarded — 2-D
+    CRS transform). Fixed-point iteration on phi; converges to < 1e-12
+    rad in ≤ 6 rounds for |h| < 10 km."""
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    lam = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1 - e2))
+    for _ in range(6):
+        n = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        h = p / np.cos(phi) - n
+        phi = np.arctan2(Z, p * (1 - e2 * n / (n + h)))
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _helmert_pair(tx, ty, tz, rx_as, ry_as, rz_as, s_ppm):
+    """(forward, exact inverse) cartesian maps for the position-vector
+    convention: V' = t + m·R·V with R = [[1,-rz,ry],[rz,1,-rx],[-ry,rx,1]]
+    (rotations in arc-seconds, scale in ppm). The inverse uses the true
+    matrix inverse (not the sign-flipped small-angle approximation) so
+    round-trips close to machine precision."""
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rx_as, ry_as, rz_as))
+    m = 1.0 + s_ppm * 1e-6
+    rot = np.array([[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]])
+    fwd_m = m * rot
+    inv_m = np.linalg.inv(fwd_m)
+    t = np.array([tx, ty, tz])
+
+    def fwd(X, Y, Z):
+        return (fwd_m[0, 0] * X + fwd_m[0, 1] * Y + fwd_m[0, 2] * Z + t[0],
+                fwd_m[1, 0] * X + fwd_m[1, 1] * Y + fwd_m[1, 2] * Z + t[1],
+                fwd_m[2, 0] * X + fwd_m[2, 1] * Y + fwd_m[2, 2] * Z + t[2])
+
+    def inv(X, Y, Z):
+        X, Y, Z = X - t[0], Y - t[1], Z - t[2]
+        return (inv_m[0, 0] * X + inv_m[0, 1] * Y + inv_m[0, 2] * Z,
+                inv_m[1, 0] * X + inv_m[1, 1] * Y + inv_m[1, 2] * Z,
+                inv_m[2, 0] * X + inv_m[2, 1] * Y + inv_m[2, 2] * Z)
+
+    return fwd, inv
+
+
+def _tm_on_datum(a: float, inv_f: float, lat0: float, lon0: float,
+                 k0: float, fe: float, fn: float, helmert):
+    """Projected CRS = TM(ellipsoid a, 1/f) ∘ Helmert(WGS84 → datum).
+    `helmert` = (tx, ty, tz, rx", ry", rz", s_ppm), position-vector."""
+    f = 1.0 / inv_f
+    e2 = f * (2 - f)
+    h_fwd, h_inv = _helmert_pair(*helmert)
+
+    def fwd(lon, lat):
+        X, Y, Z = _geodetic_to_ecef(lon, lat, R_a, E2)
+        lon2, lat2 = _ecef_to_geodetic(*h_fwd(X, Y, Z), a, e2)
+        return _ll_to_tm(lon2, lat2, lon0, k0, fe, fn,
+                         a=a, e2=e2, lat0_deg=lat0)
+
+    def inv(x, y):
+        lon2, lat2 = _tm_to_ll(x, y, lon0, k0, fe, fn,
+                               a=a, e2=e2, lat0_deg=lat0)
+        X, Y, Z = _geodetic_to_ecef(lon2, lat2, a, e2)
+        return _ecef_to_geodetic(*h_inv(X, Y, Z), R_a, E2)
+
+    return fwd, inv
+
+
+# Airy 1830 / Airy 1830 Modified semi-major + 1/f (public EPSG ellipsoid
+# parameters); Helmert sets are the published country-wide fits:
+# WGS84→OSGB36 from the OS "A guide to coordinate systems in Great
+# Britain" (±2 m vs OSTN15); WGS84→Ireland65 from the OSi/OSNI joint
+# publication (±1 m class).
+_AIRY_A, _AIRY_INVF = 6377563.396, 299.3249646
+_AIRY_MOD_A = 6377340.189
+_OSGB36_HELMERT = (-446.448, 125.157, -542.060,
+                   -0.1502, -0.2470, -0.8421, 20.4894)
+_IRELAND65_HELMERT = (-482.530, 130.596, -564.557,
+                      -1.042, -0.214, -0.631, -8.150)
+
 _PROJ_REGISTRY = {
     6933: _cea(30.0),                                # WGS84 / EASE-Grid 2.0 Global
     3035: _laea(52.0, 10.0, 4321000.0, 3210000.0),   # ETRS89 / LAEA Europe
@@ -411,6 +533,15 @@ _PROJ_REGISTRY = {
                                       1600000.0, 10000000.0),
            lambda x, y: _tm_to_ll(x, y, 173.0, _K0,
                                   1600000.0, 10000000.0)),
+    # round 5 — first TRUE datum shifts (Helmert kernel above):
+    # OSGB36 / British National Grid: TM on Airy 1830, lat0 49N,
+    # lon0 2W, k0 0.9996012717, FE 400000, FN -100000
+    27700: _tm_on_datum(_AIRY_A, _AIRY_INVF, 49.0, -2.0, 0.9996012717,
+                        400000.0, -100000.0, _OSGB36_HELMERT),
+    # TM75 / Irish Grid: TM on Airy Modified, lat0 53.5N, lon0 8W,
+    # k0 1.000035, FE 200000, FN 250000
+    29903: _tm_on_datum(_AIRY_MOD_A, _AIRY_INVF, 53.5, -8.0, 1.000035,
+                        200000.0, 250000.0, _IRELAND65_HELMERT),
 }
 
 

@@ -541,12 +541,54 @@ def test_crs_lcc2sp_defining_properties():
         assert k_parallel("EPSG:3978", -95.0, lat) == pytest.approx(1.0, abs=1e-7)
 
 
+def test_crs_osgb_datum_shift():
+    """EPSG:27700 (round 5 — first TRUE Helmert datum shift). The TM-on-
+    Airy projection core reproduces the OS 'Guide to coordinate systems
+    in Great Britain' worked example to < 1 mm (OSGB36 geographic input,
+    so no datum shift in that leg); the WGS84 path applies the published
+    7-parameter fit (documented accuracy ~2 m vs OSTN15, NOT
+    survey-grade — module header note)."""
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    f = 1 / crs._AIRY_INVF
+    e2 = f * (2 - f)
+    x, y = crs._ll_to_tm([lon], [lat], -2.0, 0.9996012717,
+                         400000.0, -100000.0,
+                         a=crs._AIRY_A, e2=e2, lat0_deg=49.0)
+    assert x[0] == pytest.approx(651409.903, abs=1e-3)
+    assert y[0] == pytest.approx(313177.270, abs=1e-3)
+    # grid origin: OSGB36 (49N, 2W) -> (400000, -100000) exactly
+    x, y = crs._ll_to_tm([-2.0], [49.0], -2.0, 0.9996012717,
+                         400000.0, -100000.0,
+                         a=crs._AIRY_A, e2=e2, lat0_deg=49.0)
+    assert x[0] == pytest.approx(400000.0, abs=1e-6)
+    assert y[0] == pytest.approx(-100000.0, abs=1e-6)
+    # WGS84->OSGB36 horizontal displacement at London: the documented
+    # ~120 m (nationally 50-180 m)
+    X, Y, Z = crs._geodetic_to_ecef([-0.1278], [51.5074], crs.R_a, crs.E2)
+    hf, hi = crs._helmert_pair(*crs._OSGB36_HELMERT)
+    lo2, la2 = crs._ecef_to_geodetic(*hf(X, Y, Z), crs._AIRY_A, e2)
+    dm = np.hypot((lo2 + 0.1278) * np.cos(np.radians(51.5)) * 111320,
+                  (la2 - 51.5074) * 111320)[0]
+    assert 90 < dm < 160
+    # Helmert inverse is the exact matrix inverse (not the sign-flipped
+    # small-angle approximation): cartesian round trip < 1e-9 m
+    V = hi(*hf(X, Y, Z))
+    assert np.hypot(np.hypot(V[0] - X, V[1] - Y), V[2] - Z)[0] < 1e-9
+    # Irish grid origin: TM75 (53.5N, 8W) -> (200000, 250000)
+    x, y, ok = crs.transform_points([-6.26], [53.35],
+                                    "EPSG:4326", "EPSG:29903")
+    assert ok.all() and 300000 < x[0] < 330000 and 220000 < y[0] < 250000
+
+
 @pytest.mark.parametrize("epsg,lonr,latr", [
     (6933, (-179, 179), (-84, 84)), (3035, (-10, 30), (35, 70)),
     (5070, (-125, -65), (23, 50)), (3031, (-179, 179), (-89, -60)),
     (3413, (-179, 179), (60, 89)),
     (2154, (-5, 10), (41, 51)), (3978, (-140, -55), (42, 83)),
-    (3577, (113, 154), (-44, -10)), (2193, (167, 178), (-47, -34))])
+    (3577, (113, 154), (-44, -10)), (2193, (167, 178), (-47, -34)),
+    # round 5: datum-shifted national grids (Helmert + TM on Airy)
+    (27700, (-6.5, 1.7), (50.0, 60.5)), (29903, (-10.3, -5.6), (51.5, 55.3))])
 def test_crs_registry_roundtrip(epsg, lonr, latr):
     rng = np.random.default_rng(1)
     lons = rng.uniform(*lonr, 300)

@@ -130,6 +130,30 @@ def test_warp_reproject_4326_to_lambert93(spark):
     assert -15000 < gt[5] < -8000
 
 
+def test_warp_reproject_4326_to_osgb(spark):
+    """Round-5 datum-shifted family (EPSG:27700, Helmert + TM on Airy)
+    through the full warp path: a gradient over southern England keeps
+    its value set and lands at metric grid scale (~69.5 km per degree of
+    longitude at 51.5N)."""
+    y, x = np.mgrid[0:8, 0:8]
+    a = (20 + 10 * x + y).astype(np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("uk", a, "raw8",
+                          gt=[-1.0, 0.125, 0, 52.0, 0, -0.125],
+                          srs="EPSG:4326")])
+    tiles = WP.warp(spark, images, ["-t_srs", "EPSG:27700", "-ts", "8", "8"],
+                    block=256)
+    t = tiles.first()
+    got = np.frombuffer(t.payload, np.uint8).reshape(8, 8)
+    assert t.srs == "EPSG:27700"
+    assert set(np.unique(got)) <= set(np.unique(a))
+    assert got[0, 0] != got[-1, -1]
+    gt = list(t.gt)
+    # 1-deg-lon source at 51.5N ~ 69.5 km east-west, /8 px
+    assert 7000 < gt[1] < 11000
+    assert -16000 < gt[5] < -9000
+
+
 def _mosaic_array(tiles, tw, th, dtype=np.uint8):
     out = np.zeros((th, tw), dtype=dtype)
     for t in tiles:
