@@ -1767,6 +1767,50 @@ FROM raw GROUP BY cfg, value
 """
 
 
+def q_audio_wav(spark, sf_dir):
+    """REAL WAV/PCM audio decode (round 5, functions/wav.py): a 440 Hz
+    sine (1 s at 8 kHz, amplitude 0.5) encoded to 16-bit PCM WAV decodes
+    through the Spark path; per-clip features. The oracle RECOMPUTES the
+    features relationally — the int16 quantization formula
+    round(0.5·sin(2π·440·i/8000)·32767)/32768 is shared verbatim, so
+    rate/length/duration/RMS/peak/zero-crossings all derive in SQL."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.functions import wav as WAV
+    from godal_spark.operators import multimodal as MM
+
+    t = np.arange(8000) / 8000.0
+    payload = WAV.encode_wav(0.5 * np.sin(2 * np.pi * 440.0 * t), 8000)
+    aud = spark.createDataFrame(
+        pd.DataFrame({"audio_id": ["sine"], "bytes": [payload]}))
+    s = MM.audio_summary(aud)
+    return s.select(
+        "audio_id", "sample_rate",
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        F.round("peak", 4).alias("peak"),
+        F.round(F.col("zcr") * (F.col("n_samples") - 1))
+         .cast("bigint").alias("zc"))
+
+
+SQL_AUDIO_WAV = """
+WITH s AS (SELECT unnest(range(0, 8000)) AS i),
+q AS (SELECT i, round(0.5 * sin(2 * pi() * 440 * i / 8000.0) * 32767)
+              / 32768.0 AS v FROM s),
+z AS (SELECT count(*) AS zc FROM (
+        SELECT (v < 0) AS neg,
+               lag(v < 0) OVER (ORDER BY i) AS prev_neg FROM q)
+      WHERE prev_neg IS NOT NULL AND neg != prev_neg)
+SELECT 'sine' AS audio_id, cast(8000 AS int) AS sample_rate,
+       cast(8000 AS bigint) AS n_samples,
+       cast(1.0 AS double) AS duration_s,
+       round(sqrt(avg(v * v)), 4) AS rms,
+       round(max(abs(v)), 4) AS peak,
+       (SELECT zc FROM z) AS zc
+FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1822,6 +1866,7 @@ QUERIES = {
     "grid_linear": q_grid_linear,
     "fillnodata": q_fillnodata,
     "nearblack": q_nearblack,
+    "audio_wav": q_audio_wav,
 }
 
 ORACLES = {
@@ -1870,4 +1915,5 @@ ORACLES = {
     "grid_linear": SQL_GRID_LINEAR,
     "fillnodata": SQL_FILLNODATA,
     "nearblack": SQL_NEARBLACK,
+    "audio_wav": SQL_AUDIO_WAV,
 }

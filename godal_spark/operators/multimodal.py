@@ -1,17 +1,22 @@
 """Multimodal-column operators: opaque binary payloads + typed metadata.
 
-Image payloads are REAL for raw8/png (godal_spark.functions.codecs);
-audio/video decode is STUBBED (no codec libraries in this environment)
-behind deterministic fakes so the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested.
+Image payloads are REAL for raw8/png/jpeg (godal_spark.functions.
+codecs); audio WAV/PCM decode is REAL since round 5 (functions/wav.py —
+stdlib RIFF parser, int 8/16/24/32 + IEEE-float PCM); video and
+COMPRESSED audio decode are STUBBED (no codec libraries in this
+environment) behind deterministic fakes so the Spark-side plumbing —
+schema, partitioning, UDF signature, Arrow batch shape — is real and
+tested.
 
   * decode_image_features — decode → (mean/std/shape/phash64) features
   * resize_images         — decode → resample → re-encode (batch)
   * frame_sample_video    — STUB decode: deterministic fake frames from
     the payload hash; emits one row per sampled frame (the real operator
     plugs a decoder into `_fake_video_frames` only)
-  * audio_features        — STUB decode: deterministic fake PCM; window
-    RMS features (schema/batching identical to a real implementation)
+  * audio_features        — per-window RMS; REAL decode for WAV,
+    error-first for compressed (decoder='fake' opts into the stub)
+  * audio_summary         — per-clip rate/duration/RMS/peak/ZCR over
+    the real WAV decoder
 """
 
 from __future__ import annotations
@@ -116,20 +121,39 @@ def frame_sample_video(videos: DataFrame, every_n: int = 10,
 
 
 def _fake_pcm(payload: bytes, n: int = 16000) -> np.ndarray:
-    """STUB audio decoder (same contract note as _fake_video_frames)."""
+    """STUB decoder for COMPRESSED audio only (same contract note as
+    _fake_video_frames; WAV/PCM decodes for real — functions/wav.py)."""
     seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
     rng = np.random.default_rng(seed)
     return rng.standard_normal(n).astype(np.float32)
 
 
-def audio_features(audio: DataFrame, frame_len: int = 1024) -> DataFrame:
-    """audio(audio_id, bytes) → per-window RMS rows (stub decode)."""
+def _decode_pcm(payload: bytes, decoder: str) -> np.ndarray:
+    """Dispatch: RIFF/WAVE decodes for real (round 5 — stdlib RIFF
+    parser, int 8/16/24/32 + float PCM); anything else is compressed and
+    error-first unless the caller explicitly opts into the fake."""
+    from godal_spark.functions import wav as WAV
+
+    if decoder == "fake":
+        return _fake_pcm(payload)
+    if WAV.is_wav(payload):
+        return WAV.decode_wav(payload)[0]
+    raise NotImplementedError(
+        "audio decode: non-WAV payload — compressed audio needs an "
+        "external codec library (pass decoder='fake' for plumbing tests)")
+
+
+def audio_features(audio: DataFrame, frame_len: int = 1024,
+                   decoder: str = "auto") -> DataFrame:
+    """audio(audio_id, bytes) → per-window RMS rows. WAV/PCM payloads
+    decode for REAL (functions/wav.py); compressed audio is error-first
+    (decoder='fake' keeps the deterministic stub for plumbing tests)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"audio_id": [], "win": [], "rms": []}
             for r in pdf.itertuples(index=False):
-                pcm = _fake_pcm(bytes(r.bytes))
+                pcm = _decode_pcm(bytes(r.bytes), decoder)
                 nwin = len(pcm) // frame_len
                 w = pcm[:nwin * frame_len].reshape(nwin, frame_len)
                 rms = np.sqrt((w * w).mean(axis=1))
@@ -140,3 +164,35 @@ def audio_features(audio: DataFrame, frame_len: int = 1024) -> DataFrame:
             yield pd.DataFrame(out)
 
     return audio.mapInPandas(gen, schema="audio_id string, win int, rms double")
+
+
+def audio_summary(audio: DataFrame, decoder: str = "auto") -> DataFrame:
+    """Per-clip audio features over REAL WAV decode: sample rate,
+    length, duration, RMS, peak, zero-crossing rate. One Arrow-batched
+    stage; clips stay distributed (the 100 TB shape: many small clips
+    per partition, features tiny)."""
+    from godal_spark.functions import wav as WAV
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "sample_rate": [], "n_samples": [],
+                   "duration_s": [], "rms": [], "peak": [], "zcr": []}
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.bytes)
+                if decoder != "fake" and WAV.is_wav(payload):
+                    pcm, rate = WAV.decode_wav(payload)
+                else:
+                    pcm, rate = _decode_pcm(payload, decoder), 16000
+                out["audio_id"].append(r.audio_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(pcm))
+                out["duration_s"].append(len(pcm) / rate if rate else 0.0)
+                out["rms"].append(float(np.sqrt(np.mean(pcm * pcm))) if len(pcm) else 0.0)
+                out["peak"].append(float(np.abs(pcm).max()) if len(pcm) else 0.0)
+                zc = int(np.count_nonzero(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+                out["zcr"].append(zc / max(len(pcm) - 1, 1))
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(
+        gen, schema="audio_id string, sample_rate int, n_samples long, "
+                    "duration_s double, rms double, peak double, zcr double")

@@ -204,8 +204,68 @@ def test_multimodal_stubs_deterministic(spark):
     assert len(f1) == 5
     aud = spark.createDataFrame(pd.DataFrame(
         {"audio_id": ["a1"], "bytes": [b"pcm-payload"]}))
-    wins = MM.audio_features(aud).collect()
+    # non-WAV payloads are compressed -> error-first unless the caller
+    # opts into the plumbing stub
+    with pytest.raises(Exception, match="codec library"):
+        MM.audio_features(aud).collect()
+    wins = MM.audio_features(aud, decoder="fake").collect()
     assert len(wins) == 15 and all(0.8 < r.rms < 1.2 for r in wins)
+
+
+def test_audio_wav_real_decode(spark):
+    """Round 5: WAV/PCM decodes for REAL. Fixture = 440 Hz sine, 1 s at
+    8 kHz, amplitude 0.5, written by the stdlib-independent encoder and
+    cross-checked against Python's own `wave` writer; pinned analytic
+    features: RMS = 0.5/sqrt(2), peak = 0.5, 880 zero crossings/s."""
+    import io
+    import wave as pywave
+
+    from godal_spark.functions import wav as WAV
+
+    t = np.arange(8000) / 8000.0
+    pcm = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    payload = WAV.encode_wav(pcm, 8000)
+    # cross-validate our RIFF parser against the stdlib wave writer
+    buf = io.BytesIO()
+    with pywave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes((np.clip(pcm, -1, 1) * 32767.0)
+                       .round().astype("<i2").tobytes())
+    ext_pcm, ext_rate = WAV.decode_wav(buf.getvalue())
+    own_pcm, own_rate = WAV.decode_wav(payload)
+    assert ext_rate == own_rate == 8000
+    assert np.array_equal(ext_pcm, own_pcm)
+
+    aud = spark.createDataFrame(pd.DataFrame(
+        {"audio_id": ["sine"], "bytes": [payload]}))
+    s = MM.audio_summary(aud).first()
+    assert s.sample_rate == 8000 and s.n_samples == 8000
+    assert s.duration_s == pytest.approx(1.0)
+    assert s.rms == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)
+    assert s.peak == pytest.approx(0.5, abs=1e-3)
+    assert s.zcr * 7999 == pytest.approx(880, abs=2)
+    # per-window RMS of a steady sine is flat at the clip RMS
+    wins = MM.audio_features(aud, frame_len=1000).collect()
+    assert len(wins) == 8
+    assert all(r.rms == pytest.approx(0.5 / np.sqrt(2), abs=2e-3) for r in wins)
+    # multi-channel + float + 24-bit paths
+    stereo = np.stack([pcm, -pcm], axis=1).ravel()
+    data16 = (np.clip(stereo, -1, 1) * 32767.0).round().astype("<i2").tobytes()
+    import struct as st
+    fmt = st.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data16)) + data16)
+    st_payload = b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+    mono, _ = WAV.decode_wav(st_payload)  # L/R cancel -> silence
+    assert np.abs(mono).max() < 1e-4
+    f32 = pcm.astype("<f4").tobytes()
+    fmt = st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(f32)) + f32)
+    fpcm, _ = WAV.decode_wav(b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    assert np.allclose(fpcm, pcm, atol=1e-7)
 
 
 def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
