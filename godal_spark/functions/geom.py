@@ -424,8 +424,9 @@ def from_geojson(s: str) -> Geom:
 
 
 # ---------------------------------------------------------------------------
-# GML 2 (coordinates as "x,y x,y" — the dialect OGR's ExportToGML emits;
-# reference round-trip goldens godal_test.go:3078-3104)
+# GML io — both dialects the reference pins (godal_test.go:3078-3104):
+# GML2 ("x,y x,y" coordinates) and GML3 (posList/pos, exterior/interior,
+# OGC_URN srsName with geographic lat/lon axis order); import since r5
 # ---------------------------------------------------------------------------
 
 def _gml_coords(arr) -> str:
@@ -438,51 +439,156 @@ def _numfmt(v: float) -> str:
     return str(int(v)) if v == int(v) else repr(v)
 
 
-def to_gml(g: Geom) -> str:
+# EPSG geographic codes whose OGC URN axis order is lat/lon (the GML3
+# SRSNAME_FORMAT=OGC_URN axis swap in the reference golden,
+# godal_test.go:3095-3099)
+_GML_LATLON_URN = {4326, 4269, 4258}
+
+
+def _gml_poslist(arr, swap: bool) -> str:
+    pts = np.asarray(arr).reshape(-1, 2)
+    if swap:
+        pts = pts[:, ::-1]
+    return " ".join(f"{_numfmt(p[0])} {_numfmt(p[1])}" for p in pts)
+
+
+def _gml_urn_swaps(srs_name: str | None) -> bool:
+    if not srs_name or not srs_name.startswith("urn:"):
+        return False
+    try:
+        return int(srs_name.rsplit(":", 1)[1]) in _GML_LATLON_URN
+    except ValueError:
+        return False
+
+
+def to_gml(g: Geom, srs_name: str | None = None, fmt: str = "gml2",
+           srsname_format: str = "SHORT") -> str:
+    """GML export, both dialects the reference pins
+    (godal_test.go:3085-3104):
+      * fmt='gml2' — <gml:coordinates> 'x,y x,y', outer/innerBoundaryIs;
+      * fmt='gml3' — <gml:posList>/<gml:pos>, exterior/interior;
+        srsname_format 'OGC_URN' emits urn:ogc:def:crs:EPSG::<code> and
+        swaps to the authority's lat/lon axis order for geographic EPSG
+        codes (the golden's '0 0 0 2 2 2 2 0 0 0').
+    srs_name (e.g. 'EPSG:4326') lands as srsName= on the outer element.
+    """
+    fmt = fmt.lower()
+    if fmt not in ("gml2", "gml3"):
+        raise ValueError(f"GML format {fmt!r}")
+    attr = ""
+    swap = False
+    if srs_name is not None:
+        name = srs_name
+        if fmt == "gml3":
+            sf = srsname_format.upper()
+            if sf == "OGC_URN":
+                code = srs_name.split(":")[-1]
+                name = f"urn:ogc:def:crs:EPSG::{code}"
+                swap = _gml_urn_swaps(name)
+            elif sf != "SHORT":
+                raise ValueError(f"GML SRSNAME_FORMAT {srsname_format!r}")
+        attr = f' srsName="{name}"'
     t = g.type
+
+    def ring2(r, kind):
+        return (f"<gml:{kind}><gml:LinearRing><gml:coordinates>"
+                f"{_gml_coords(r)}</gml:coordinates></gml:LinearRing></gml:{kind}>")
+
+    def ring3(r, kind):
+        return (f"<gml:{kind}><gml:LinearRing><gml:posList>"
+                f"{_gml_poslist(r, swap)}</gml:posList></gml:LinearRing></gml:{kind}>")
+
+    if fmt == "gml2":
+        if t == "Point":
+            return f"<gml:Point{attr}><gml:coordinates>{_gml_coords([g.coords])}</gml:coordinates></gml:Point>"
+        if t == "LineString":
+            return f"<gml:LineString{attr}><gml:coordinates>{_gml_coords(g.coords)}</gml:coordinates></gml:LineString>"
+        if t == "Polygon":
+            parts = [ring2(g.coords[0], "outerBoundaryIs")]
+            parts += [ring2(h, "innerBoundaryIs") for h in g.coords[1:]]
+            return f"<gml:Polygon{attr}>" + "".join(parts) + "</gml:Polygon>"
+        if t == "MultiPolygon":
+            inner = "".join(
+                f"<gml:polygonMember>{to_gml(Geom('Polygon', p))}</gml:polygonMember>"
+                for p in g.coords)
+            return f"<gml:MultiPolygon{attr}>{inner}</gml:MultiPolygon>"
+        raise NotImplementedError(f"GML export for {t}")
+    # gml3
     if t == "Point":
-        return f"<gml:Point><gml:coordinates>{_gml_coords([g.coords])}</gml:coordinates></gml:Point>"
+        return f"<gml:Point{attr}><gml:pos>{_gml_poslist([g.coords], swap)}</gml:pos></gml:Point>"
     if t == "LineString":
-        return f"<gml:LineString><gml:coordinates>{_gml_coords(g.coords)}</gml:coordinates></gml:LineString>"
+        return f"<gml:LineString{attr}><gml:posList>{_gml_poslist(g.coords, swap)}</gml:posList></gml:LineString>"
     if t == "Polygon":
-        parts = [f"<gml:outerBoundaryIs><gml:LinearRing><gml:coordinates>"
-                 f"{_gml_coords(g.coords[0])}</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs>"]
-        for hole in g.coords[1:]:
-            parts.append(f"<gml:innerBoundaryIs><gml:LinearRing><gml:coordinates>"
-                         f"{_gml_coords(hole)}</gml:coordinates></gml:LinearRing></gml:innerBoundaryIs>")
-        return "<gml:Polygon>" + "".join(parts) + "</gml:Polygon>"
+        parts = [ring3(g.coords[0], "exterior")]
+        parts += [ring3(h, "interior") for h in g.coords[1:]]
+        return f"<gml:Polygon{attr}>" + "".join(parts) + "</gml:Polygon>"
     if t == "MultiPolygon":
+        # rings built inline (not via a nested to_gml call) so the URN
+        # axis swap from the OUTER srsName applies to every member
         inner = "".join(
-            f"<gml:polygonMember>{to_gml(Geom('Polygon', p))}</gml:polygonMember>"
-            for p in g.coords)
-        return f"<gml:MultiPolygon>{inner}</gml:MultiPolygon>"
+            "<gml:surfaceMember><gml:Polygon>"
+            + "".join([ring3(p[0], "exterior")]
+                      + [ring3(h, "interior") for h in p[1:]])
+            + "</gml:Polygon></gml:surfaceMember>" for p in g.coords)
+        return f"<gml:MultiSurface{attr}>{inner}</gml:MultiSurface>"
     raise NotImplementedError(f"GML export for {t}")
 
 
 def from_gml(s: str) -> Geom:
+    """GML import (round 5: full parser for both exported dialects plus
+    attribute-carrying elements). Handles gml:coordinates ('x,y x,y'),
+    gml:posList / gml:pos (flat 'x y x y'), outer/innerBoundaryIs and
+    exterior/interior rings, MultiPolygon / MultiSurface, MultiPoint and
+    MultiLineString, and undoes the OGC-URN lat/lon axis swap when
+    srsName is a geographic EPSG urn."""
     import re
+
+    s = s.strip()
+    s = re.sub(r"^<\?xml[^?]*\?>\s*", "", s)
+    head = re.match(r"<gml:(\w+)([^>]*)>", s)
+    if not head:
+        raise ValueError("unrecognized GML")
+    tag = head.group(1)
+    srs = re.search(r'srsName="([^"]*)"', head.group(2) or "")
+    swap = _gml_urn_swaps(srs.group(1) if srs else None)
 
     def coords_in(txt: str) -> np.ndarray:
         m = re.search(r"<gml:coordinates>([^<]*)</gml:coordinates>", txt)
-        pts = [tuple(map(float, pair.split(","))) for pair in m.group(1).split()]
-        return np.array(pts, dtype=np.float64)
+        if m:
+            pts = np.array([tuple(map(float, pair.split(",")))
+                            for pair in m.group(1).split()], dtype=np.float64)
+        else:
+            m = re.search(r"<gml:(?:posList|pos)[^>]*>([^<]*)</gml:(?:posList|pos)>", txt)
+            if not m:
+                raise ValueError("GML element without coordinates/posList")
+            flat = np.array([float(v) for v in m.group(1).split()],
+                            dtype=np.float64)
+            pts = flat.reshape(-1, 2)
+        return pts[:, ::-1] if swap else pts
 
-    s = s.strip()
-    if s.startswith("<gml:Point>"):
+    def rings_in(txt: str) -> list:
+        return [_close(coords_in(m)) for m in re.findall(
+            r"<gml:LinearRing>.*?</gml:LinearRing>", txt, re.S)]
+
+    if tag == "Point":
         p = coords_in(s)[0]
         return point(p[0], p[1])
-    if s.startswith("<gml:LineString>"):
+    if tag == "LineString":
         return Geom("LineString", coords_in(s))
-    if s.startswith("<gml:Polygon>"):
-        import re as _re
-        rings = [coords_in(m) for m in _re.findall(
-            r"<gml:LinearRing>.*?</gml:LinearRing>", s, _re.S)]
-        return Geom("Polygon", [_close(r) for r in rings])
-    if s.startswith("<gml:MultiPolygon>"):
-        import re as _re
-        polys = [from_gml(m).coords for m in _re.findall(
-            r"<gml:Polygon>.*?</gml:Polygon>", s, _re.S)]
+    if tag == "Polygon":
+        return Geom("Polygon", rings_in(s))
+    if tag in ("MultiPolygon", "MultiSurface"):
+        polys = [rings_in(m) for m in re.findall(
+            r"<gml:Polygon[^>]*>.*?</gml:Polygon>", s, re.S)]
         return Geom("MultiPolygon", polys)
+    if tag == "MultiPoint":
+        pts = np.vstack([coords_in(m) for m in re.findall(
+            r"<gml:Point[^>]*>.*?</gml:Point>", s, re.S)])
+        return Geom("MultiPoint", pts)
+    if tag in ("MultiLineString", "MultiCurve"):
+        lines = [coords_in(m) for m in re.findall(
+            r"<gml:LineString[^>]*>.*?</gml:LineString>", s, re.S)]
+        return Geom("MultiLineString", lines)
     raise ValueError("unrecognized GML")
 
 

@@ -358,6 +358,50 @@ def test_gml_roundtrips():
     assert G.from_gml(G.to_gml(hole)).area() == pytest.approx(15.0)
 
 
+def test_gml_reference_goldens_exact():
+    """The two EXACT GML strings the reference pins
+    (godal_test.go:3095-3099): GML2 with srsName, and GML3 with
+    SRSNAME_FORMAT=OGC_URN (urn srsName + lat/lon axis order); plus the
+    error on an unknown SRSNAME_FORMAT (godal_test.go:3101-3103)."""
+    g = G.from_wkt("POLYGON ((0 0,2 0,2 2,0 2,0 0))")
+    assert G.to_gml(g, srs_name="EPSG:4326") == (
+        '<gml:Polygon srsName="EPSG:4326"><gml:outerBoundaryIs>'
+        '<gml:LinearRing><gml:coordinates>0,0 2,0 2,2 0,2 0,0'
+        '</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs>'
+        '</gml:Polygon>')
+    gml3 = G.to_gml(g, srs_name="EPSG:4326", fmt="gml3",
+                    srsname_format="OGC_URN")
+    assert gml3 == (
+        '<gml:Polygon srsName="urn:ogc:def:crs:EPSG::4326"><gml:exterior>'
+        '<gml:LinearRing><gml:posList>0 0 0 2 2 2 2 0 0 0</gml:posList>'
+        '</gml:LinearRing></gml:exterior></gml:Polygon>')
+    with pytest.raises(ValueError, match="SRSNAME_FORMAT"):
+        G.to_gml(g, srs_name="EPSG:4326", fmt="gml3", srsname_format="fake")
+    # import round-trips BOTH dialects back to the source coordinates
+    # (the urn import undoes the axis swap)
+    for s in (G.to_gml(g, srs_name="EPSG:4326"), gml3,
+              G.to_gml(g, fmt="gml3")):
+        back = G.from_gml(s)
+        assert back.type == "Polygon"
+        assert np.allclose(back.coords[0], g.coords[0])
+    # GML3 multipolygon (MultiSurface) + multilinestring + multipoint
+    mp = G.multipolygon([G.box(0, 0, 1, 1), G.box(2, 2, 3, 3)])
+    back = G.from_gml(G.to_gml(mp, srs_name="EPSG:4326", fmt="gml3",
+                               srsname_format="OGC_URN"))
+    assert back.type == "MultiPolygon" and back.area() == pytest.approx(2.0)
+    mls = ('<gml:MultiLineString><gml:lineStringMember>'
+           '<gml:LineString><gml:coordinates>0,0 1,1</gml:coordinates>'
+           '</gml:LineString></gml:lineStringMember><gml:lineStringMember>'
+           '<gml:LineString><gml:posList>2 2 3 3</gml:posList>'
+           '</gml:LineString></gml:lineStringMember></gml:MultiLineString>')
+    got = G.from_gml(mls)
+    assert got.type == "MultiLineString" and len(got.coords) == 2
+    mpt = ('<gml:MultiPoint><gml:pointMember><gml:Point>'
+           '<gml:pos>5 6</gml:pos></gml:Point></gml:pointMember>'
+           '</gml:MultiPoint>')
+    assert G.from_gml(mpt).type == "MultiPoint"
+
+
 def test_morton_roundtrip():
     from godal_spark.functions.cellindex import morton, morton_decode
     rng = np.random.default_rng(7)
