@@ -63,7 +63,10 @@ def _bench_tables(spark, n_images: int, n_footprints: int) -> tuple[str, str]:
     metadata join arm never deserializes `bytes`."""
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), f"godal_bench2_{n_images}_{n_footprints}")
+    meta_only = bool(os.environ.get("BENCH_META_ONLY"))
+    tag = "meta_" if meta_only else ""
+    root = os.path.join(tempfile.gettempdir(),
+                        f"godal_bench2_{tag}{n_images}_{n_footprints}")
     img_path = os.path.join(root, "images")
     fp_path = os.path.join(root, "footprints")
     if not os.path.exists(os.path.join(img_path, "_SUCCESS")):
@@ -72,7 +75,8 @@ def _bench_tables(spark, n_images: int, n_footprints: int) -> tuple[str, str]:
 
         # 128 output files: parquet row groups are the split atoms, so
         # file count bounds scan parallelism for this small-file table
-        datagen.synth_images(spark, n_images, max_dim=96, partitions=128) \
+        datagen.synth_images(spark, n_images, max_dim=96, partitions=128,
+                             meta_only=meta_only) \
             .write.mode("overwrite").parquet(img_path)
         pip_op.with_bbox(datagen.synth_footprints(spark, n_footprints)) \
             .write.mode("overwrite").parquet(fp_path)
@@ -101,10 +105,12 @@ def headline_pipeline(spark, n_images: int, n_footprints: int) -> dict:
         .write.format("noop").mode("overwrite").save()
     # warm the decode path (codec LUTs + codegen) — one small untimed
     # pass; steady-state decode is the metric (measured 12k cold vs 26k
-    # warm on identical input, round 3)
-    tiling.explode_tiles(
-        spark.read.parquet(img_path).limit(CPUS * 16).repartition(CPUS),
-        bw=32, bh=32).write.format("noop").mode("overwrite").save()
+    # warm on identical input, round 3). Meta-only tables have no pixels
+    # to decode (and the decode metric is skipped below).
+    if not os.environ.get("BENCH_META_ONLY"):
+        tiling.explode_tiles(
+            spark.read.parquet(img_path).limit(CPUS * 16).repartition(CPUS),
+            bw=32, bh=32).write.format("noop").mode("overwrite").save()
 
     # --- metric 1: tile-assignment + PIP join (column-pruned scan: no
     # bytes). Best-of-3: the shared host's foreign load swings a single
@@ -133,7 +139,7 @@ def headline_pipeline(spark, n_images: int, n_footprints: int) -> dict:
             join_wall = min(join_wall, time.time() - t0)
 
     # --- metric 2: decode → tile payload explode (the Arrow-heavy stage)
-    if os.environ.get("BENCH_SKIP_DECODE"):
+    if os.environ.get("BENCH_SKIP_DECODE") or os.environ.get("BENCH_META_ONLY"):
         decode_wall = float("nan")
     else:
         decode_wall = float("inf")

@@ -1812,6 +1812,215 @@ FROM q
 
 
 # ---------------------------------------------------------------------------
+# round-5 widening: BuildVRT / scale-offset / geometry containers /
+# color-relief / web-mercator transform — §2 rows that rested on golden
+# pytest only get driver-gate entries too.
+# ---------------------------------------------------------------------------
+
+def q_build_vrt(spark, sf_dir):
+    """BuildVRT (godal.go:3962-3995): union of two tile sets over the
+    same grid, later source wins per (band, level, block) via row_number
+    — no pixel copy. Source A = 8x8 of 10s (4 blocks at bw=4), source
+    B = 4x4 of 20s (one block): the collision block reads 20, the other
+    three read A. Per-block mean + count."""
+    _ensure_workers_can_import(spark)
+    from godal_spark import datagen, dataset as DS
+    from godal_spark.operators import tiling as TL
+
+    a = datagen.images_df(spark, [datagen.image_row(
+        "vrt", np.full((8, 8), 10, np.uint8), "raw8")])
+    b = datagen.images_df(spark, [datagen.image_row(
+        "vrt", np.full((4, 4), 20, np.uint8), "raw8")])
+    vrt = DS.build_vrt([TL.explode_tiles(a, bw=4, bh=4),
+                        TL.explode_tiles(b, bw=4, bh=4)])
+
+    def agg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"block_x": [], "block_y": [], "value": [], "n_pixels": []}
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.payload, np.dtype(r.dtype))
+                out["block_x"].append(r.block_x)
+                out["block_y"].append(r.block_y)
+                out["value"].append(float(arr.mean()))
+                out["n_pixels"].append(len(arr))
+            yield pd.DataFrame(out)
+
+    return vrt.mapInPandas(
+        agg, schema="block_x int, block_y int, value double, n_pixels bigint")
+
+
+SQL_BUILD_VRT = """
+SELECT * FROM (VALUES
+  (0, 0, cast(20.0 AS double), cast(16 AS bigint)),
+  (1, 0, cast(10.0 AS double), cast(16 AS bigint)),
+  (0, 1, cast(10.0 AS double), cast(16 AS bigint)),
+  (1, 1, cast(10.0 AS double), cast(16 AS bigint)))
+  t(block_x, block_y, value, n_pixels)
+"""
+
+
+def q_scale_offset(spark, sf_dir):
+    """Band scale/offset unscaled read (godal.go:216-232,
+    dataset.py:123-130 convention: physical = raw * scale + offset),
+    applied DISTRIBUTED over the 4x4 ramp with scale 0.5 / offset 3.
+    The oracle recomputes the ramp formula (y*4+x) relationally."""
+    _ensure_workers_can_import(spark)
+    from godal_spark import datagen
+    from godal_spark.operators import fill as FL
+
+    imgs = datagen.images_df(spark, [datagen.image_row(
+        "so", datagen.pixels_ramp(4, 4), "raw8")])
+    out = FL.image_kernel_pixels(imgs, lambda a: a * 0.5 + 3.0)
+    return out.select("y", "x", "value")
+
+
+SQL_SCALE_OFFSET = """
+SELECT cast(i // 4 AS int) AS y, cast(i % 4 AS int) AS x,
+       i * 0.5 + 3.0 AS value
+FROM (SELECT unnest(range(0, 16)) AS i)
+"""
+
+
+def q_geom_containers(spark, sf_dir):
+    """Geometry container surface (godal_test.go:3106-3151): GeometryCount
+    / SubGeometry / ForceToPolygon / ForceToMultiPolygon / AddGeometry +
+    WKT io, run inside the Arrow-batched stage over a WKT row. Results
+    as (op, result-string) rows; the oracle is the reference golden
+    table verbatim."""
+    _ensure_workers_can_import(spark)
+    mp_wkt = ("MULTIPOLYGON(((1 1,5 1,5 5,1 5,1 1),(2 2,2 3,3 3,3 2,2 2)),"
+              "((6 3,9 2,9 4,6 3)))")
+    src = spark.createDataFrame(pd.DataFrame({"wkt": [mp_wkt]}))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mp = G.from_wkt(r.wkt)
+                sub0 = G.sub_geometry(mp, 0)
+                sub1 = G.sub_geometry(mp, 1)
+                poly = G.force_to_polygon(mp)
+                m1 = G.from_wkt("MULTIPOLYGON (((1 1,5 1,5 5,1 5,1 1)))")
+                tri = G.from_wkt("POLYGON((6 3,9 2,9 4,6 3))")
+                m2 = G.add_geometry(m1, tri)
+                rows += [
+                    ("area", str(mp.area())),
+                    ("count", str(G.geometry_count(mp))),
+                    ("sub0_type", sub0.type),
+                    ("sub0_area", str(sub0.area())),
+                    ("sub1_area", str(sub1.area())),
+                    ("force_poly_rings", str(len(poly.coords))),
+                    ("force_poly_valid", str(poly.is_valid)),
+                    ("force_multi_count", str(G.geometry_count(
+                        G.force_to_multipolygon(sub1)))),
+                    ("add_count", str(G.geometry_count(m2))),
+                    ("add_sub1_wkt", G.to_wkt(G.sub_geometry(m2, 1))),
+                ]
+            yield pd.DataFrame(rows, columns=["op", "result"])
+
+    return src.mapInPandas(gen, schema="op string, result string")
+
+
+# reference golden table (godal_test.go:3106-3151): areas 18/15/3, count
+# 2, forced polygon has 3 rings and is invalid (outside ring), added
+# sub-geometry round-trips to OGR-style WKT
+SQL_GEOM_CONTAINERS = """
+SELECT * FROM (VALUES
+  ('area', '18.0'), ('count', '2'),
+  ('sub0_type', 'Polygon'), ('sub0_area', '15.0'), ('sub1_area', '3.0'),
+  ('force_poly_rings', '3'), ('force_poly_valid', 'False'),
+  ('force_multi_count', '1'), ('add_count', '2'),
+  ('add_sub1_wkt', 'POLYGON ((6 3,9 2,9 4,6 3))'))
+  t(op, result)
+"""
+
+
+def q_color_relief(spark, sf_dir):
+    """gdaldem color-relief (godal.go:4099-4127 pass-through), both
+    interpolated and stepped, over the golden elevation row
+    [0,50,100,150,-10] with ramp (0→black, 100→(200,100,50)). Rides the
+    images table biased +10 into uint8; full (mode, x, r, g, b) table
+    from the reference-golden derivation (linear mixing + clamping)."""
+    _ensure_workers_can_import(spark)
+    from godal_spark import datagen
+    from godal_spark.operators import fill as FL
+
+    z = np.array([[0.0, 50.0, 100.0, 150.0, -10.0]])
+    imgs = datagen.images_df(spark, [datagen.image_row(
+        "cr", (z + 10).astype(np.uint8), "raw8")])
+    ramp = [(0.0, 0, 0, 0), (100.0, 200, 100, 50)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from godal_spark.functions import codecs
+        for pdf in batches:
+            out = {"mode": [], "x": [], "r": [], "g": [], "b": []}
+            for row in pdf.itertuples(index=False):
+                arr = codecs.decode(row.bytes, row.fmt, row.w, row.h)
+                zz = arr.astype(np.float64) - 10.0
+                for mode, interp in (("interp", True), ("stepped", False)):
+                    rgb = FL.dem_color_relief(zz, ramp, interpolate=interp)
+                    for x in range(rgb.shape[1]):
+                        out["mode"].append(mode)
+                        out["x"].append(x)
+                        out["r"].append(int(rgb[0, x, 0]))
+                        out["g"].append(int(rgb[0, x, 1]))
+                        out["b"].append(int(rgb[0, x, 2]))
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(
+        gen, schema="mode string, x int, r int, g int, b int")
+
+
+# hand derivation: interp mixes linearly (50 → half of (200,100,50) =
+# (100,50,25)), above-ramp clamps to the last stop, below-ramp to the
+# first; stepped takes the nearest stop BELOW (50 → stop 0)
+SQL_COLOR_RELIEF = """
+SELECT * FROM (VALUES
+  ('interp', 0, 0, 0, 0),   ('interp', 1, 100, 50, 25),
+  ('interp', 2, 200, 100, 50), ('interp', 3, 200, 100, 50),
+  ('interp', 4, 0, 0, 0),
+  ('stepped', 0, 0, 0, 0),  ('stepped', 1, 0, 0, 0),
+  ('stepped', 2, 200, 100, 50), ('stepped', 3, 200, 100, 50),
+  ('stepped', 4, 0, 0, 0))
+  t(mode, x, r, g, b)
+"""
+
+
+def q_crs_3857(spark, sf_dir):
+    """TransformEx batch path (godal.go:2151-2233) against a TRUE SQL
+    oracle: synthetic customer points 4326 → 3857; spherical Mercator is
+    closed-form so DuckDB recomputes it exactly (shared derivation
+    formulas; 4 dp both sides)."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.functions import crs as CRS
+
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter("c_custkey % 30 = 0")
+            .selectExpr("c_custkey", f"{CUST_LON} AS lon", f"{CUST_LAT} AS lat"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x, y, ok = CRS.transform_points(
+                pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+                "EPSG:4326", "EPSG:3857")
+            yield pd.DataFrame({"c_custkey": pdf["c_custkey"],
+                                "mx": np.round(x, 4), "my": np.round(y, 4),
+                                "ok": ok})
+
+    return cust.mapInPandas(
+        gen, schema="c_custkey bigint, mx double, my double, ok boolean")
+
+
+SQL_CRS_3857 = f"""
+SELECT c_custkey,
+       round(({CUST_LON}) * pi() / 180.0 * 6378137.0, 4) AS mx,
+       round(6378137.0 * ln(tan(pi() / 4.0 + ({CUST_LAT}) * pi() / 360.0)), 4) AS my,
+       true AS ok
+FROM customer WHERE c_custkey % 30 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1867,6 +2076,11 @@ QUERIES = {
     "fillnodata": q_fillnodata,
     "nearblack": q_nearblack,
     "audio_wav": q_audio_wav,
+    "build_vrt": q_build_vrt,
+    "scale_offset": q_scale_offset,
+    "geom_containers": q_geom_containers,
+    "color_relief": q_color_relief,
+    "crs_3857": q_crs_3857,
 }
 
 ORACLES = {
@@ -1916,4 +2130,9 @@ ORACLES = {
     "fillnodata": SQL_FILLNODATA,
     "nearblack": SQL_NEARBLACK,
     "audio_wav": SQL_AUDIO_WAV,
+    "build_vrt": SQL_BUILD_VRT,
+    "scale_offset": SQL_SCALE_OFFSET,
+    "geom_containers": SQL_GEOM_CONTAINERS,
+    "color_relief": SQL_COLOR_RELIEF,
+    "crs_3857": SQL_CRS_3857,
 }
