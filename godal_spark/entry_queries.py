@@ -2020,6 +2020,163 @@ FROM customer WHERE c_custkey % 30 = 0
 """
 
 
+def q_geom_overlay(spark, sf_dir):
+    """Boolean overlay surface (godal_test.go:2960-3021 squares golden):
+    intersection / union / both differences of boxes (0,0)-(2,2) and
+    (1,1)-(3,3), run through the REAL concave+holes overlay machinery
+    (geom.py) inside the Arrow stage. The oracle recomputes every area
+    from the rectangle algebra (shared coordinates, no constants from
+    the engine)."""
+    _ensure_workers_can_import(spark)
+    src = spark.createDataFrame(pd.DataFrame(
+        {"ax0": [0.0], "ay0": [0.0], "ax1": [2.0], "ay1": [2.0],
+         "bx0": [1.0], "by0": [1.0], "bx1": [3.0], "by1": [3.0]}))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = G.box(r.ax0, r.ay0, r.ax1, r.ay1)
+                b = G.box(r.bx0, r.by0, r.bx1, r.by1)
+                rows += [
+                    ("intersection", round(G.intersection(a, b).area(), 4)),
+                    ("union", round(G.union(a, b).area(), 4)),
+                    ("difference_ab", round(G.difference(a, b).area(), 4)),
+                    ("difference_ba", round(G.difference(b, a).area(), 4)),
+                ]
+            yield pd.DataFrame(rows, columns=["op", "area"])
+
+    return src.mapInPandas(gen, schema="op string, area double")
+
+
+SQL_GEOM_OVERLAY = """
+WITH b AS (SELECT 0.0 AS ax0, 0.0 AS ay0, 2.0 AS ax1, 2.0 AS ay1,
+                  1.0 AS bx0, 1.0 AS by0, 3.0 AS bx1, 3.0 AS by1),
+c AS (SELECT greatest(0, least(ax1, bx1) - greatest(ax0, bx0))
+             * greatest(0, least(ay1, by1) - greatest(ay0, by0)) AS inter,
+             (ax1 - ax0) * (ay1 - ay0) AS area_a,
+             (bx1 - bx0) * (by1 - by0) AS area_b FROM b)
+SELECT 'intersection' AS op, round(inter, 4) AS area FROM c
+UNION ALL SELECT 'union', round(area_a + area_b - inter, 4) FROM c
+UNION ALL SELECT 'difference_ab', round(area_a - inter, 4) FROM c
+UNION ALL SELECT 'difference_ba', round(area_b - inter, 4) FROM c
+"""
+
+
+def q_gcps_fit(spark, sf_dir):
+    """GCPsToGeoTransform (godal.go:4404-4458; golden
+    godal_test.go:5191-5241): least-squares affine recovery, one fit per
+    image via applyInPandas (the distributed shape — GCP sets gather per
+    image). GCPs are GENERATED from two known geotransforms, so the
+    fitted coefficients are the generators themselves."""
+    _ensure_workers_can_import(spark)
+    gts = {"img_a": [100.0, 0.5, 0.1, 200.0, -0.2, -0.5],
+           "img_b": [-50.0, 2.0, 0.0, 10.0, 0.0, -3.0]}
+    pts = [(0, 0), (10, 0), (0, 10), (7, 3)]
+    rows = []
+    for iid, gt in gts.items():
+        for px_, py_ in pts:
+            rows.append({"image_id": iid, "px": float(px_), "py": float(py_),
+                         "gx": gt[0] + px_ * gt[1] + py_ * gt[2],
+                         "gy": gt[3] + px_ * gt[4] + py_ * gt[5]})
+    src = spark.createDataFrame(pd.DataFrame(rows))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        from godal_spark.functions import crs as CRS
+        gcps = [(r.px, r.py, r.gx, r.gy) for r in pdf.itertuples()]
+        coefs = CRS.fit_gcps(gcps)
+        return pd.DataFrame({"image_id": pdf["image_id"].iloc[0],
+                             "coef": range(6),
+                             "value": [round(c, 6) for c in coefs]})
+
+    return (src.groupBy("image_id")
+            .applyInPandas(fit, schema="image_id string, coef int, value double"))
+
+
+SQL_GCPS_FIT = """
+SELECT * FROM (VALUES
+  ('img_a', 0, cast(100.0 AS double)), ('img_a', 1, cast(0.5 AS double)),
+  ('img_a', 2, cast(0.1 AS double)),   ('img_a', 3, cast(200.0 AS double)),
+  ('img_a', 4, cast(-0.2 AS double)),  ('img_a', 5, cast(-0.5 AS double)),
+  ('img_b', 0, cast(-50.0 AS double)), ('img_b', 1, cast(2.0 AS double)),
+  ('img_b', 2, cast(0.0 AS double)),   ('img_b', 3, cast(10.0 AS double)),
+  ('img_b', 4, cast(0.0 AS double)),   ('img_b', 5, cast(-3.0 AS double)))
+  t(image_id, coef, value)
+"""
+
+
+def q_reproject_bounds(spark, sf_dir):
+    """reprojectBounds corner quirk (srs.go:74-106: EXACTLY the 4
+    corners, min/max, no edge densification) for (5,45)-(15,55) into
+    web mercator. Closed-form, so the oracle recomputes the corner
+    transform relationally with the same min/max rule."""
+    _ensure_workers_can_import(spark)
+    src = spark.createDataFrame(pd.DataFrame(
+        {"minx": [5.0], "miny": [45.0], "maxx": [15.0], "maxy": [55.0]}))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from godal_spark.functions import crs as CRS
+        for pdf in batches:
+            out = {"minx": [], "miny": [], "maxx": [], "maxy": []}
+            for r in pdf.itertuples(index=False):
+                b = CRS.reproject_bounds((r.minx, r.miny, r.maxx, r.maxy),
+                                         "EPSG:4326", "EPSG:3857")
+                for k, v in zip(("minx", "miny", "maxx", "maxy"), b):
+                    out[k].append(round(v, 4))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        gen, schema="minx double, miny double, maxx double, maxy double")
+
+
+SQL_REPROJECT_BOUNDS = """
+WITH corners AS (
+  SELECT x * pi() / 180.0 * 6378137.0 AS mx,
+         6378137.0 * ln(tan(pi() / 4.0 + y * pi() / 360.0)) AS my
+  FROM (VALUES (5.0, 45.0), (15.0, 45.0), (5.0, 55.0), (15.0, 55.0)) c(x, y))
+SELECT round(min(mx), 4) AS minx, round(min(my), 4) AS miny,
+       round(max(mx), 4) AS maxx, round(max(my), 4) AS maxy
+FROM corners
+"""
+
+
+def q_vector_translate(spark, sf_dir):
+    """VectorTranslate through a real format sink (godal.go:3886-3936
+    surface): nation footprints → CSV with WKT geometry → read back →
+    re-parse WKT and recompute each box area. Exercises the
+    write-read-reparse loop distributed; oracle = rectangle algebra on
+    the shared derivation."""
+    _ensure_workers_can_import(spark)
+    import os
+    import tempfile
+
+    from godal_spark.operators import vector as V
+
+    fps = _nation_footprints(spark, sf_dir)
+    out_dir = os.path.join(
+        tempfile.mkdtemp(prefix="godal_vt_"), "nations_csv")
+    V.vector_translate(fps.select("fid", "foo", "geometry"), out_dir, "csv")
+    back = spark.read.option("header", True).csv(out_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"fid": [], "foo": [], "area": []}
+            for r in pdf.itertuples(index=False):
+                g = G.from_wkt(r.geometry)
+                out["fid"].append(int(r.fid))
+                out["foo"].append(r.foo)
+                out["area"].append(round(g.area(), 4))
+            yield pd.DataFrame(out)
+
+    return back.mapInPandas(gen, schema="fid bigint, foo string, area double")
+
+
+SQL_VECTOR_TRANSLATE = f"""
+WITH nb AS ({_ORACLE_NB})
+SELECT fid, foo, round((maxx - minx) * (maxy - miny), 4) AS area FROM nb
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2081,6 +2238,10 @@ QUERIES = {
     "geom_containers": q_geom_containers,
     "color_relief": q_color_relief,
     "crs_3857": q_crs_3857,
+    "geom_overlay": q_geom_overlay,
+    "gcps_fit": q_gcps_fit,
+    "reproject_bounds": q_reproject_bounds,
+    "vector_translate": q_vector_translate,
 }
 
 ORACLES = {
@@ -2135,4 +2296,8 @@ ORACLES = {
     "geom_containers": SQL_GEOM_CONTAINERS,
     "color_relief": SQL_COLOR_RELIEF,
     "crs_3857": SQL_CRS_3857,
+    "geom_overlay": SQL_GEOM_OVERLAY,
+    "gcps_fit": SQL_GCPS_FIT,
+    "reproject_bounds": SQL_REPROJECT_BOUNDS,
+    "vector_translate": SQL_VECTOR_TRANSLATE,
 }
