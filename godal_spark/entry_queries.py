@@ -2177,6 +2177,88 @@ SELECT fid, foo, round((maxx - minx) * (maxy - miny), 4) AS area FROM nb
 """
 
 
+def q_reproject_layer(spark, sf_dir):
+    """Geometry.Reproject over a whole layer (godal.go:3637-3657):
+    nation boxes 4326 → 3857, per-feature bounds. Web mercator is
+    axis-separable, so a reprojected box is still a box and the oracle
+    recomputes its corners relationally (shared derivations, 4 dp).
+    Rows 0 and 4 of the nation grid cross the ±85.05 mercator latitude
+    domain — transform_points error-firsts there (the reference's
+    per-point failure semantics), so both sides take rows 1-3."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.operators import vector as V
+
+    fps = (_nation_footprints(spark, sf_dir)
+           .filter("fid BETWEEN 5 AND 19").select("fid", "geometry"))
+    rp = V.reproject_layer(fps, "EPSG:4326", "EPSG:3857")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"fid": [], "minx": [], "miny": [], "maxx": [], "maxy": []}
+            for r in pdf.itertuples(index=False):
+                b = G.from_wkb(bytes(r.geometry)).bounds()
+                out["fid"].append(r.fid)
+                for k, v in zip(("minx", "miny", "maxx", "maxy"), b):
+                    out[k].append(round(v, 4))
+            yield pd.DataFrame(out)
+
+    return rp.mapInPandas(
+        gen, schema="fid bigint, minx double, miny double, "
+                    "maxx double, maxy double")
+
+
+SQL_REPROJECT_LAYER = f"""
+WITH nb AS ({_ORACLE_NB})
+SELECT fid,
+       round(minx * pi() / 180.0 * 6378137.0, 4) AS minx,
+       round(6378137.0 * ln(tan(pi() / 4.0 + miny * pi() / 360.0)), 4) AS miny,
+       round(maxx * pi() / 180.0 * 6378137.0, 4) AS maxx,
+       round(6378137.0 * ln(tan(pi() / 4.0 + maxy * pi() / 360.0)), 4) AS maxy
+FROM nb WHERE fid BETWEEN 5 AND 19
+"""
+
+
+def q_feature_crud(spark, sf_dir):
+    """Feature CRUD + CopyLayer (godal.go:3397-3410, 3658-3720 surface,
+    relational form): copy the nation layer, CREATE a feature (union),
+    UPDATE one (recode foo for fid 3), DELETE one (fid 7), then read
+    back (fid, foo, area). The oracle applies the same edits in SQL."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.operators import vector as V
+
+    fps = _nation_footprints(spark, sf_dir)
+    layer = V.copy_layer(fps.select("fid", "foo", "geometry"))
+    new = spark.createDataFrame(pd.DataFrame(
+        {"fid": [9999], "foo": ["new"],
+         "geometry": [G.to_wkb(G.box(0.0, 0.0, 2.0, 5.0))]}))
+    layer = (layer.unionByName(new)
+             .withColumn("foo", F.when(F.col("fid") == 3, F.lit("edited"))
+                         .otherwise(F.col("foo")))
+             .filter(F.col("fid") != 7))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"fid": [], "foo": [], "area": []}
+            for r in pdf.itertuples(index=False):
+                out["fid"].append(r.fid)
+                out["foo"].append(r.foo)
+                out["area"].append(round(G.from_wkb(bytes(r.geometry)).area(), 4))
+            yield pd.DataFrame(out)
+
+    return layer.mapInPandas(gen, schema="fid bigint, foo string, area double")
+
+
+SQL_FEATURE_CRUD = f"""
+WITH nb AS ({_ORACLE_NB}),
+edited AS (
+  SELECT fid, CASE WHEN fid = 3 THEN 'edited' ELSE foo END AS foo,
+         round((maxx - minx) * (maxy - miny), 4) AS area
+  FROM nb WHERE fid != 7
+  UNION ALL SELECT 9999, 'new', 10.0)
+SELECT fid, foo, area FROM edited
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2242,6 +2324,8 @@ QUERIES = {
     "gcps_fit": q_gcps_fit,
     "reproject_bounds": q_reproject_bounds,
     "vector_translate": q_vector_translate,
+    "reproject_layer": q_reproject_layer,
+    "feature_crud": q_feature_crud,
 }
 
 ORACLES = {
@@ -2300,4 +2384,6 @@ ORACLES = {
     "gcps_fit": SQL_GCPS_FIT,
     "reproject_bounds": SQL_REPROJECT_BOUNDS,
     "vector_translate": SQL_VECTOR_TRANSLATE,
+    "reproject_layer": SQL_REPROJECT_LAYER,
+    "feature_crud": SQL_FEATURE_CRUD,
 }
