@@ -2259,6 +2259,48 @@ SELECT fid, foo, area FROM edited
 """
 
 
+def q_warp_into(spark, sf_dir):
+    """WarpInto partial coverage (godal_test.go:1945-1982 semantics): a
+    4x3 source of 155s warped INTO a 4x6 base of 200s on the same grid —
+    only the overlapped left half is overwritten, the rest keeps the
+    base value. Per-value pixel counts; the split is derivable from the
+    extents alone."""
+    _ensure_workers_can_import(spark)
+    from godal_spark import datagen
+    from godal_spark.operators import tiling as TL, warp as WP
+
+    gt = [45.0, 1.0, 0.0, 35.0, 0.0, -1.0]
+    base_images = datagen.images_df(spark, [datagen.image_row(
+        "out", np.full((4, 6), 200, np.uint8), "raw8", gt=gt)])
+    src_images = datagen.images_df(spark, [datagen.image_row(
+        "in", np.full((4, 3), 155, np.uint8), "raw8", gt=gt)])
+    out = WP.warp(spark, src_images, [], block=256,
+                  into_tiles=TL.explode_tiles(base_images, bw=256, bh=256),
+                  into_meta={"gt": gt, "w": 6, "h": 4, "srs": "EPSG:4326"})
+
+    def cnt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals, ns = [], []
+            for r in pdf.itertuples(index=False):
+                a = np.frombuffer(r.payload, np.dtype(r.dtype))
+                u, c = np.unique(a, return_counts=True)
+                vals.extend(float(v) for v in u)
+                ns.extend(int(v) for v in c)
+            yield pd.DataFrame({"value": vals, "n": ns})
+
+    return (out.mapInPandas(cnt, schema="value double, n bigint")
+            .groupBy("value").agg(F.sum("n").alias("n_pixels")))
+
+
+# overlap = 4 rows x 3 columns = 12 px overwritten with 155; the other
+# 12 px keep the base 200
+SQL_WARP_INTO = """
+SELECT * FROM (VALUES (155.0, cast(12 AS bigint)),
+                      (200.0, cast(12 AS bigint)))
+  t(value, n_pixels)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2326,6 +2368,7 @@ QUERIES = {
     "vector_translate": q_vector_translate,
     "reproject_layer": q_reproject_layer,
     "feature_crud": q_feature_crud,
+    "warp_into": q_warp_into,
 }
 
 ORACLES = {
@@ -2386,4 +2429,5 @@ ORACLES = {
     "vector_translate": SQL_VECTOR_TRANSLATE,
     "reproject_layer": SQL_REPROJECT_LAYER,
     "feature_crud": SQL_FEATURE_CRUD,
+    "warp_into": SQL_WARP_INTO,
 }
