@@ -2301,6 +2301,55 @@ SELECT * FROM (VALUES (155.0, cast(12 AS bigint)),
 """
 
 
+def q_lineage_resume(spark, sf_dir):
+    """Transactions / checkpoint-resume (plans/lineage.py; Iceberg
+    snapshot-commit contract over parquet + atomic markers). A first run
+    completes partitions 0 and 1 of a region-keyed write, each with a
+    MARKER row (9000+key) standing in for that run's output, then
+    "dies". The resume loop processes only pending keys (2-4) WITHOUT
+    markers. Exactly-once evidence is relational: marker rows survive
+    precisely in the pre-completed partitions — if resume recomputed
+    them, the markers would vanish; if it skipped too much, regions 2-4
+    would be missing."""
+    _ensure_workers_can_import(spark)
+    import tempfile
+
+    from godal_spark.plans import lineage as LN
+
+    nat = _t(spark, sf_dir, "nation").selectExpr(
+        "cast(n_nationkey AS bigint) AS n_nationkey",
+        "cast(n_regionkey AS bigint) AS n_regionkey")
+
+    def df_for_key(k, marked):
+        d = nat.filter(F.col("n_regionkey") == k)
+        if marked:
+            d = d.unionByName(spark.createDataFrame(
+                pd.DataFrame({"n_nationkey": [9000 + k],
+                              "n_regionkey": [k]}),
+                schema="n_nationkey bigint, n_regionkey bigint"))
+        return d
+
+    w = LN.CheckpointedWriter(tempfile.mkdtemp(prefix="godal_lineage_"))
+    for k in (0, 1):  # first run, then crash
+        w.write_partition(k, df_for_key(k, marked=True))
+    LN.run_partitioned(w, [0, 1, 2, 3, 4],
+                       lambda k: df_for_key(k, marked=False))
+    return (w.read_all(spark)
+            .groupBy("n_regionkey")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.max("n_nationkey").cast("bigint").alias("max_key")))
+
+
+SQL_LINEAGE_RESUME = """
+SELECT cast(n_regionkey AS bigint) AS n_regionkey,
+       cast(count(*) + CASE WHEN n_regionkey < 2 THEN 1 ELSE 0 END
+            AS bigint) AS n_rows,
+       cast(CASE WHEN n_regionkey < 2 THEN 9000 + n_regionkey
+                 ELSE max(n_nationkey) END AS bigint) AS max_key
+FROM nation GROUP BY n_regionkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2369,6 +2418,7 @@ QUERIES = {
     "reproject_layer": q_reproject_layer,
     "feature_crud": q_feature_crud,
     "warp_into": q_warp_into,
+    "lineage_resume": q_lineage_resume,
 }
 
 ORACLES = {
@@ -2430,4 +2480,5 @@ ORACLES = {
     "reproject_layer": SQL_REPROJECT_LAYER,
     "feature_crud": SQL_FEATURE_CRUD,
     "warp_into": SQL_WARP_INTO,
+    "lineage_resume": SQL_LINEAGE_RESUME,
 }
