@@ -2350,6 +2350,48 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def q_catalog_lod(spark, sf_dir):
+    """Catalog tile layout + LOD read (sources/catalog.py; the VSI/
+    Iceberg stand-in): real tiles + overview pyramid written through
+    write_tiles's (level, cell_bucket) partitioned layout, read back
+    with the level filter (partition pruning path), per-image tile
+    counts at levels 0 and 2. Derivation: ceil(w/2^k/16)·ceil(h/2^k/16)
+    on fixed 40x40 / 64x48 images, bw=16."""
+    _ensure_workers_can_import(spark)
+    import os
+    import tempfile
+
+    from godal_spark import datagen
+    from godal_spark.operators import tiling as TL
+    from godal_spark.sources import catalog as CAT
+
+    imgs = datagen.images_df(spark, [
+        datagen.image_row("cat_a", datagen.pixels_ramp(40, 40), "raw8"),
+        datagen.image_row("cat_b", datagen.pixels_ramp(64, 48), "raw8")])
+    t0 = TL.explode_tiles(imgs, bw=16, bh=16)
+    ov = TL.build_overviews(t0, min_size=16, block=16)
+    dst = os.path.join(tempfile.mkdtemp(prefix="godal_cat_"), "tiles")
+    CAT.write_tiles(t0.unionByName(ov), dst, mode="overwrite")
+    parts = []
+    for lv in (0, 2):
+        parts.append(
+            CAT.read_tiles(spark, dst, level=lv)
+            .groupBy("image_id")
+            .agg(F.count("*").cast("bigint").alias("n_tiles"))
+            .withColumn("level", F.lit(lv)))
+    return parts[0].unionByName(parts[1]).select("image_id", "level", "n_tiles")
+
+
+# level 0: ceil(40/16)^2 = 9, ceil(64/16)*ceil(48/16) = 12;
+# level 2 dims halve: 20x20 -> 2x2 = 4, 32x24 -> 2x2 = 4
+SQL_CATALOG_LOD = """
+SELECT * FROM (VALUES
+  ('cat_a', 0, cast(9 AS bigint)),  ('cat_b', 0, cast(12 AS bigint)),
+  ('cat_a', 2, cast(4 AS bigint)),  ('cat_b', 2, cast(4 AS bigint)))
+  t(image_id, level, n_tiles)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2419,6 +2461,7 @@ QUERIES = {
     "feature_crud": q_feature_crud,
     "warp_into": q_warp_into,
     "lineage_resume": q_lineage_resume,
+    "catalog_lod": q_catalog_lod,
 }
 
 ORACLES = {
@@ -2481,4 +2524,5 @@ ORACLES = {
     "feature_crud": SQL_FEATURE_CRUD,
     "warp_into": SQL_WARP_INTO,
     "lineage_resume": SQL_LINEAGE_RESUME,
+    "catalog_lod": SQL_CATALOG_LOD,
 }
