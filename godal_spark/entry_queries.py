@@ -1359,8 +1359,15 @@ def q_stream_dedup(spark, sf_dir):
         docs.repartition(4).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, src)
-        except OSError:  # another process won the race; use its copy
-            shutil.rmtree(tmp, ignore_errors=True)
+        except OSError:
+            if os.path.exists(os.path.join(src, "_SUCCESS")):
+                # another process won the race; use its complete copy
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # src is a stale half-written dir from a crashed run —
+                # replace it (self-healing, like mode=overwrite was)
+                shutil.rmtree(src, ignore_errors=True)
+                os.rename(tmp, src)
     stream = (spark.readStream.schema("text string")
               .option("maxFilesPerTrigger", 1).parquet(src))
     qname = f"sd_{uuid.uuid4().hex[:8]}"

@@ -553,7 +553,7 @@ def from_gml(s: str) -> Geom:
     swap = _gml_urn_swaps(srs.group(1) if srs else None)
 
     def coords_in(txt: str) -> np.ndarray:
-        m = re.search(r"<gml:coordinates>([^<]*)</gml:coordinates>", txt)
+        m = re.search(r"<gml:coordinates[^>]*>([^<]*)</gml:coordinates>", txt)
         if m:
             pts = np.array([tuple(map(float, pair.split(",")))
                             for pair in m.group(1).split()], dtype=np.float64)
@@ -568,7 +568,7 @@ def from_gml(s: str) -> Geom:
 
     def rings_in(txt: str) -> list:
         return [_close(coords_in(m)) for m in re.findall(
-            r"<gml:LinearRing>.*?</gml:LinearRing>", txt, re.S)]
+            r"<gml:LinearRing[^>]*>.*?</gml:LinearRing>", txt, re.S)]
 
     if tag == "Point":
         p = coords_in(s)[0]

@@ -607,26 +607,29 @@ def image_kernel_pixels(images: DataFrame, fn,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"image_id": [], "y": [], "x": [], "value": []}
+            frames = []
             for r in pdf.itertuples(index=False):
                 arr = codecs.decode(r.bytes, r.fmt, r.w, r.h)
                 if arr.ndim == 3:
                     arr = arr[:, :, 0]
                 res = np.asarray(fn(arr), dtype=np.float64)
                 if probes is not None:
-                    for py_, px_ in probes:
-                        out["image_id"].append(r.image_id)
-                        out["y"].append(py_)
-                        out["x"].append(px_)
-                        out["value"].append(float(res[py_, px_]))
+                    ys = np.array([p[0] for p in probes], np.int32)
+                    xs = np.array([p[1] for p in probes], np.int32)
+                    vals = res[ys, xs]
                 else:
                     h, w = res.shape
                     yy, xx = np.mgrid[0:h, 0:w]
-                    out["image_id"].extend([r.image_id] * (h * w))
-                    out["y"].extend(yy.ravel().tolist())
-                    out["x"].extend(xx.ravel().tolist())
-                    out["value"].extend(res.ravel().tolist())
-            yield pd.DataFrame(out)
+                    ys = yy.ravel().astype(np.int32)
+                    xs = xx.ravel().astype(np.int32)
+                    vals = res.ravel()
+                # numpy columns straight into the frame — no per-pixel
+                # boxed Python objects in the hot stage
+                frames.append(pd.DataFrame(
+                    {"image_id": np.repeat(r.image_id, len(ys)),
+                     "y": ys, "x": xs, "value": vals}))
+            yield (pd.concat(frames) if frames else pd.DataFrame(
+                {"image_id": [], "y": [], "x": [], "value": []}))
 
     return images.mapInPandas(
         run, schema="image_id string, y int, x int, value double")

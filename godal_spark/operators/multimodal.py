@@ -128,16 +128,20 @@ def _fake_pcm(payload: bytes, n: int = 16000) -> np.ndarray:
     return rng.standard_normal(n).astype(np.float32)
 
 
-def _decode_pcm(payload: bytes, decoder: str) -> np.ndarray:
-    """Dispatch: RIFF/WAVE decodes for real (round 5 — stdlib RIFF
-    parser, int 8/16/24/32 + float PCM); anything else is compressed and
-    error-first unless the caller explicitly opts into the fake."""
+_FAKE_PCM_RATE = 16000
+
+
+def _decode_pcm(payload: bytes, decoder: str) -> tuple[np.ndarray, int]:
+    """Dispatch → (pcm, sample_rate). RIFF/WAVE decodes for real
+    (round 5 — stdlib RIFF parser, int 8/16/24/32 + float PCM); anything
+    else is compressed and error-first unless the caller explicitly opts
+    into the fake. The single dispatch point for every audio operator."""
     from godal_spark.functions import wav as WAV
 
     if decoder == "fake":
-        return _fake_pcm(payload)
+        return _fake_pcm(payload), _FAKE_PCM_RATE
     if WAV.is_wav(payload):
-        return WAV.decode_wav(payload)[0]
+        return WAV.decode_wav(payload)
     raise NotImplementedError(
         "audio decode: non-WAV payload — compressed audio needs an "
         "external codec library (pass decoder='fake' for plumbing tests)")
@@ -153,7 +157,7 @@ def audio_features(audio: DataFrame, frame_len: int = 1024,
         for pdf in batches:
             out = {"audio_id": [], "win": [], "rms": []}
             for r in pdf.itertuples(index=False):
-                pcm = _decode_pcm(bytes(r.bytes), decoder)
+                pcm, _ = _decode_pcm(bytes(r.bytes), decoder)
                 nwin = len(pcm) // frame_len
                 w = pcm[:nwin * frame_len].reshape(nwin, frame_len)
                 rms = np.sqrt((w * w).mean(axis=1))
@@ -171,18 +175,13 @@ def audio_summary(audio: DataFrame, decoder: str = "auto") -> DataFrame:
     length, duration, RMS, peak, zero-crossing rate. One Arrow-batched
     stage; clips stay distributed (the 100 TB shape: many small clips
     per partition, features tiny)."""
-    from godal_spark.functions import wav as WAV
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"audio_id": [], "sample_rate": [], "n_samples": [],
                    "duration_s": [], "rms": [], "peak": [], "zcr": []}
             for r in pdf.itertuples(index=False):
-                payload = bytes(r.bytes)
-                if decoder != "fake" and WAV.is_wav(payload):
-                    pcm, rate = WAV.decode_wav(payload)
-                else:
-                    pcm, rate = _decode_pcm(payload, decoder), 16000
+                pcm, rate = _decode_pcm(bytes(r.bytes), decoder)
                 out["audio_id"].append(r.audio_id)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(len(pcm))

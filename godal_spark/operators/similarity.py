@@ -35,13 +35,20 @@ def _collect_queries(emb: DataFrame, query_ids, id_col: str, vec_col: str):
     would collect the whole corpus, a driver OOM at scale — error-first
     above MAX_DRIVER_QUERIES instead (limit k+1 detects overflow without
     scanning past the cap)."""
-    q = emb.filter(F.col(id_col).isin(list(query_ids))) if query_ids is not None else emb
-    rows = q.select(id_col, vec_col).limit(MAX_DRIVER_QUERIES + 1).collect()
-    if len(rows) > MAX_DRIVER_QUERIES:
-        raise ValueError(
-            f"similarity: query side exceeds {MAX_DRIVER_QUERIES} vectors "
-            "(pass query_ids to bound it; an unbounded query side means "
-            "all-pairs — use the LSH/IVF dedup operators for that)")
+    if query_ids is not None:
+        # explicitly bounded by the caller — trust it (the cap targets
+        # only the whole-corpus default below)
+        q = emb.filter(F.col(id_col).isin(list(query_ids)))
+        rows = q.select(id_col, vec_col).collect()
+    else:
+        rows = emb.select(id_col, vec_col) \
+            .limit(MAX_DRIVER_QUERIES + 1).collect()
+        if len(rows) > MAX_DRIVER_QUERIES:
+            raise ValueError(
+                f"similarity: query_ids=None collects the corpus to the "
+                f"driver and it exceeds {MAX_DRIVER_QUERIES} vectors — "
+                "pass query_ids; an unbounded query side means all-pairs "
+                "(use the LSH/IVF dedup operators for that)")
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     qmat = np.array([r[1] for r in rows], dtype=np.float64)
     return qids, qmat

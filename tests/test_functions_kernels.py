@@ -400,6 +400,16 @@ def test_gml_reference_goldens_exact():
            '<gml:pos>5 6</gml:pos></gml:Point></gml:pointMember>'
            '</gml:MultiPoint>')
     assert G.from_gml(mpt).type == "MultiPoint"
+    # attribute-carrying INNER elements (OGR emits cs/ts/decimal on
+    # gml:coordinates; srsName can land on LinearRing too)
+    pt = G.from_gml('<gml:Point><gml:coordinates decimal="." cs="," '
+                    'ts=" ">1,2</gml:coordinates></gml:Point>')
+    assert pt.coords == (1.0, 2.0)
+    poly = G.from_gml(
+        '<gml:Polygon><gml:outerBoundaryIs><gml:LinearRing srsName="x">'
+        '<gml:coordinates cs=",">0,0 4,0 4,4 0,4 0,0</gml:coordinates>'
+        '</gml:LinearRing></gml:outerBoundaryIs></gml:Polygon>')
+    assert poly.area() == pytest.approx(16.0)
 
 
 def test_morton_roundtrip():

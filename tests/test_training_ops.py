@@ -116,10 +116,12 @@ def test_topk_unbounded_query_side_errors(spark, emb, monkeypatch):
     # query_ids=None collects the query side to the driver — error-first
     # above the cap instead of a silent driver OOM at corpus scale
     monkeypatch.setattr(SIM, "MAX_DRIVER_QUERIES", 10)
-    with pytest.raises(ValueError, match="query side exceeds"):
+    with pytest.raises(ValueError, match="exceeds"):
         SIM.brute_force_topk(emb, query_ids=None, k=3)
-    # bounded explicit ids still fine under the same cap
-    assert SIM.brute_force_topk(emb, query_ids=[0, 1], k=3).count() > 0
+    # EXPLICIT ids are caller-bounded and exempt from the cap (the cap
+    # targets only the whole-corpus default) — even above it
+    assert SIM.brute_force_topk(
+        emb, query_ids=list(range(12)), k=3).count() > 0
 
 
 def test_sieve_tiles_max_small_components_deprecated(spark):
