@@ -2399,6 +2399,66 @@ SELECT * FROM (VALUES
 """
 
 
+def q_token_bpe(spark, sf_dir):
+    """GPT-2-style pretokenizer count (operators/text.py
+    token_count_bpe_ish — the BPE-proxy token counter). Fixture
+    sentences with HAND-DERIVED counts from the published pattern rules
+    (cross-checked against an independent regex engine, not the Spark
+    one): contractions split, single leading space folds into the
+    word, `\\s+(?!\\S)` absorbs interior runs leaving one space for the
+    next token."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.operators import text as TX
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "sid": [1, 2, 3, 4, 5],
+        "text": ["Hello world", "I'm fine.", "It's 2026!!",
+                 "a  b", "don't stop"]}))
+    return TX.token_count_bpe_ish(docs).select(
+        F.col("sid").cast("bigint").alias("sid"), "n_pretokens")
+
+
+SQL_TOKEN_BPE = """
+SELECT * FROM (VALUES
+  (cast(1 AS bigint), cast(2 AS bigint)),
+  (cast(2 AS bigint), cast(4 AS bigint)),
+  (cast(3 AS bigint), cast(4 AS bigint)),
+  (cast(4 AS bigint), cast(3 AS bigint)),
+  (cast(5 AS bigint), cast(3 AS bigint)))
+  t(sid, n_pretokens)
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting (operators/text.py with_fingerprint:
+    xxhash64 of whitespace-collapsed lowercased text + winnowing min
+    8-gram hash). Semantics checked relationally: an uppercased,
+    space-doubled copy of each document must fingerprint IDENTICALLY
+    (normalization invariance), so the fp_full self-join at offset
+    +1000 recovers exactly one pair per source doc."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.operators import text as TX
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").filter("doc_id < 40"))
+    mod = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"))
+    fp = TX.with_fingerprint(docs.unionByName(mod))
+    a = fp.select(F.col("doc_id").alias("id_a"),
+                  F.col("fp_full").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"),
+                  F.col("fp_full").alias("fb"))
+    return (a.join(b, (a.fa == b.fb) & (a.id_a + 1000 == b.id_b))
+            .select("id_a", "id_b"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id AS id_a, doc_id + 1000 AS id_b
+FROM documents WHERE doc_id < 40
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2469,6 +2529,8 @@ QUERIES = {
     "warp_into": q_warp_into,
     "lineage_resume": q_lineage_resume,
     "catalog_lod": q_catalog_lod,
+    "token_bpe": q_token_bpe,
+    "fingerprint": q_fingerprint,
 }
 
 ORACLES = {
@@ -2532,4 +2594,6 @@ ORACLES = {
     "warp_into": SQL_WARP_INTO,
     "lineage_resume": SQL_LINEAGE_RESUME,
     "catalog_lod": SQL_CATALOG_LOD,
+    "token_bpe": SQL_TOKEN_BPE,
+    "fingerprint": SQL_FINGERPRINT,
 }
