@@ -49,10 +49,26 @@ def _parse_epsg(srs: str) -> int:
 
 def transform_points(xs, ys, src: str, dst: str):
     """(x', y', ok) batch transform. ok mirrors godal's per-point success
-    flags: False where input is out of the source CRS domain."""
+    flags: False where input is out of the source CRS domain. src/dst
+    are EPSG codes ('EPSG:4326' / '4326') or PROJ4 definition strings
+    ('+proj=tmerc +lat_0=...' — see the proj4 subset note below)."""
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
-    s, d = _parse_epsg(src), _parse_epsg(dst)
+    ssrc, sdst = src.strip(), dst.strip()
+    if ssrc.startswith("+") or sdst.startswith("+"):
+        if ssrc == sdst:
+            return xs.copy(), ys.copy(), np.ones(xs.shape, dtype=bool)
+        if ssrc.startswith("+"):
+            lon, lat = _proj4_pair(ssrc)[1](xs, ys)
+            ok = np.isfinite(lon) & np.isfinite(lat)
+        else:
+            lon, lat, ok = _to_4326(xs, ys, _parse_epsg(ssrc))
+        if sdst.startswith("+"):
+            ox, oy = _proj4_pair(sdst)[0](lon, lat)
+            return ox, oy, ok & np.isfinite(ox) & np.isfinite(oy)
+        ox, oy, ok2 = _from_4326(lon, lat, _parse_epsg(sdst))
+        return ox, oy, ok & ok2
+    s, d = _parse_epsg(ssrc), _parse_epsg(sdst)
     if s == d:
         return xs.copy(), ys.copy(), np.ones(xs.shape, dtype=bool)
     lon, lat, ok = _to_4326(xs, ys, s)
@@ -543,6 +559,231 @@ _PROJ_REGISTRY = {
     29903: _tm_on_datum(_AIRY_MOD_A, _AIRY_INVF, 53.5, -8.0, 1.000035,
                         200000.0, 250000.0, _IRELAND65_HELMERT),
 }
+
+
+# ---------------------------------------------------------------------------
+# PROJ.4 definition strings (round 5). The reference accepts arbitrary
+# PROJ4/WKT CRS definitions (srs.go NewSpatialRefFromProj4 /
+# godal.go:2044-2143); this engine accepts the PROJ4 subset its
+# projection kernels implement:
+#   +proj= longlat/latlong | tmerc | utm | merc | lcc (2SP) | aea |
+#          laea | cea | stere (polar)
+#   +ellps / +a +rf (any ellipsoid on the longlat/tmerc/utm families —
+#     where the world's classical Gauss-Krüger grids live; the
+#     equal-area/conic families are WGS84/GRS80-ellipsoid only,
+#     error-first otherwise)
+#   +towgs84= 3- or 7-parameter (position-vector, local→WGS84 — the
+#     PROJ convention; applied through the exact-inverse Helmert kernel)
+#   +lat_0 +lat_1 +lat_2 +lat_ts +lon_0 +k/+k_0 +x_0 +y_0 +zone +south
+# Anything else (grids=, nadgrids, units!=m, unlisted projections) is
+# error-first. This is how a user expresses an EPSG code the registry
+# lacks: e.g. DHDN Gauss-Krüger zone 3 (EPSG:31467) =
+#   +proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0
+#   +ellps=bessel +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7
+# ---------------------------------------------------------------------------
+
+_ELLIPSOIDS = {
+    # name: (semi-major a, inverse flattening 1/f) — public EPSG values
+    "wgs84": (6378137.0, 298.257223563),
+    "grs80": (6378137.0, 298.257222101),
+    "airy": (6377563.396, 299.3249646),
+    "mod_airy": (6377340.189, 299.3249646),
+    "intl": (6378388.0, 297.0),
+    "clrk66": (6378206.4, 294.9786982),
+    "clrk80ign": (6378249.2, 293.4660212936),
+    "krass": (6378245.0, 298.3),
+    "bessel": (6377397.155, 299.1528128),
+    "grs67": (6378160.0, 298.247167427),
+    "aust_sa": (6378160.0, 298.25),
+}
+
+_WGS84_LIKE = ("wgs84", "grs80")  # a identical, 1/f differs at 1e-9
+
+
+def _parse_proj4(defn: str) -> dict:
+    out: dict = {}
+    for tok in defn.split():
+        if not tok.startswith("+"):
+            raise ValueError(f"proj4: bad token {tok!r}")
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            out[k] = v
+        else:
+            out[body] = True
+    return out
+
+
+def _proj4_ellipsoid(p: dict) -> tuple[float, float]:
+    """(a, e2) from +ellps or +a/+rf/+b (default WGS84)."""
+    if "a" in p:
+        a = float(p["a"])
+        if "rf" in p:
+            f = 1.0 / float(p["rf"])
+        elif "b" in p:
+            f = (a - float(p["b"])) / a
+        else:
+            f = 0.0  # sphere
+        return a, f * (2 - f)
+    name = str(p.get("ellps", "WGS84")).lower()
+    if name not in _ELLIPSOIDS:
+        raise NotImplementedError(f"proj4: ellipsoid {p.get('ellps')!r}")
+    a, invf = _ELLIPSOIDS[name]
+    f = 1.0 / invf
+    return a, f * (2 - f)
+
+
+def _proj4_helmert(p: dict):
+    """(to_local, from_local) cartesian maps from +towgs84 (PROJ
+    convention: the parameters take LOCAL datum → WGS84, position
+    vector). Returns None when absent or all-zero."""
+    if "towgs84" not in p:
+        return None
+    vals = [float(v) for v in str(p["towgs84"]).split(",")]
+    if len(vals) == 3:
+        vals += [0.0, 0.0, 0.0, 0.0]
+    if len(vals) != 7:
+        raise ValueError("proj4: towgs84 needs 3 or 7 parameters")
+    if all(v == 0.0 for v in vals):
+        return None
+    local_to_wgs, wgs_to_local = _helmert_pair(*vals)
+    return wgs_to_local, local_to_wgs
+
+
+def _require_wgs84_ellipsoid(p: dict, proj: str) -> None:
+    a, e2 = _proj4_ellipsoid(p)
+    f = 1 - math.sqrt(1 - e2)
+    if abs(a - R_a) > 1e-3 or abs(f - F) > 1e-9:
+        raise NotImplementedError(
+            f"proj4: +proj={proj} is implemented on the WGS84/GRS80 "
+            "ellipsoid only (tmerc/utm/longlat accept any ellipsoid)")
+
+
+def from_proj4(defn: str):
+    """(fwd, inv) transform pair for a PROJ4 definition string:
+    fwd(lon_wgs84, lat_wgs84) -> (x, y), inv(x, y) -> (lon, lat) on
+    WGS84. See the subset note above; error-first beyond it."""
+    p = _parse_proj4(defn)
+    proj = str(p.get("proj", ""))
+    if p.get("units", "m") not in ("m", True):
+        raise NotImplementedError("proj4: only metre units")
+    for unsupported in ("nadgrids", "grids", "geoidgrids", "pm"):
+        if unsupported in p:
+            raise NotImplementedError(f"proj4: +{unsupported} needs PROJ")
+    helm = _proj4_helmert(p)
+
+    def num(key, default=0.0):
+        return float(p.get(key, default))
+
+    if proj in ("longlat", "latlong", "latlon", "lonlat"):
+        a, e2 = _proj4_ellipsoid(p)
+
+        def fwd(lon, lat):
+            lon = np.asarray(lon, np.float64)
+            lat = np.asarray(lat, np.float64)
+            if helm is None:
+                return lon.copy(), lat.copy()
+            X, Y, Z = _geodetic_to_ecef(lon, lat, R_a, E2)
+            return _ecef_to_geodetic(*helm[0](X, Y, Z), a, e2)
+
+        def inv(x, y):
+            x = np.asarray(x, np.float64)
+            y = np.asarray(y, np.float64)
+            if helm is None:
+                return x.copy(), y.copy()
+            X, Y, Z = _geodetic_to_ecef(x, y, a, e2)
+            return _ecef_to_geodetic(*helm[1](X, Y, Z), R_a, E2)
+
+        return fwd, inv
+
+    if proj in ("tmerc", "utm"):
+        a, e2 = _proj4_ellipsoid(p)
+        if proj == "utm":
+            zone = int(p["zone"])
+            lon0 = (zone - 1) * 6 - 180 + 3
+            k0, fe = _K0, 500000.0
+            fn = 10000000.0 if p.get("south") else 0.0
+            lat0 = 0.0
+        else:
+            lon0 = num("lon_0")
+            k0 = float(p.get("k", p.get("k_0", 1.0)))
+            fe, fn, lat0 = num("x_0"), num("y_0"), num("lat_0")
+
+        def fwd(lon, lat):
+            if helm is not None:
+                X, Y, Z = _geodetic_to_ecef(lon, lat, R_a, E2)
+                lon, lat = _ecef_to_geodetic(*helm[0](X, Y, Z), a, e2)
+            return _ll_to_tm(lon, lat, lon0, k0, fe, fn,
+                             a=a, e2=e2, lat0_deg=lat0)
+
+        def inv(x, y):
+            lon, lat = _tm_to_ll(x, y, lon0, k0, fe, fn,
+                                 a=a, e2=e2, lat0_deg=lat0)
+            if helm is not None:
+                X, Y, Z = _geodetic_to_ecef(lon, lat, a, e2)
+                lon, lat = _ecef_to_geodetic(*helm[1](X, Y, Z), R_a, E2)
+            return lon, lat
+
+        return fwd, inv
+
+    if helm is not None:
+        raise NotImplementedError(
+            f"proj4: +towgs84 is supported on longlat/tmerc/utm only "
+            f"(+proj={proj} runs on the WGS84 datum)")
+    if proj == "merc":
+        _require_wgs84_ellipsoid(p, proj)
+        if num("lat_ts") != 0.0 or float(p.get("k", p.get("k_0", 1.0))) != 1.0:
+            raise NotImplementedError("proj4: merc with lat_ts/k != defaults")
+        fe, fn = num("x_0"), num("y_0")
+        lon0 = num("lon_0")
+
+        def fwd(lon, lat):
+            x, y, _ = _from_4326(np.asarray(lon, np.float64) - lon0,
+                                 np.asarray(lat, np.float64), 3857)
+            return x + fe, y + fn
+
+        def inv(x, y):
+            lon, lat, _ = _to_4326(np.asarray(x, np.float64) - fe,
+                                   np.asarray(y, np.float64) - fn, 3857)
+            return lon + lon0, lat
+
+        return fwd, inv
+    if proj == "lcc":
+        _require_wgs84_ellipsoid(p, proj)
+        if "lat_2" not in p:
+            raise NotImplementedError("proj4: lcc 1SP (no +lat_2)")
+        return _lcc2sp(num("lat_1"), num("lat_2"), num("lat_0"),
+                       num("lon_0"), num("x_0"), num("y_0"))
+    if proj == "aea":
+        _require_wgs84_ellipsoid(p, proj)
+        return _albers(num("lat_1"), num("lat_2"), num("lat_0"),
+                       num("lon_0"), num("x_0"), num("y_0"))
+    if proj == "laea":
+        _require_wgs84_ellipsoid(p, proj)
+        return _laea(num("lat_0"), num("lon_0"), num("x_0"), num("y_0"))
+    if proj == "cea":
+        _require_wgs84_ellipsoid(p, proj)
+        if num("x_0") or num("y_0"):
+            raise NotImplementedError("proj4: cea with false offsets")
+        return _cea(num("lat_ts"))
+    if proj == "stere":
+        _require_wgs84_ellipsoid(p, proj)
+        lat0 = num("lat_0")
+        if abs(lat0) != 90.0:
+            raise NotImplementedError("proj4: stere is polar-only here")
+        return _polar_stereo(num("lat_ts", 90.0 if lat0 > 0 else -90.0),
+                             num("lon_0"), num("x_0"), num("y_0"),
+                             lat0 < 0)
+    raise NotImplementedError(f"proj4: +proj={proj!r}")
+
+
+_PROJ4_CACHE: dict[str, tuple] = {}
+
+
+def _proj4_pair(defn: str):
+    if defn not in _PROJ4_CACHE:
+        _PROJ4_CACHE[defn] = from_proj4(defn)
+    return _PROJ4_CACHE[defn]
 
 
 def supported_epsg() -> list[int]:

@@ -595,6 +595,54 @@ def test_crs_lcc2sp_defining_properties():
         assert k_parallel("EPSG:3978", -95.0, lat) == pytest.approx(1.0, abs=1e-7)
 
 
+def test_crs_proj4_definitions():
+    """PROJ4 definition strings (round 5; reference accepts arbitrary
+    PROJ4 via srs.go NewSpatialRefFromProj4): tmerc/utm/lcc route to the
+    shared kernels, +towgs84 (PROJ's local→WGS84 position-vector
+    convention) through the exact-inverse Helmert."""
+    # published OSGB proj4 string == the EPSG:27700 registry entry; the
+    # towgs84 sign-flip vs the registry's exact matrix inverse differs
+    # at the mm level (and the published params are 3-dp rounded)
+    osgb = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+            "+y_0=-100000 +ellps=airy +towgs84=446.448,-125.157,542.06,"
+            "0.15,0.247,0.842,-20.489 +units=m +no_defs")
+    lon = np.array([-0.1278, -3.0])
+    lat = np.array([51.5074, 55.0])
+    x1, y1, ok = crs.transform_points(lon, lat, "EPSG:4326", osgb)
+    x2, y2, _ = crs.transform_points(lon, lat, "EPSG:4326", "EPSG:27700")
+    assert ok.all()
+    assert np.abs(x1 - x2).max() < 0.01 and np.abs(y1 - y2).max() < 0.01
+    bx, by, _ = crs.transform_points(x1, y1, osgb, "EPSG:4326")
+    assert np.abs(bx - lon).max() < 1e-7 and np.abs(by - lat).max() < 1e-7
+    # arbitrary Gauss-Krüger (DHDN zone 3 / EPSG:31467 as proj4): false
+    # easting recovered at the central meridian, datum shift ~dozens m
+    gk3 = ("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 "
+           "+ellps=bessel +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+    x, y, _ = crs.transform_points([9.0], [50.0], "EPSG:4326", gk3)
+    assert abs(x[0] - 3500000) < 200 and 5.50e6 < y[0] < 5.58e6
+    gx, gy, _ = crs.transform_points(x, y, gk3, "EPSG:4326")
+    assert abs(gx[0] - 9.0) < 1e-7 and abs(gy[0] - 50.0) < 1e-7
+    # proj4 utm/lcc are bit-equal to their EPSG registry twins
+    xu, yu, _ = crs.transform_points([7.1], [50.7], "EPSG:4326",
+                                     "+proj=utm +zone=32")
+    xe, ye, _ = crs.transform_points([7.1], [50.7], "EPSG:4326",
+                                     "EPSG:32632")
+    assert xu[0] == xe[0] and yu[0] == ye[0]
+    l93 = ("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+           "+x_0=700000 +y_0=6600000 +ellps=GRS80")
+    xl, yl, _ = crs.transform_points([2.35], [48.86], "EPSG:4326", l93)
+    xf, yf, _ = crs.transform_points([2.35], [48.86], "EPSG:4326",
+                                     "EPSG:2154")
+    assert xl[0] == xf[0] and yl[0] == yf[0]
+    # error-first beyond the subset
+    for bad in ("+proj=robin",
+                "+proj=lcc +lat_1=49 +lat_2=44 +ellps=bessel",
+                "+proj=tmerc +nadgrids=foo",
+                "+proj=aea +lat_1=20 +lat_2=40 +towgs84=1,2,3"):
+        with pytest.raises(NotImplementedError):
+            crs.transform_points([0.0], [0.0], "EPSG:4326", bad)
+
+
 def test_crs_osgb_datum_shift():
     """EPSG:27700 (round 5 — first TRUE Helmert datum shift). The TM-on-
     Airy projection core reproduces the OS 'Guide to coordinate systems

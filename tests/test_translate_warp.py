@@ -154,6 +154,31 @@ def test_warp_reproject_4326_to_osgb(spark):
     assert -16000 < gt[5] < -9000
 
 
+def test_warp_reproject_proj4_target(spark):
+    """A PROJ4 definition string as -t_srs through the full warp path
+    (reference accepts PROJ4 CRSes; round-5 from_proj4): arbitrary
+    Gauss-Krüger zone over Germany on the Bessel ellipsoid + datum
+    shift."""
+    gk3 = ("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 "
+           "+ellps=bessel +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+    y, x = np.mgrid[0:8, 0:8]
+    a = (20 + 10 * x + y).astype(np.uint8)
+    images = datagen.images_df(spark, [
+        datagen.image_row("de", a, "raw8",
+                          gt=[8.5, 0.125, 0, 51.0, 0, -0.125],
+                          srs="EPSG:4326")])
+    tiles = WP.warp(spark, images, ["-t_srs", gk3, "-ts", "8", "8"],
+                    block=256)
+    t = tiles.first()
+    got = np.frombuffer(t.payload, np.uint8).reshape(8, 8)
+    assert t.srs == gk3
+    assert set(np.unique(got)) <= set(np.unique(a))
+    gt = list(t.gt)
+    # 1 deg lon at 50.5N ~ 70.9 km -> /8 px; easting near the 3.5e6 FE
+    assert 7000 < gt[1] < 11000 and -16000 < gt[5] < -9000
+    assert 3.43e6 < gt[0] < 3.52e6
+
+
 def _mosaic_array(tiles, tw, th, dtype=np.uint8):
     out = np.zeros((th, tw), dtype=dtype)
     for t in tiles:
