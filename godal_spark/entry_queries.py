@@ -2459,6 +2459,47 @@ FROM documents WHERE doc_id < 40
 """
 
 
+def q_crs_osgb(spark, sf_dir):
+    """The TM-on-Airy projection chain against a PUBLISHED constant: the
+    OS 'Guide to coordinate systems in Great Britain' worked example
+    (OSGB36 geographic 52°39'27.2531\"N 1°43'4.5177\"E → grid E
+    651409.903, N 313177.270). Both CRSes are PROJ4 strings WITHOUT
+    +towgs84 (the input is already OSGB36 geographic), exercising the
+    round-5 from_proj4 surface distributed; 3-dp output equals the
+    guide's printed values."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.functions import crs as CRS
+
+    src_crs = "+proj=longlat +ellps=airy"
+    dst_crs = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+               "+x_0=400000 +y_0=-100000 +ellps=airy")
+    pts = spark.createDataFrame(pd.DataFrame({
+        "name": ["os_worked_example", "grid_origin"],
+        "lon": [1 + 43 / 60 + 4.5177 / 3600, -2.0],
+        "lat": [52 + 39 / 60 + 27.2531 / 3600, 49.0]}))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            e, n, ok = CRS.transform_points(
+                pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+                src_crs, dst_crs)
+            yield pd.DataFrame({"name": pdf["name"],
+                                "easting": np.round(e, 3),
+                                "northing": np.round(n, 3)})
+
+    return pts.mapInPandas(
+        gen, schema="name string, easting double, northing double")
+
+
+SQL_CRS_OSGB = """
+SELECT * FROM (VALUES
+  ('os_worked_example', cast(651409.903 AS double),
+   cast(313177.270 AS double)),
+  ('grid_origin', cast(400000.0 AS double), cast(-100000.0 AS double)))
+  t(name, easting, northing)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2531,6 +2572,7 @@ QUERIES = {
     "catalog_lod": q_catalog_lod,
     "token_bpe": q_token_bpe,
     "fingerprint": q_fingerprint,
+    "crs_osgb": q_crs_osgb,
 }
 
 ORACLES = {
@@ -2596,4 +2638,5 @@ ORACLES = {
     "catalog_lod": SQL_CATALOG_LOD,
     "token_bpe": SQL_TOKEN_BPE,
     "fingerprint": SQL_FINGERPRINT,
+    "crs_osgb": SQL_CRS_OSGB,
 }
