@@ -383,32 +383,24 @@ def _polar_stereo(lat_ts_deg: float, lon0_deg: float, fe: float, fn: float,
     return fwd, inv
 
 
-def _lcc2sp(lat1_deg, lat2_deg, lat0_deg, lon0_deg, fe, fn):
-    """Lambert conformal conic 2SP, ellipsoidal (Snyder 15-1..15-11 /
-    EPSG guidance 7-2 method 9802). Validated by its DEFINING
-    properties in tests (no PROJ in this env for a numeric oracle):
-    grid origin maps to (FE, FN) exactly, scale factor k = 1 on both
-    standard parallels, local conformality (equal scale in all
-    directions), and sub-nanodegree round-trips."""
-    e = _E
-    p1, p2 = math.radians(lat1_deg), math.radians(lat2_deg)
-    phi0, lam0 = math.radians(lat0_deg), math.radians(lon0_deg)
+def _lcc_core(n: float, big_f: float, t0: float, lam0: float, k0: float,
+              fe: float, fn: float, a: float, e2: float):
+    """Shared LCC machinery: given the cone constant n, F, and t at the
+    origin, build (fwd, inv) on ellipsoid (a, e2) with scale k0."""
+    e = math.sqrt(e2)
+    e4 = e2 * e2
+    e6 = e4 * e2
+    e8 = e6 * e2
+    rho0 = a * k0 * big_f * t0 ** n
 
     def _t(phi):
         return (np.tan(math.pi / 4 - phi / 2)
                 * ((1 + e * np.sin(phi)) / (1 - e * np.sin(phi))) ** (e / 2))
 
-    m1, m2 = float(_m_of(p1)), float(_m_of(p2))
-    t1, t2 = float(_t(np.array(p1))), float(_t(np.array(p2)))
-    t0 = float(_t(np.array(phi0)))
-    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
-    big_f = m1 / (n * t1 ** n)
-    rho0 = R_a * big_f * t0 ** n
-
     def fwd(lon, lat):
         lam = np.radians(np.asarray(lon, np.float64)) - lam0
         phi = np.radians(np.asarray(lat, np.float64))
-        rho = R_a * big_f * _t(phi) ** n
+        rho = a * k0 * big_f * _t(phi) ** n
         th = n * lam
         return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
 
@@ -417,15 +409,60 @@ def _lcc2sp(lat1_deg, lat2_deg, lat0_deg, lon0_deg, fe, fn):
         yp = rho0 - (np.asarray(y, np.float64) - fn)
         rho = np.sign(n) * np.hypot(xp, yp)
         th = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
-        tp = np.maximum(rho / (R_a * big_f), 1e-300) ** (1.0 / n)
+        tp = np.maximum(rho / (a * k0 * big_f), 1e-300) ** (1.0 / n)
         chi = math.pi / 2 - 2 * np.arctan(tp)
         phi = (chi
-               + (E2 / 2 + 5 * _E4 / 24 + _E6 / 12 + 13 * _E8 / 360) * np.sin(2 * chi)
-               + (7 * _E4 / 48 + 29 * _E6 / 240 + 811 * _E8 / 11520) * np.sin(4 * chi)
-               + (7 * _E6 / 120 + 81 * _E8 / 1120) * np.sin(6 * chi)
-               + (4279 * _E8 / 161280) * np.sin(8 * chi))
+               + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * np.sin(2 * chi)
+               + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * np.sin(4 * chi)
+               + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+               + (4279 * e8 / 161280) * np.sin(8 * chi))
         return _wrap_lon(np.degrees(lam0 + th / n)), np.degrees(phi)
 
+    return fwd, inv, _t
+
+
+def _lcc2sp(lat1_deg, lat2_deg, lat0_deg, lon0_deg, fe, fn,
+            a: float | None = None, e2: float | None = None):
+    """Lambert conformal conic 2SP, ellipsoidal (Snyder 15-1..15-11 /
+    EPSG guidance 7-2 method 9802), any ellipsoid since round 5
+    (defaults WGS84). Validated by its DEFINING properties in tests (no
+    PROJ in this env for a numeric oracle): grid origin maps to
+    (FE, FN) exactly, scale factor k = 1 on both standard parallels,
+    local conformality, sub-nanodegree round-trips."""
+    a = R_a if a is None else a
+    e2 = E2 if e2 is None else e2
+    e = math.sqrt(e2)
+    p1, p2 = math.radians(lat1_deg), math.radians(lat2_deg)
+    phi0, lam0 = math.radians(lat0_deg), math.radians(lon0_deg)
+
+    def m_of(phi):
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    def t_of(phi):
+        return (math.tan(math.pi / 4 - phi / 2)
+                * ((1 + e * math.sin(phi)) / (1 - e * math.sin(phi))) ** (e / 2))
+
+    m1, m2 = m_of(p1), m_of(p2)
+    t1, t2 = t_of(p1), t_of(p2)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    big_f = m1 / (n * t1 ** n)
+    fwd, inv, _ = _lcc_core(n, big_f, t_of(phi0), lam0, 1.0, fe, fn, a, e2)
+    return fwd, inv
+
+
+def _lcc1sp(lat0_deg, lon0_deg, k0, fe, fn, a: float, e2: float):
+    """Lambert conformal conic 1SP (EPSG method 9801): the cone is
+    tangent at the single parallel (n = sin(phi0)) and k0 scales it —
+    the classical national form (Jamaica 1969, French legacy Lambert
+    zones via proj4)."""
+    e = math.sqrt(e2)
+    phi0, lam0 = math.radians(lat0_deg), math.radians(lon0_deg)
+    n = math.sin(phi0)
+    m0 = math.cos(phi0) / math.sqrt(1 - e2 * math.sin(phi0) ** 2)
+    t0 = (math.tan(math.pi / 4 - phi0 / 2)
+          * ((1 + e * math.sin(phi0)) / (1 - e * math.sin(phi0))) ** (e / 2))
+    big_f = m0 / (n * t0 ** n)
+    fwd, inv, _ = _lcc_core(n, big_f, t0, lam0, k0, fe, fn, a, e2)
     return fwd, inv
 
 
@@ -489,6 +526,27 @@ def _helmert_pair(tx, ty, tz, rx_as, ry_as, rz_as, s_ppm):
         return (inv_m[0, 0] * X + inv_m[0, 1] * Y + inv_m[0, 2] * Z,
                 inv_m[1, 0] * X + inv_m[1, 1] * Y + inv_m[1, 2] * Z,
                 inv_m[2, 0] * X + inv_m[2, 1] * Y + inv_m[2, 2] * Z)
+
+    return fwd, inv
+
+
+def _on_datum(pair, a: float, e2: float, helm):
+    """Wrap a projection (fwd from local-datum geodetic, inv back to it)
+    with a Helmert datum hop: helm = (wgs84→local, local→wgs84)
+    cartesian maps. The generic form of _tm_on_datum below — any
+    ellipsoid-parameterized projection family composes with it."""
+    pf, pi = pair
+    wgs_to_local, local_to_wgs = helm
+
+    def fwd(lon, lat):
+        X, Y, Z = _geodetic_to_ecef(lon, lat, R_a, E2)
+        lon2, lat2 = _ecef_to_geodetic(*wgs_to_local(X, Y, Z), a, e2)
+        return pf(lon2, lat2)
+
+    def inv(x, y):
+        lon2, lat2 = pi(x, y)
+        X, Y, Z = _geodetic_to_ecef(lon2, lat2, a, e2)
+        return _ecef_to_geodetic(*local_to_wgs(X, Y, Z), R_a, E2)
 
     return fwd, inv
 
@@ -726,9 +784,23 @@ def from_proj4(defn: str):
 
         return fwd, inv
 
+    if proj == "lcc":
+        a, e2 = _proj4_ellipsoid(p)
+        k0 = float(p.get("k", p.get("k_0", 1.0)))
+        if "lat_2" in p:  # 2SP (EPSG 9802): no scale factor
+            if k0 != 1.0:
+                raise NotImplementedError("proj4: lcc 2SP with k_0 != 1")
+            pair = _lcc2sp(num("lat_1"), num("lat_2"), num("lat_0"),
+                           num("lon_0"), num("x_0"), num("y_0"),
+                           a=a, e2=e2)
+        else:  # 1SP (EPSG 9801): tangent cone at lat_1 (or lat_0)
+            lat1 = num("lat_1", num("lat_0"))
+            pair = _lcc1sp(lat1, num("lon_0"), k0,
+                           num("x_0"), num("y_0"), a, e2)
+        return pair if helm is None else _on_datum(pair, a, e2, helm)
     if helm is not None:
         raise NotImplementedError(
-            f"proj4: +towgs84 is supported on longlat/tmerc/utm only "
+            f"proj4: +towgs84 is supported on longlat/tmerc/utm/lcc only "
             f"(+proj={proj} runs on the WGS84 datum)")
     if proj == "merc":
         _require_wgs84_ellipsoid(p, proj)
@@ -748,12 +820,6 @@ def from_proj4(defn: str):
             return lon + lon0, lat
 
         return fwd, inv
-    if proj == "lcc":
-        _require_wgs84_ellipsoid(p, proj)
-        if "lat_2" not in p:
-            raise NotImplementedError("proj4: lcc 1SP (no +lat_2)")
-        return _lcc2sp(num("lat_1"), num("lat_2"), num("lat_0"),
-                       num("lon_0"), num("x_0"), num("y_0"))
     if proj == "aea":
         _require_wgs84_ellipsoid(p, proj)
         return _albers(num("lat_1"), num("lat_2"), num("lat_0"),

@@ -633,11 +633,31 @@ def test_crs_proj4_definitions():
     xl, yl, _ = crs.transform_points([2.35], [48.86], "EPSG:4326", l93)
     xf, yf, _ = crs.transform_points([2.35], [48.86], "EPSG:4326",
                                      "EPSG:2154")
-    assert xl[0] == xf[0] and yl[0] == yf[0]
+    # proj4 uses the TRUE GRS80 flattening; the registry's WGS84
+    # shortcut differs at the sub-micrometre level
+    assert abs(xl[0] - xf[0]) < 1e-4 and abs(yl[0] - yf[0]) < 1e-4
+    # LCC 1SP (EPSG method 9801): the EPSG Guidance 7-2 worked example —
+    # Jamaica 1969 national grid on Clarke 1866 — reproduces the
+    # published coordinates to < 2 mm
+    jam = ("+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=1 "
+           "+x_0=250000 +y_0=150000 +ellps=clrk66")
+    jlat = 17 + 55 / 60 + 55.80 / 3600
+    jlon = -(76 + 56 / 60 + 37.26 / 3600)
+    jx, jy, _ = crs.transform_points([jlon], [jlat], "EPSG:4326", jam)
+    assert jx[0] == pytest.approx(255966.58, abs=0.01)
+    assert jy[0] == pytest.approx(142493.51, abs=0.01)
+    # LCC 2SP on a classical ellipsoid + datum shift (NAD27-style):
+    # round-trips to sub-nanodegree through the Helmert hop
+    tx27 = ("+proj=lcc +lat_1=28.383333 +lat_2=30.283333 "
+            "+lat_0=27.833333 +lon_0=-99 +x_0=600000 +y_0=0 "
+            "+ellps=clrk66 +towgs84=-8,160,176")
+    xt, yt, _ = crs.transform_points([-98.5], [29.5], "EPSG:4326", tx27)
+    bx2, by2, _ = crs.transform_points(xt, yt, tx27, "EPSG:4326")
+    assert abs(bx2[0] + 98.5) < 1e-7 and abs(by2[0] - 29.5) < 1e-7
     # error-first beyond the subset
     for bad in ("+proj=robin",
-                "+proj=lcc +lat_1=49 +lat_2=44 +ellps=bessel",
                 "+proj=tmerc +nadgrids=foo",
+                "+proj=lcc +lat_1=10 +lat_2=20 +k_0=0.99",
                 "+proj=aea +lat_1=20 +lat_2=40 +towgs84=1,2,3"):
         with pytest.raises(NotImplementedError):
             crs.transform_points([0.0], [0.0], "EPSG:4326", bad)
