@@ -2500,6 +2500,60 @@ SELECT * FROM (VALUES
 """
 
 
+def q_cog_roundtrip(spark, sf_dir):
+    """The cogify sink (round 5, REAL GeoTIFF bytes): constant-7 40x40
+    image → tile explode → overview pyramid → cog_write
+    (functions/tiff.py COG: tiled IFD chain, deflate, metadata ahead of
+    pixels, geo tags) → a second Spark stage decodes the IFD chain.
+    Derivation: level dims are ceil(40/2^k) down to min_size 16; a
+    constant image's average pyramid stays constant, so every level is
+    all 7s; the geotransform survives the container."""
+    _ensure_workers_can_import(spark)
+    from godal_spark import datagen
+    from godal_spark.operators import tiling as TL
+
+    gt = [10.0, 0.5, 0.0, 50.0, 0.0, -0.5]
+    imgs = datagen.images_df(spark, [datagen.image_row(
+        "cogq", np.full((40, 40), 7, np.uint8), "raw8",
+        gt=gt, srs="EPSG:4326")])
+    t0 = TL.explode_tiles(imgs, bw=16, bh=16)
+    ov = TL.build_overviews(t0, min_size=16, block=16)
+    cogs = TL.cog_write(t0.unionByName(ov), images_meta=imgs, tile_size=16)
+
+    def read_back(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from godal_spark.functions import tiff as TF
+        for pdf in batches:
+            out = {"level_idx": [], "w": [], "h": [], "n_px7": [],
+                   "gt0": [], "gt1": [], "epsg": []}
+            for r in pdf.itertuples(index=False):
+                arrays, metas = TF.decode_tiff_all(bytes(r.cog))
+                for k, a in enumerate(arrays):
+                    out["level_idx"].append(k)
+                    out["h"].append(a.shape[0])
+                    out["w"].append(a.shape[1])
+                    out["n_px7"].append(int((a == 7).sum()))
+                    out["gt0"].append(metas[0]["gt"][0])
+                    out["gt1"].append(metas[0]["gt"][1])
+                    out["epsg"].append(metas[0]["epsg"])
+            yield pd.DataFrame(out)
+
+    return cogs.mapInPandas(
+        read_back, schema="level_idx int, w int, h int, n_px7 bigint, "
+                          "gt0 double, gt1 double, epsg int")
+
+
+SQL_COG_ROUNDTRIP = """
+SELECT * FROM (VALUES
+  (0, 40, 40, cast(1600 AS bigint), cast(10.0 AS double),
+   cast(0.5 AS double), 4326),
+  (1, 20, 20, cast(400 AS bigint), cast(10.0 AS double),
+   cast(0.5 AS double), 4326),
+  (2, 10, 10, cast(100 AS bigint), cast(10.0 AS double),
+   cast(0.5 AS double), 4326))
+  t(level_idx, w, h, n_px7, gt0, gt1, epsg)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2573,6 +2627,7 @@ QUERIES = {
     "token_bpe": q_token_bpe,
     "fingerprint": q_fingerprint,
     "crs_osgb": q_crs_osgb,
+    "cog_roundtrip": q_cog_roundtrip,
 }
 
 ORACLES = {
@@ -2639,4 +2694,5 @@ ORACLES = {
     "token_bpe": SQL_TOKEN_BPE,
     "fingerprint": SQL_FINGERPRINT,
     "crs_osgb": SQL_CRS_OSGB,
+    "cog_roundtrip": SQL_COG_ROUNDTRIP,
 }

@@ -201,6 +201,10 @@ def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> 
         return decode_png(bytes(buf))
     if f in ("jpeg", "jpg", "fjpg"):
         return decode_jpeg(bytes(buf))
+    if f in ("tiff", "tif", "gtiff", "cog"):
+        from godal_spark.functions.tiff import decode_tiff
+
+        return decode_tiff(bytes(buf))[0]
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -217,6 +221,10 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return encode_jpeg(arr, quality=JPEG_QUALITY)
     if f == "fjpg":
         return encode_fake_jpeg(arr)
+    if f in ("tiff", "tif", "gtiff"):
+        from godal_spark.functions.tiff import encode_tiff
+
+        return encode_tiff(arr, compression="deflate")
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

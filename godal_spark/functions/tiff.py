@@ -1,0 +1,556 @@
+"""TIFF / GeoTIFF / COG container codec — pure numpy + stdlib zlib.
+
+The reference engine's native world is GeoTIFF (GDAL's default driver;
+cogify/cogify-main.go builds Cloud-Optimized GeoTIFFs). This module
+gives the engine a REAL TIFF container so the cogify sink can emit
+actual COG bytes and the ingest path can read the world's TIFFs:
+
+  decode:  classic TIFF (II/MM), strips or tiles, PlanarConfig=1,
+           Compression 1 (none) / 5 (LZW, with the TIFF early-change
+           rule) / 8+32946 (deflate) / 32773 (PackBits), horizontal
+           Predictor 2, uint8/16/32, int8/16/32, float32/64, 1..N
+           samples per pixel; multi-IFD chains (overview pyramids);
+           GeoTIFF ModelPixelScale + ModelTiepoint → geotransform and
+           GeoKeyDirectory → EPSG code.
+  encode:  little-endian, strips (small) or tiles, deflate / none /
+           PackBits, optional predictor 2, geo tags; `encode_cog`
+           chains a full-resolution tiled IFD + reduced-resolution
+           overview IFDs (the COG layout: all IFDs up front, tile data
+           after — cogify/cogify-main.go:59-157 semantics).
+
+Validated against EXTERNAL javax.imageio TIFF fixtures
+(functions/tiff_fixtures.py) — no code shared with this writer — the
+same strategy that caught the round-4 progressive-JPEG bug.
+Error-first: BigTIFF, PlanarConfig=2, JPEG-in-TIFF, subsampled YCbCr.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# baseline + geo tags this codec understands
+_T_IMAGE_WIDTH = 256
+_T_IMAGE_LENGTH = 257
+_T_BITS_PER_SAMPLE = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SAMPLES_PER_PIXEL = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_BYTE_COUNTS = 279
+_T_PLANAR_CONFIG = 284
+_T_PREDICTOR = 317
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_BYTE_COUNTS = 325
+_T_SAMPLE_FORMAT = 339
+_T_MODEL_PIXEL_SCALE = 33550
+_T_MODEL_TIEPOINT = 33922
+_T_GEO_KEY_DIRECTORY = 34735
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
+             11: "f", 12: "d"}
+
+
+# ---------------------------------------------------------------------------
+# compression
+# ---------------------------------------------------------------------------
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW: MSB-first bit order, 9-bit initial codes,
+    Clear=256 / EOI=257, and the TIFF "early change" — the code width
+    bumps one code EARLIER than the table-size power of two (TIFF 6.0
+    spec p.61; this is what javax/libtiff emit)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")  # 256 clear
+        table.append(b"")  # 257 eoi
+        return 9
+
+    width = reset()
+    bitbuf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                width = reset()
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early change: grow when the NEXT code would not fit
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW writer (same early-change rule as the reader)."""
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    table: dict[bytes, int] = {}
+
+    def reset():
+        table.clear()
+        for i in range(256):
+            table[bytes([i])] = i
+        return 258, 9
+
+    next_code, width = reset()
+    out_bits.append((256, width))
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w = w + c
+            continue
+        out_bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: clear
+            out_bits.append((256, width))
+            next_code, width = reset()
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    buf = bytearray()
+    acc = 0
+    nacc = 0
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        nacc += wd
+        while nacc >= 8:
+            buf.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+    if nacc:
+        buf.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(buf)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # run of equal bytes?
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        if j > i:  # run length >= 2
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal run until the next 3-byte repeat
+        j = i
+        while (j + 1 < n and j - i < 127
+               and not (j + 2 < n and data[j + 1] == data[j + 2] == data[j])):
+            j += 1
+        out.append(j - i)
+        out += data[i:j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def _decompress(data: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return data
+    if compression == 5:
+        return _lzw_decode(data)
+    if compression in (8, 32946):
+        return zlib.decompress(data)
+    if compression == 32773:
+        return _packbits_decode(data)
+    raise NotImplementedError(f"tiff: compression {compression} "
+                              "(JPEG-in-TIFF etc. need codec libraries)")
+
+
+_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+
+def _compress(data: bytes, compression: str) -> bytes:
+    if compression == "none":
+        return data
+    if compression == "deflate":
+        return zlib.compress(data, 6)
+    if compression == "lzw":
+        return _lzw_encode(data)
+    if compression == "packbits":
+        return _packbits_encode(data)
+    raise ValueError(f"tiff: unknown compression {compression!r}")
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _read_ifd(buf: bytes, off: int, en: str) -> tuple[dict, int]:
+    n = struct.unpack_from(en + "H", buf, off)[0]
+    tags: dict[int, tuple] = {}
+    for i in range(n):
+        base = off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(en + "HHI", buf, base)
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= 4:
+            voff = base + 8
+        else:
+            voff = struct.unpack_from(en + "I", buf, base + 8)[0]
+        if typ in _TYPE_FMT:
+            vals = struct.unpack_from(en + str(cnt) + _TYPE_FMT[typ],
+                                      buf, voff)
+        elif typ in (5, 10):  # rationals
+            raw = struct.unpack_from(en + str(2 * cnt) + "I"
+                                     if typ == 5 else en + str(2 * cnt) + "i",
+                                     buf, voff)
+            vals = tuple(raw[2 * k] / (raw[2 * k + 1] or 1)
+                         for k in range(cnt))
+        else:  # ASCII / UNDEFINED
+            vals = (buf[voff:voff + cnt],)
+        tags[tag] = vals
+    nxt = struct.unpack_from(en + "I", buf, off + 2 + n * 12)[0]
+    return tags, nxt
+
+
+def _dtype_of(tags: dict) -> np.dtype:
+    bits = tags.get(_T_BITS_PER_SAMPLE, (8,))[0]
+    sfmt = tags.get(_T_SAMPLE_FORMAT, (1,))[0]
+    if sfmt == 1:
+        return {8: np.uint8, 16: np.uint16, 32: np.uint32}[bits]
+    if sfmt == 2:
+        return {8: np.int8, 16: np.int16, 32: np.int32}[bits]
+    if sfmt == 3:
+        return {32: np.float32, 64: np.float64}[bits]
+    raise NotImplementedError(f"tiff: sample format {sfmt}/{bits}")
+
+
+def _undo_predictor(raw: np.ndarray, predictor: int, spp: int) -> np.ndarray:
+    """raw is (rows, cols*spp) view of one strip/tile."""
+    if predictor == 1:
+        return raw
+    if predictor != 2:
+        raise NotImplementedError(f"tiff: predictor {predictor}")
+    h, wspp = raw.shape
+    r = raw.reshape(h, wspp // spp, spp)
+    return np.cumsum(r.astype(np.int64), axis=1).astype(raw.dtype) \
+        .reshape(h, wspp)
+
+
+def _decode_one_ifd(buf: bytes, tags: dict, en: str) -> np.ndarray:
+    w = tags[_T_IMAGE_WIDTH][0]
+    h = tags[_T_IMAGE_LENGTH][0]
+    spp = tags.get(_T_SAMPLES_PER_PIXEL, (1,))[0]
+    if tags.get(_T_PLANAR_CONFIG, (1,))[0] != 1:
+        raise NotImplementedError("tiff: PlanarConfiguration 2")
+    comp = tags.get(_T_COMPRESSION, (1,))[0]
+    pred = tags.get(_T_PREDICTOR, (1,))[0]
+    dt = np.dtype(_dtype_of(tags)).newbyteorder(en)
+    out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
+
+    if _T_TILE_OFFSETS in tags:
+        tw = tags[_T_TILE_WIDTH][0]
+        th = tags[_T_TILE_LENGTH][0]
+        offs = tags[_T_TILE_OFFSETS]
+        cnts = tags[_T_TILE_BYTE_COUNTS]
+        ntx = -(-w // tw)
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            ty, tx = idx // ntx, idx % ntx
+            raw = _decompress(buf[o:o + c], comp)
+            a = np.frombuffer(raw, dtype=dt, count=tw * th * spp) \
+                .reshape(th, tw * spp)
+            a = _undo_predictor(a, pred, spp)
+            a = a.reshape(th, tw, spp)
+            y0, x0 = ty * th, tx * tw
+            ys, xs = min(th, h - y0), min(tw, w - x0)
+            out[y0:y0 + ys, x0:x0 + xs] = a[:ys, :xs]
+    else:
+        rps = tags.get(_T_ROWS_PER_STRIP, (h,))[0]
+        offs = tags[_T_STRIP_OFFSETS]
+        cnts = tags[_T_STRIP_BYTE_COUNTS]
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            y0 = idx * rps
+            rows = min(rps, h - y0)
+            raw = _decompress(buf[o:o + c], comp)
+            a = np.frombuffer(raw, dtype=dt, count=rows * w * spp) \
+                .reshape(rows, w * spp)
+            a = _undo_predictor(a, pred, spp)
+            out[y0:y0 + rows] = a.reshape(rows, w, spp)
+    return out[:, :, 0] if spp == 1 else out
+
+
+def _geo_meta(tags: dict) -> dict:
+    meta: dict = {}
+    if _T_MODEL_PIXEL_SCALE in tags and _T_MODEL_TIEPOINT in tags:
+        sx, sy = tags[_T_MODEL_PIXEL_SCALE][0], tags[_T_MODEL_PIXEL_SCALE][1]
+        tp = tags[_T_MODEL_TIEPOINT]
+        # tiepoint (i, j, k, x, y, z): pixel (i,j) maps to geo (x,y)
+        i, j, x, y = tp[0], tp[1], tp[3], tp[4]
+        meta["gt"] = [x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy]
+    if _T_GEO_KEY_DIRECTORY in tags:
+        kd = tags[_T_GEO_KEY_DIRECTORY]
+        for k in range(1, len(kd) // 4):
+            key, loc, cnt, val = kd[4 * k:4 * k + 4]
+            if key in (2048, 3072) and loc == 0:  # Geographic / Projected CS
+                meta["epsg"] = int(val)
+    return meta
+
+
+def decode_tiff(buf: bytes, ifd: int = 0):
+    """Decode one IFD (default: full resolution) → (array, meta). meta
+    carries gt/epsg when geo tags are present plus n_ifds (overview
+    count + 1)."""
+    arrays, metas = decode_tiff_all(buf, limit=None)
+    m = metas[ifd]
+    m["n_ifds"] = len(arrays)
+    return arrays[ifd], m
+
+
+def decode_tiff_all(buf: bytes, limit: int | None = None):
+    """Decode every IFD in the chain (COG: IFD0 full res, then
+    overviews). Returns (arrays, metas)."""
+    if buf[:2] == b"II":
+        en = "<"
+    elif buf[:2] == b"MM":
+        en = ">"
+    else:
+        raise ValueError("tiff: bad byte-order mark")
+    magic = struct.unpack_from(en + "H", buf, 2)[0]
+    if magic == 43:
+        raise NotImplementedError("tiff: BigTIFF")
+    if magic != 42:
+        raise ValueError(f"tiff: bad magic {magic}")
+    off = struct.unpack_from(en + "I", buf, 4)[0]
+    arrays, metas = [], []
+    while off and (limit is None or len(arrays) < limit):
+        tags, off = _read_ifd(buf, off, en)
+        arrays.append(_decode_one_ifd(buf, tags, en))
+        metas.append(_geo_meta(tags))
+    return arrays, metas
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def _sample_format_of(dt: np.dtype) -> int:
+    if dt.kind == "u":
+        return 1
+    if dt.kind == "i":
+        return 2
+    if dt.kind == "f":
+        return 3
+    raise ValueError(f"tiff: cannot encode dtype {dt}")
+
+
+def _apply_predictor(a: np.ndarray, spp: int) -> np.ndarray:
+    h, wspp = a.shape
+    r = a.reshape(h, wspp // spp, spp).astype(np.int64)
+    d = np.empty_like(r)
+    d[:, 0] = r[:, 0]
+    d[:, 1:] = r[:, 1:] - r[:, :-1]
+    return d.astype(a.dtype).reshape(h, wspp)
+
+
+class _IfdPlan:
+    """One IFD's entries + its pixel chunks (offsets patched at layout)."""
+
+    def __init__(self, arr: np.ndarray, tile: tuple[int, int] | None,
+                 compression: str, predictor: int,
+                 gt=None, epsg: int | None = None):
+        arr = np.asarray(arr)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, spp = arr.shape
+        dt = arr.dtype.newbyteorder("<")
+        self.chunks: list[bytes] = []
+        entries: list[tuple[int, int, int, tuple]] = []
+
+        def tag(t, typ, vals):
+            entries.append((t, typ, len(vals), tuple(vals)))
+
+        tag(_T_IMAGE_WIDTH, 4, [w])
+        tag(_T_IMAGE_LENGTH, 4, [h])
+        tag(_T_BITS_PER_SAMPLE, 3, [arr.dtype.itemsize * 8] * spp)
+        tag(_T_COMPRESSION, 3, [_COMP_CODES[compression]])
+        tag(_T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
+        tag(_T_SAMPLES_PER_PIXEL, 3, [spp])
+        if predictor != 1:
+            tag(_T_PREDICTOR, 3, [predictor])
+        tag(_T_SAMPLE_FORMAT, 3, [_sample_format_of(arr.dtype)] * spp)
+
+        if tile:
+            tw, th = tile
+            ntx, nty = -(-w // tw), -(-h // th)
+            for ty in range(nty):
+                for tx in range(ntx):
+                    block = np.zeros((th, tw, spp), dtype=arr.dtype)
+                    ys = min(th, h - ty * th)
+                    xs = min(tw, w - tx * tw)
+                    block[:ys, :xs] = arr[ty * th:ty * th + ys,
+                                          tx * tw:tx * tw + xs]
+                    flat = block.reshape(th, tw * spp)
+                    if predictor == 2:
+                        flat = _apply_predictor(flat, spp)
+                    self.chunks.append(_compress(
+                        np.ascontiguousarray(flat.astype(dt)).tobytes(),
+                        compression))
+            tag(_T_TILE_WIDTH, 3, [tw])
+            tag(_T_TILE_LENGTH, 3, [th])
+            tag(_T_TILE_OFFSETS, 4, [0] * len(self.chunks))
+            tag(_T_TILE_BYTE_COUNTS, 4, [len(c) for c in self.chunks])
+        else:
+            rps = max(1, min(h, 8192 // max(1, w * spp * arr.dtype.itemsize)
+                             or 1))
+            for y0 in range(0, h, rps):
+                rows = arr[y0:y0 + rps]
+                flat = rows.reshape(rows.shape[0], w * spp)
+                if predictor == 2:
+                    flat = _apply_predictor(flat, spp)
+                self.chunks.append(_compress(
+                    np.ascontiguousarray(flat.astype(dt)).tobytes(),
+                    compression))
+            tag(_T_ROWS_PER_STRIP, 4, [rps])
+            tag(_T_STRIP_OFFSETS, 4, [0] * len(self.chunks))
+            tag(_T_STRIP_BYTE_COUNTS, 4, [len(c) for c in self.chunks])
+
+        if gt is not None:
+            if gt[2] != 0.0 or gt[4] != 0.0:
+                raise NotImplementedError(
+                    "tiff geo tags: rotated geotransforms need a "
+                    "ModelTransformationTag (not emitted)")
+            tag(_T_MODEL_PIXEL_SCALE, 12, [gt[1], -gt[5], 0.0])
+            tag(_T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
+        if epsg is not None:
+            model = 2 if epsg in (4326, 4269, 4258) else 1
+            kd = [1, 1, 0, 3,
+                  1024, 0, 1, model]          # GTModelTypeGeoKey
+            if model == 2:
+                kd += [2048, 0, 1, epsg]       # GeographicTypeGeoKey
+            else:
+                kd += [3072, 0, 1, epsg]       # ProjectedCSTypeGeoKey
+            kd += [1025, 0, 1, 1]              # RasterPixelIsArea
+            kd[3] = len(kd) // 4 - 1
+            tag(_T_GEO_KEY_DIRECTORY, 3, kd)
+        self.entries = sorted(entries)
+
+
+def _encode_ifds(plans: list[_IfdPlan]) -> bytes:
+    """Layout: header, all IFDs + their out-of-line values (COG wants
+    metadata up front), then every IFD's pixel chunks."""
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    # pass 1: compute sizes
+    ifd_sizes = []
+    for p in plans:
+        extra = sum(_TYPE_SIZES[t] * c for (_, t, c, _) in
+                    [(e[0], e[1], e[2], e[3]) for e in p.entries]
+                    if _TYPE_SIZES[t] * c > 4)
+        ifd_sizes.append(2 + len(p.entries) * 12 + 4 + extra)
+    data_start = 8 + sum(ifd_sizes)
+    if data_start % 2:
+        data_start += 1
+    # assign chunk offsets
+    chunk_offsets: list[list[int]] = []
+    pos = data_start
+    for p in plans:
+        offs = []
+        for c in p.chunks:
+            offs.append(pos)
+            pos += len(c) + (len(c) & 1)
+        chunk_offsets.append(offs)
+    # pass 2: serialize IFDs
+    out = bytearray(header)
+    ifd_off = 8
+    for i, p in enumerate(plans):
+        extra_off = ifd_off + 2 + len(p.entries) * 12 + 4
+        next_ifd = ifd_off + ifd_sizes[i] if i + 1 < len(plans) else 0
+        body = bytearray(struct.pack("<H", len(p.entries)))
+        extra = bytearray()
+        for (t, typ, cnt, vals) in p.entries:
+            if t in (_T_STRIP_OFFSETS, _T_TILE_OFFSETS):
+                vals = tuple(chunk_offsets[i])
+            fmt = _TYPE_FMT[typ]
+            raw = struct.pack("<" + str(cnt) + fmt, *vals)
+            if len(raw) <= 4:
+                body += struct.pack("<HHI", t, typ, cnt) + raw.ljust(4, b"\0")
+            else:
+                body += struct.pack("<HHII", t, typ, cnt,
+                                    extra_off + len(extra))
+                extra += raw
+        body += struct.pack("<I", next_ifd)
+        out += body + extra
+        ifd_off += ifd_sizes[i]
+    while len(out) < data_start:
+        out += b"\0"
+    for i, p in enumerate(plans):
+        for c in p.chunks:
+            out += c
+            if len(c) & 1:
+                out += b"\0"
+    return bytes(out)
+
+
+def encode_tiff(arr: np.ndarray, *, tile: tuple[int, int] | None = None,
+                compression: str = "deflate", predictor: int = 1,
+                gt=None, epsg: int | None = None) -> bytes:
+    """Single-IFD TIFF (strips by default, tiled when `tile` given)."""
+    return _encode_ifds([_IfdPlan(arr, tile, compression, predictor,
+                                  gt=gt, epsg=epsg)])
+
+
+def encode_cog(levels: list[np.ndarray], *, tile: tuple[int, int] = (256, 256),
+               compression: str = "deflate", predictor: int = 1,
+               gt=None, epsg: int | None = None) -> bytes:
+    """Cloud-Optimized GeoTIFF layout: levels[0] = full resolution,
+    levels[1:] = successive overviews; ALL tiled; every IFD + tag data
+    precedes the pixel chunks so a ranged reader gets the whole
+    metadata tree in one head request (cogify/cogify-main.go:59-157
+    contract). Geo tags land on IFD0; overview gts derive from the
+    level scale on read."""
+    plans = []
+    for k, lv in enumerate(levels):
+        plans.append(_IfdPlan(lv, tile, compression, predictor,
+                              gt=gt if k == 0 else None,
+                              epsg=epsg if k == 0 else None))
+    return _encode_ifds(plans)

@@ -271,3 +271,65 @@ def build_overviews(tiles_l0: DataFrame, min_size: int = 256,
         out = nxt if out is None else out.unionByName(nxt)
         cur = nxt
     return out if out is not None else tiles_l0.limit(0)
+
+
+def cog_write(tiles: DataFrame, *, images_meta: DataFrame | None = None,
+              tile_size: int = 256, compression: str = "deflate") -> DataFrame:
+    """The cogify sink (cogify/cogify-main.go:59-157): assemble each
+    (image_id, band)'s level-0 + overview tile rows into REAL
+    Cloud-Optimized GeoTIFF bytes (functions/tiff.py — tiled IFD chain,
+    all metadata ahead of the pixel data, deflate by default).
+
+    Scale shape: one export task per (image_id, band) — the per-image
+    gather documented for bounded-size images (the distributed
+    representation IS the tile table; this operator is the export
+    edge, and a 1000-executor run exports the catalog in parallel).
+    `images_meta` (image_id, gt, srs) attaches GeoTIFF tags; an
+    'EPSG:nnnn' srs lands in the GeoKeyDirectory.
+    Returns (image_id, band, n_levels, nbytes, cog binary).
+    """
+    from godal_spark.functions import tiff as TF
+
+    t = tiles
+    if images_meta is not None:
+        t = t.join(F.broadcast(images_meta.select("image_id", "gt", "srs")),
+                   "image_id", "left")
+    else:
+        t = t.withColumn("gt", F.lit(None).cast("array<double>")) \
+             .withColumn("srs", F.lit(None).cast("string"))
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id, band = key
+        w, h = int(pdf["w"].iloc[0]), int(pdf["h"].iloc[0])
+        dt = np.dtype(pdf["dtype"].iloc[0])
+        levels = sorted({int(v) for v in pdf["level"]})
+        arrs = []
+        for lv in levels:
+            lw, lh = overview_size(w, h, max(lv, 1))
+            arr = np.zeros((lh, lw), dtype=dt)
+            sub = pdf[pdf["level"] == lv]
+            for r in sub.itertuples(index=False):
+                a = np.frombuffer(r.payload, dt).reshape(r.bh, r.bw)
+                arr[r.y0:r.y0 + r.bh, r.x0:r.x0 + r.bw] = a
+            arrs.append(arr)
+        gt = pdf["gt"].iloc[0]
+        gt = [float(v) for v in gt] if gt is not None else None
+        srs = pdf["srs"].iloc[0]
+        epsg = None
+        if isinstance(srs, str) and srs.upper().startswith("EPSG:"):
+            try:
+                epsg = int(srs[5:])
+            except ValueError:
+                pass
+        buf = TF.encode_cog(arrs, tile=(tile_size, tile_size),
+                            compression=compression, gt=gt, epsg=epsg)
+        return pd.DataFrame({"image_id": [image_id], "band": [int(band)],
+                             "n_levels": [len(arrs)],
+                             "nbytes": [len(buf)], "cog": [buf]})
+
+    sc = t.sparkSession.sparkContext
+    return (t.repartition(sc.defaultParallelism * 2, "image_id", "band")
+            .groupBy("image_id", "band")
+            .applyInPandas(assemble,
+                           schema="image_id string, band int, n_levels int, "
+                                  "nbytes long, cog binary"))
