@@ -2554,6 +2554,56 @@ SELECT * FROM (VALUES
 """
 
 
+def q_tiff_ingest(spark, sf_dir):
+    """Real-world TIFF ingest contract (the reference's native format):
+    four encodings of the deterministic 61x43 card — strip-deflate,
+    strip-LZW, strip-PackBits, tiled-deflate-predictor2 — all decode
+    through the Spark path to identical shape and pixel sum. The oracle
+    recomputes the card sum relationally from the shared formula
+    (120 + y//4 + x//3) % 256."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.functions import tiff as TF
+
+    yy, xx = np.mgrid[0:43, 0:61]
+    card = ((120 + yy // 4 + xx // 3) % 256).astype(np.uint8)
+    encs = {
+        "strip_deflate": TF.encode_tiff(card, compression="deflate"),
+        "strip_lzw": TF.encode_tiff(card, compression="lzw"),
+        "strip_packbits": TF.encode_tiff(card, compression="packbits"),
+        "tiled_pred": TF.encode_tiff(card, tile=(16, 16),
+                                     compression="deflate", predictor=2),
+    }
+    src = spark.createDataFrame(pd.DataFrame(
+        {"enc": list(encs), "bytes": list(encs.values())}))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from godal_spark.functions import codecs
+        for pdf in batches:
+            out = {"enc": [], "w": [], "h": [], "px_sum": []}
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(bytes(r.bytes), "tiff")
+                out["enc"].append(r.enc)
+                out["h"].append(arr.shape[0])
+                out["w"].append(arr.shape[1])
+                out["px_sum"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        gen, schema="enc string, w int, h int, px_sum bigint")
+
+
+SQL_TIFF_INGEST = """
+WITH px AS (
+  SELECT (120 + y // 4 + x // 3) % 256 AS v
+  FROM (SELECT unnest(range(0, 43)) AS y)
+  CROSS JOIN (SELECT unnest(range(0, 61)) AS x)),
+tot AS (SELECT cast(sum(v) AS bigint) AS s FROM px)
+SELECT enc, 61 AS w, 43 AS h, (SELECT s FROM tot) AS px_sum
+FROM (VALUES ('strip_deflate'), ('strip_lzw'), ('strip_packbits'),
+             ('tiled_pred')) e(enc)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2628,6 +2678,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "crs_osgb": q_crs_osgb,
     "cog_roundtrip": q_cog_roundtrip,
+    "tiff_ingest": q_tiff_ingest,
 }
 
 ORACLES = {
@@ -2695,4 +2746,5 @@ ORACLES = {
     "fingerprint": SQL_FINGERPRINT,
     "crs_osgb": SQL_CRS_OSGB,
     "cog_roundtrip": SQL_COG_ROUNDTRIP,
+    "tiff_ingest": SQL_TIFF_INGEST,
 }

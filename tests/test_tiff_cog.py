@@ -105,6 +105,26 @@ def test_codecs_dispatch_tiff():
     assert np.array_equal(codecs.decode(buf, "tiff"), a)
 
 
+def test_tiff_ingest_through_tiles(spark):
+    """images table rows with fmt='tiff' flow through the normal tile
+    explode (codecs dispatch → functions/tiff.py decode)."""
+    from godal_spark import datagen
+    from godal_spark.operators import tiling as TL
+
+    a = _gray_card(40, 28)
+    imgs = datagen.images_df(spark, [datagen.image_row("t", a, "tiff")])
+    tiles = TL.explode_tiles(imgs, bw=16, bh=16)
+    got = {}
+    for r in tiles.collect():
+        arr = np.frombuffer(r.payload, np.dtype(r.dtype)).reshape(r.bh, r.bw)
+        got[(r.block_y, r.block_x)] = arr
+    full = np.zeros_like(a)
+    for (by, bx), arr in got.items():
+        full[by * 16:by * 16 + arr.shape[0],
+             bx * 16:bx * 16 + arr.shape[1]] = arr
+    assert np.array_equal(full, a)
+
+
 def test_cog_write_end_to_end(spark):
     """Distributed cogify: image → tile explode → overview pyramid →
     cog_write → REAL COG bytes whose IFD chain reproduces every level
