@@ -22,6 +22,12 @@ Validated against EXTERNAL javax.imageio TIFF fixtures
 (functions/tiff_fixtures.py) — no code shared with this writer — the
 same strategy that caught the round-4 progressive-JPEG bug.
 Error-first: BigTIFF, PlanarConfig=2, JPEG-in-TIFF, subsampled YCbCr.
+
+Performance note: deflate rides stdlib zlib (C speed) and is the
+default for everything the engine writes; the LZW/PackBits coders are
+pure-Python bit walks kept for READ compatibility with the world's
+files — bulk pipelines should transcode LZW sources to deflate/raw at
+ingest (one pass) rather than decode LZW in the hot path.
 """
 
 from __future__ import annotations
