@@ -149,3 +149,5 @@ def test_python_heavy_stages_declare_parallelism(spark):
         "fid long, geometry binary")
     assert has_repartition(
         RZ.rasterize_tiles(fps, te=(0, 0, 8, 8), ts=(8, 8), bw=4, bh=4))
+    # round-5 export stage follows the same rule
+    assert has_repartition(tiling.cog_write(tiles, tile_size=4))
