@@ -2604,6 +2604,32 @@ FROM (VALUES ('strip_deflate'), ('strip_lzw'), ('strip_packbits'),
 """
 
 
+def q_video_avi(spark, sf_dir):
+    """REAL uncompressed-AVI video decode (round 5, functions/avi.py):
+    six constant gray frames (value 10k) in a RIFF/AVI container,
+    frame-sampled every 2 through the Spark path. Frame means are
+    analytic (mean of a constant frame IS the constant), so the oracle
+    derives (frame_idx, mean) relationally."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.functions import avi as AV
+    from godal_spark.operators import multimodal as MM
+
+    payload = AV.encode_avi(
+        [np.full((12, 16), 10 * k, np.uint8) for k in range(6)], rate=5)
+    vids = spark.createDataFrame(pd.DataFrame(
+        {"video_id": ["clip"], "bytes": [payload]}))
+    out = MM.frame_sample_video(vids, every_n=2, total_frames=100)
+    return out.select("video_id", "frame_idx",
+                      F.round("mean", 4).alias("mean"))
+
+
+SQL_VIDEO_AVI = """
+SELECT 'clip' AS video_id, cast(2 * i AS int) AS frame_idx,
+       cast(20.0 * i AS double) AS mean
+FROM (SELECT unnest(range(0, 3)) AS i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2679,6 +2705,7 @@ QUERIES = {
     "crs_osgb": q_crs_osgb,
     "cog_roundtrip": q_cog_roundtrip,
     "tiff_ingest": q_tiff_ingest,
+    "video_avi": q_video_avi,
 }
 
 ORACLES = {
@@ -2747,4 +2774,5 @@ ORACLES = {
     "crs_osgb": SQL_CRS_OSGB,
     "cog_roundtrip": SQL_COG_ROUNDTRIP,
     "tiff_ingest": SQL_TIFF_INGEST,
+    "video_avi": SQL_VIDEO_AVI,
 }

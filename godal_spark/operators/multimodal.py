@@ -10,9 +10,10 @@ tested.
 
   * decode_image_features — decode → (mean/std/shape/phash64) features
   * resize_images         — decode → resample → re-encode (batch)
-  * frame_sample_video    — STUB decode: deterministic fake frames from
-    the payload hash; emits one row per sampled frame (the real operator
-    plugs a decoder into `_fake_video_frames` only)
+  * frame_sample_video    — one row per sampled frame; REAL decode for
+    RIFF/AVI (uncompressed DIB + MJPG riding the engine's own JPEG
+    decoder, functions/avi.py), error-first for compressed containers
+    (decoder='fake' opts into the deterministic stub)
   * audio_features        — per-window RMS; REAL decode for WAV,
     error-first for compressed (decoder='fake' opts into the stub)
   * audio_summary         — per-clip rate/duration/RMS/peak/ZCR over
@@ -100,20 +101,40 @@ def _fake_video_frames(payload: bytes, n_frames: int, w: int = 16, h: int = 16):
 
 
 def frame_sample_video(videos: DataFrame, every_n: int = 10,
-                       total_frames: int = 100) -> DataFrame:
+                       total_frames: int = 100,
+                       decoder: str = "auto") -> DataFrame:
     """videos(video_id, bytes, ...) → one row per sampled frame with a
-    frame feature vector. Decode is the stub above; batching real."""
+    frame feature vector. RIFF/AVI payloads decode for REAL since
+    round 5 (functions/avi.py: uncompressed DIB + MJPG-over-our-JPEG);
+    other containers are compressed video and error-first
+    (decoder='fake' keeps the deterministic stub for plumbing tests)."""
+    from godal_spark.functions import avi as AVI
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"video_id": [], "frame_idx": [], "mean": [], "std": []}
             for r in pdf.itertuples(index=False):
-                n = total_frames // every_n
-                for idx, frame in _fake_video_frames(bytes(r.bytes), n):
+                payload = bytes(r.bytes)
+                if decoder == "fake":
+                    n = total_frames // every_n
+                    sampled = ((i * every_n, f) for i, f in
+                               _fake_video_frames(payload, n))
+                elif AVI.is_avi(payload):
+                    frames, _ = AVI.decode_avi(payload,
+                                               max_frames=total_frames)
+                    sampled = ((i, f) for i, f in enumerate(frames)
+                               if i % every_n == 0)
+                else:
+                    raise NotImplementedError(
+                        "video decode: non-AVI container — compressed "
+                        "video needs an external codec library (pass "
+                        "decoder='fake' for plumbing tests)")
+                for idx, frame in sampled:
+                    plane = frame if frame.ndim == 2 else frame.mean(axis=2)
                     out["video_id"].append(r.video_id)
-                    out["frame_idx"].append(idx * every_n)
-                    out["mean"].append(float(frame.mean()))
-                    out["std"].append(float(frame.std()))
+                    out["frame_idx"].append(idx)
+                    out["mean"].append(float(plane.mean()))
+                    out["std"].append(float(plane.std()))
             yield pd.DataFrame(out)
 
     return videos.mapInPandas(

@@ -200,10 +200,37 @@ def test_multimodal_image_features(spark):
 def test_multimodal_stubs_deterministic(spark):
     vids = spark.createDataFrame(pd.DataFrame(
         {"video_id": ["v1"], "bytes": [b"payload-bytes-123"]}))
-    f1 = MM.frame_sample_video(vids, every_n=10, total_frames=50).collect()
-    f2 = MM.frame_sample_video(vids, every_n=10, total_frames=50).collect()
+    # non-AVI payloads are compressed video -> error-first unless the
+    # caller opts into the plumbing stub
+    with pytest.raises(Exception, match="codec library"):
+        MM.frame_sample_video(vids, every_n=10, total_frames=50).collect()
+    f1 = MM.frame_sample_video(vids, every_n=10, total_frames=50,
+                               decoder="fake").collect()
+    f2 = MM.frame_sample_video(vids, every_n=10, total_frames=50,
+                               decoder="fake").collect()
     assert [r.mean for r in f1] == [r.mean for r in f2]
     assert len(f1) == 5
+
+
+def test_video_avi_real_decode(spark):
+    """Round 5: uncompressed AVI decodes for REAL — deterministic gray
+    frames whose means are pinned analytically; MJPG-in-AVI rides the
+    engine's JPEG decoder at PSNR-grade fidelity."""
+    from godal_spark.functions import avi as AV
+
+    frames = [np.full((12, 16), 10 * k, np.uint8) for k in range(6)]
+    payload = AV.encode_avi(frames, rate=5)
+    vids = spark.createDataFrame(pd.DataFrame(
+        {"video_id": ["a1"], "bytes": [payload]}))
+    rows = MM.frame_sample_video(vids, every_n=2, total_frames=100).collect()
+    got = {r.frame_idx: r.mean for r in rows}
+    assert got == {0: 0.0, 2: 20.0, 4: 40.0}
+    # MJPG: constant frames survive the JPEG hop near-exactly
+    mj = AV.encode_avi([np.full((16, 16), 100, np.uint8)], codec="MJPG")
+    vids2 = spark.createDataFrame(pd.DataFrame(
+        {"video_id": ["m1"], "bytes": [mj]}))
+    r = MM.frame_sample_video(vids2, every_n=1).collect()[0]
+    assert r.mean == pytest.approx(100.0, abs=1.5)
     aud = spark.createDataFrame(pd.DataFrame(
         {"audio_id": ["a1"], "bytes": [b"pcm-payload"]}))
     # non-WAV payloads are compressed -> error-first unless the caller
