@@ -55,15 +55,19 @@ def transform_points(xs, ys, src: str, dst: str):
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     ssrc, sdst = src.strip(), dst.strip()
-    if ssrc.startswith("+") or sdst.startswith("+"):
+
+    def _is_defn(s: str) -> bool:
+        return s.startswith("+") or s[:6].upper() in ("PROJCS", "GEOGCS")
+
+    if _is_defn(ssrc) or _is_defn(sdst):
         if ssrc == sdst:
             return xs.copy(), ys.copy(), np.ones(xs.shape, dtype=bool)
-        if ssrc.startswith("+"):
+        if _is_defn(ssrc):
             lon, lat = _proj4_pair(ssrc)[1](xs, ys)
             ok = np.isfinite(lon) & np.isfinite(lat)
         else:
             lon, lat, ok = _to_4326(xs, ys, _parse_epsg(ssrc))
-        if sdst.startswith("+"):
+        if _is_defn(sdst):
             ox, oy = _proj4_pair(sdst)[0](lon, lat)
             return ox, oy, ok & np.isfinite(ox) & np.isfinite(oy)
         ox, oy, ok2 = _from_4326(lon, lat, _parse_epsg(sdst))
@@ -721,7 +725,12 @@ def from_proj4(defn: str):
     """(fwd, inv) transform pair for a PROJ4 definition string:
     fwd(lon_wgs84, lat_wgs84) -> (x, y), inv(x, y) -> (lon, lat) on
     WGS84. See the subset note above; error-first beyond it."""
-    p = _parse_proj4(defn)
+    return _build_transform(_parse_proj4(defn))
+
+
+def _build_transform(p: dict):
+    """Dispatch a parsed parameter dict (proj4 tokens — also the target
+    the WKT1 parser lowers into) to the projection kernels."""
     proj = str(p.get("proj", ""))
     if p.get("units", "m") not in ("m", True):
         raise NotImplementedError("proj4: only metre units")
@@ -843,12 +852,160 @@ def from_proj4(defn: str):
     raise NotImplementedError(f"proj4: +proj={proj!r}")
 
 
+# ---------------------------------------------------------------------------
+# WKT1 CRS definitions (round 5): the reference's third CRS entry point
+# (srs.go NewSpatialRefFromWKT). The parser lowers PROJCS/GEOGCS trees
+# into the same parameter dict the proj4 path dispatches, so the two
+# front-ends share every kernel and the same documented subset.
+# ---------------------------------------------------------------------------
+
+_WKT_PROJECTIONS = {
+    "transverse_mercator": "tmerc",
+    "lambert_conformal_conic_2sp": "lcc",
+    "lambert_conformal_conic_1sp": "lcc",
+    "lambert_conformal_conic": "lcc",
+    "albers_conic_equal_area": "aea",
+    "lambert_azimuthal_equal_area": "laea",
+    "cylindrical_equal_area": "cea",
+    "polar_stereographic": "stere",
+    "mercator_1sp": "merc",
+}
+
+_WKT_PARAMS = {
+    "latitude_of_origin": "lat_0", "latitude_of_center": "lat_0",
+    "central_meridian": "lon_0", "longitude_of_center": "lon_0",
+    "scale_factor": "k_0", "false_easting": "x_0",
+    "false_northing": "y_0", "standard_parallel_1": "lat_1",
+    "standard_parallel_2": "lat_2",
+}
+
+
+def _wkt_tokenize(s: str):
+    """WKT1 node tree: (name, [children]); children are nodes, quoted
+    strings, or numbers."""
+    import re
+
+    toks = re.findall(r'"[^"]*"|[A-Za-z_][A-Za-z0-9_]*|[-+0-9.eE]+|[\[\],()]',
+                      s)
+    pos = 0
+
+    def node():
+        nonlocal pos
+        name = toks[pos]
+        pos += 1
+        if pos >= len(toks) or toks[pos] not in "[(":
+            return name
+        pos += 1  # [
+        kids = []
+        while toks[pos] not in "])":
+            if toks[pos] == ",":
+                pos += 1
+                continue
+            t = toks[pos]
+            if t.startswith('"'):
+                kids.append(t[1:-1])
+                pos += 1
+            elif t[0].isalpha() or t[0] == "_":
+                kids.append(node())
+            else:
+                kids.append(float(t))
+                pos += 1
+        pos += 1  # ]
+        return (name.upper(), kids)
+
+    return node()
+
+
+def _wkt_find(node, name: str):
+    if isinstance(node, tuple):
+        if node[0] == name:
+            return node
+        for k in node[1]:
+            got = _wkt_find(k, name)
+            if got is not None:
+                return got
+    return None
+
+
+def from_wkt_crs(wkt: str):
+    """(fwd, inv) transform pair for a WKT1 CRS string (PROJCS/GEOGCS).
+    Same projection/datum subset as from_proj4; error-first beyond."""
+    root = _wkt_tokenize(wkt.strip())
+    if not isinstance(root, tuple) or root[0] not in ("PROJCS", "GEOGCS"):
+        raise ValueError("wkt crs: expected PROJCS[...] or GEOGCS[...]")
+    p: dict = {}
+    sph = _wkt_find(root, "SPHEROID")
+    if sph is not None:
+        nums = [v for v in sph[1] if isinstance(v, float)]
+        p["a"] = str(nums[0])
+        if nums[1] != 0.0:
+            p["rf"] = str(nums[1])
+        else:
+            p["b"] = str(nums[0])  # sphere
+    tw = _wkt_find(root, "TOWGS84")
+    if tw is not None:
+        p["towgs84"] = ",".join(str(v) for v in tw[1]
+                                if isinstance(v, float))
+    pm = _wkt_find(root, "PRIMEM")
+    if pm is not None:
+        nums = [v for v in pm[1] if isinstance(v, float)]
+        if nums and nums[0] != 0.0:
+            raise NotImplementedError("wkt crs: non-Greenwich prime meridian")
+    if root[0] == "GEOGCS":
+        p["proj"] = "longlat"
+        return _build_transform(p)
+    prj = _wkt_find(root, "PROJECTION")
+    if prj is None:
+        raise ValueError("wkt crs: PROJCS without PROJECTION")
+    pname = str(prj[1][0]).lower()
+    if pname not in _WKT_PROJECTIONS:
+        raise NotImplementedError(f"wkt crs: projection {prj[1][0]!r}")
+    p["proj"] = _WKT_PROJECTIONS[pname]
+    unit = None
+    for k in root[1]:
+        if isinstance(k, tuple) and k[0] == "UNIT":
+            unit = k
+    if unit is not None:
+        nums = [v for v in unit[1] if isinstance(v, float)]
+        if nums and abs(nums[0] - 1.0) > 1e-12:
+            raise NotImplementedError("wkt crs: only metre units")
+
+    def walk_params(node):
+        if isinstance(node, tuple):
+            if node[0] == "PARAMETER":
+                key = str(node[1][0]).lower()
+                val = node[1][1]
+                if key in _WKT_PARAMS:
+                    p[_WKT_PARAMS[key]] = str(val)
+                else:
+                    raise NotImplementedError(f"wkt crs: parameter {key!r}")
+            else:
+                for k in node[1]:
+                    walk_params(k)
+
+    walk_params(root)
+    if p["proj"] == "stere":
+        # WKT Polar_Stereographic: latitude_of_origin IS the standard
+        # parallel; the pole comes from its hemisphere
+        ts = float(p.pop("lat_0", 90.0))
+        p["lat_ts"] = str(ts)
+        p["lat_0"] = "90" if ts >= 0 else "-90"
+    if p["proj"] == "cea" and "lat_1" in p:
+        p["lat_ts"] = p.pop("lat_1")
+    if p["proj"] == "lcc" and "lat_2" not in p and "lat_1" not in p:
+        p["lat_1"] = p.get("lat_0", "0")  # 1SP form
+    return _build_transform(p)
+
+
 _PROJ4_CACHE: dict[str, tuple] = {}
 
 
 def _proj4_pair(defn: str):
     if defn not in _PROJ4_CACHE:
-        _PROJ4_CACHE[defn] = from_proj4(defn)
+        if defn.lstrip()[:6].upper() in ("PROJCS", "GEOGCS"):
+            _PROJ4_CACHE[defn] = from_wkt_crs(defn)
+        else:
+            _PROJ4_CACHE[defn] = from_proj4(defn)
     return _PROJ4_CACHE[defn]
 
 

@@ -663,6 +663,56 @@ def test_crs_proj4_definitions():
             crs.transform_points([0.0], [0.0], "EPSG:4326", bad)
 
 
+def test_crs_wkt1_definitions():
+    """WKT1 CRS strings (round 5; reference srs.go NewSpatialRefFromWKT):
+    PROJCS/GEOGCS trees lower into the same parameter dispatch as proj4
+    — SPHEROID/TOWGS84/PROJECTION/PARAMETER all honored."""
+    osgb_wkt = (
+        'PROJCS["OSGB 1936 / British National Grid",'
+        'GEOGCS["OSGB 1936",DATUM["OSGB_1936",'
+        'SPHEROID["Airy 1830",6377563.396,299.3249646],'
+        'TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",49],'
+        'PARAMETER["central_meridian",-2],'
+        'PARAMETER["scale_factor",0.9996012717],'
+        'PARAMETER["false_easting",400000],'
+        'PARAMETER["false_northing",-100000],'
+        'UNIT["metre",1],AUTHORITY["EPSG","27700"]]')
+    lon = np.array([-0.1278])
+    lat = np.array([51.5074])
+    x1, y1, ok = crs.transform_points(lon, lat, "EPSG:4326", osgb_wkt)
+    x2, y2, _ = crs.transform_points(lon, lat, "EPSG:4326", "EPSG:27700")
+    assert ok.all()
+    assert abs(x1[0] - x2[0]) < 0.01 and abs(y1[0] - y2[0]) < 0.01
+    bx, by, _ = crs.transform_points(x1, y1, osgb_wkt, "EPSG:4326")
+    assert abs(bx[0] - lon[0]) < 1e-7 and abs(by[0] - lat[0]) < 1e-7
+    utm32 = ('PROJCS["WGS 84 / UTM zone 32N",GEOGCS["WGS 84",'
+             'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+             'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+             'PROJECTION["Transverse_Mercator"],'
+             'PARAMETER["latitude_of_origin",0],'
+             'PARAMETER["central_meridian",9],'
+             'PARAMETER["scale_factor",0.9996],'
+             'PARAMETER["false_easting",500000],'
+             'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    xu, yu, _ = crs.transform_points([7.1], [50.7], "EPSG:4326", utm32)
+    xe, ye, _ = crs.transform_points([7.1], [50.7], "EPSG:4326",
+                                     "EPSG:32632")
+    assert xu[0] == xe[0] and yu[0] == ye[0]
+    geog = ('GEOGCS["WGS 84",DATUM["WGS_1984",'
+            'SPHEROID["WGS 84",6378137,298.257223563]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]')
+    gx, gy, _ = crs.transform_points([5.0], [45.0], geog, "EPSG:4326")
+    assert gx[0] == 5.0 and gy[0] == 45.0
+    with pytest.raises(NotImplementedError, match="Robinson"):
+        crs.transform_points(
+            [0.0], [0.0], "EPSG:4326",
+            'PROJCS["x",GEOGCS["y",DATUM["z",SPHEROID["s",6378137,298]]],'
+            'PROJECTION["Robinson"],UNIT["metre",1]]')
+
+
 def test_crs_osgb_datum_shift():
     """EPSG:27700 (round 5 — first TRUE Helmert datum shift). The TM-on-
     Airy projection core reproduces the OS 'Guide to coordinate systems
