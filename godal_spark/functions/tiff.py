@@ -21,7 +21,9 @@ actual COG bytes and the ingest path can read the world's TIFFs:
 Validated against EXTERNAL javax.imageio TIFF fixtures
 (functions/tiff_fixtures.py) — no code shared with this writer — the
 same strategy that caught the round-4 progressive-JPEG bug.
-Error-first: BigTIFF, PlanarConfig=2, JPEG-in-TIFF, subsampled YCbCr.
+BigTIFF (magic 43, u64 offsets) reads AND writes — the form a
+100 TB mosaic's >4 GB COG actually needs; encode_cog auto-switches.
+Error-first: PlanarConfig=2, JPEG-in-TIFF, subsampled YCbCr.
 
 Performance note: deflate rides stdlib zlib (C speed) and is the
 default for everything the engine writes; the LZW/PackBits coders are
@@ -59,9 +61,9 @@ _T_MODEL_TIEPOINT = 33922
 _T_GEO_KEY_DIRECTORY = 34735
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-               10: 8, 11: 4, 12: 8}
+               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
-             11: "f", 12: "d"}
+             11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
 # ---------------------------------------------------------------------------
@@ -233,17 +235,31 @@ def _compress(data: bytes, compression: str) -> bytes:
 # decode
 # ---------------------------------------------------------------------------
 
-def _read_ifd(buf: bytes, off: int, en: str) -> tuple[dict, int]:
-    n = struct.unpack_from(en + "H", buf, off)[0]
+def _read_ifd(buf: bytes, off: int, en: str,
+              big: bool = False) -> tuple[dict, int]:
+    """One IFD → (tags, next_offset). `big` switches to the BigTIFF
+    layout: u64 entry count, 20-byte entries with u64 count and an
+    8-byte inline value slot, u64 next pointer."""
+    if big:
+        n = struct.unpack_from(en + "Q", buf, off)[0]
+        head, esz, inline = 8, 20, 8
+    else:
+        n = struct.unpack_from(en + "H", buf, off)[0]
+        head, esz, inline = 2, 12, 4
     tags: dict[int, tuple] = {}
     for i in range(n):
-        base = off + 2 + i * 12
-        tag, typ, cnt = struct.unpack_from(en + "HHI", buf, base)
-        size = _TYPE_SIZES.get(typ, 1) * cnt
-        if size <= 4:
-            voff = base + 8
+        base = off + head + i * esz
+        if big:
+            tag, typ = struct.unpack_from(en + "HH", buf, base)
+            cnt = struct.unpack_from(en + "Q", buf, base + 4)[0]
         else:
-            voff = struct.unpack_from(en + "I", buf, base + 8)[0]
+            tag, typ, cnt = struct.unpack_from(en + "HHI", buf, base)
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= inline:
+            voff = base + esz - inline
+        else:
+            voff = struct.unpack_from(en + ("Q" if big else "I"),
+                                      buf, base + esz - inline)[0]
         if typ in _TYPE_FMT:
             vals = struct.unpack_from(en + str(cnt) + _TYPE_FMT[typ],
                                       buf, voff)
@@ -256,7 +272,8 @@ def _read_ifd(buf: bytes, off: int, en: str) -> tuple[dict, int]:
         else:  # ASCII / UNDEFINED
             vals = (buf[voff:voff + cnt],)
         tags[tag] = vals
-    nxt = struct.unpack_from(en + "I", buf, off + 2 + n * 12)[0]
+    nxt = struct.unpack_from(en + ("Q" if big else "I"),
+                             buf, off + head + n * esz)[0]
     return tags, nxt
 
 
@@ -363,14 +380,20 @@ def decode_tiff_all(buf: bytes, limit: int | None = None):
     else:
         raise ValueError("tiff: bad byte-order mark")
     magic = struct.unpack_from(en + "H", buf, 2)[0]
-    if magic == 43:
-        raise NotImplementedError("tiff: BigTIFF")
-    if magic != 42:
+    if magic == 43:  # BigTIFF: u16 offset-size (8), u16 zero, u64 IFD0
+        osz, zero = struct.unpack_from(en + "HH", buf, 4)
+        if osz != 8 or zero != 0:
+            raise ValueError("tiff: malformed BigTIFF header")
+        big = True
+        off = struct.unpack_from(en + "Q", buf, 8)[0]
+    elif magic == 42:
+        big = False
+        off = struct.unpack_from(en + "I", buf, 4)[0]
+    else:
         raise ValueError(f"tiff: bad magic {magic}")
-    off = struct.unpack_from(en + "I", buf, 4)[0]
     arrays, metas = [], []
     while off and (limit is None or len(arrays) < limit):
-        tags, off = _read_ifd(buf, off, en)
+        tags, off = _read_ifd(buf, off, en, big=big)
         arrays.append(_decode_one_ifd(buf, tags, en))
         metas.append(_geo_meta(tags))
     return arrays, metas
@@ -482,18 +505,32 @@ class _IfdPlan:
         self.entries = sorted(entries)
 
 
-def _encode_ifds(plans: list[_IfdPlan]) -> bytes:
+def _encode_ifds(plans: list[_IfdPlan], big: bool = False) -> bytes:
     """Layout: header, all IFDs + their out-of-line values (COG wants
-    metadata up front), then every IFD's pixel chunks."""
-    header = struct.pack("<2sHI", b"II", 42, 8)
+    metadata up front), then every IFD's pixel chunks. `big` switches to
+    BigTIFF (magic 43, u64 offsets, 20-byte entries) — required once a
+    mosaic's pixel data passes the classic 4 GB offset ceiling."""
+    _OFFSET_TAGS = (_T_STRIP_OFFSETS, _T_TILE_OFFSETS,
+                    _T_STRIP_BYTE_COUNTS, _T_TILE_BYTE_COUNTS)
+
+    def etype(t: int, typ: int) -> int:
+        # BigTIFF: offsets/byte-counts as LONG8 so >4 GB positions fit
+        return 16 if (big and t in _OFFSET_TAGS) else typ
+
+    if big:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+        head, esz, inline = 8, 20, 8
+    else:
+        header = struct.pack("<2sHI", b"II", 42, 8)
+        head, esz, inline = 2, 12, 4
     # pass 1: compute sizes
     ifd_sizes = []
     for p in plans:
-        extra = sum(_TYPE_SIZES[t] * c for (_, t, c, _) in
-                    [(e[0], e[1], e[2], e[3]) for e in p.entries]
-                    if _TYPE_SIZES[t] * c > 4)
-        ifd_sizes.append(2 + len(p.entries) * 12 + 4 + extra)
-    data_start = 8 + sum(ifd_sizes)
+        extra = sum(_TYPE_SIZES[etype(t, typ)] * c
+                    for (t, typ, c, _) in p.entries
+                    if _TYPE_SIZES[etype(t, typ)] * c > inline)
+        ifd_sizes.append(head + len(p.entries) * esz + inline + extra)
+    data_start = len(header) + sum(ifd_sizes)
     if data_start % 2:
         data_start += 1
     # assign chunk offsets
@@ -505,26 +542,36 @@ def _encode_ifds(plans: list[_IfdPlan]) -> bytes:
             offs.append(pos)
             pos += len(c) + (len(c) & 1)
         chunk_offsets.append(offs)
+    if not big and pos > 0xFFFFFFFF:
+        raise ValueError(
+            "tiff: pixel data exceeds the classic-TIFF 4 GB offset "
+            "ceiling — pass big=True (BigTIFF)")
     # pass 2: serialize IFDs
     out = bytearray(header)
-    ifd_off = 8
+    ifd_off = len(header)
     for i, p in enumerate(plans):
-        extra_off = ifd_off + 2 + len(p.entries) * 12 + 4
+        extra_off = ifd_off + head + len(p.entries) * esz + inline
         next_ifd = ifd_off + ifd_sizes[i] if i + 1 < len(plans) else 0
-        body = bytearray(struct.pack("<H", len(p.entries)))
+        body = bytearray(struct.pack("<Q" if big else "<H",
+                                     len(p.entries)))
         extra = bytearray()
         for (t, typ, cnt, vals) in p.entries:
             if t in (_T_STRIP_OFFSETS, _T_TILE_OFFSETS):
                 vals = tuple(chunk_offsets[i])
+            typ = etype(t, typ)
             fmt = _TYPE_FMT[typ]
             raw = struct.pack("<" + str(cnt) + fmt, *vals)
-            if len(raw) <= 4:
-                body += struct.pack("<HHI", t, typ, cnt) + raw.ljust(4, b"\0")
+            if big:
+                ehead = struct.pack("<HHQ", t, typ, cnt)
             else:
-                body += struct.pack("<HHII", t, typ, cnt,
-                                    extra_off + len(extra))
+                ehead = struct.pack("<HHI", t, typ, cnt)
+            if len(raw) <= inline:
+                body += ehead + raw.ljust(inline, b"\0")
+            else:
+                body += ehead + struct.pack("<Q" if big else "<I",
+                                            extra_off + len(extra))
                 extra += raw
-        body += struct.pack("<I", next_ifd)
+        body += struct.pack("<Q" if big else "<I", next_ifd)
         out += body + extra
         ifd_off += ifd_sizes[i]
     while len(out) < data_start:
@@ -539,15 +586,18 @@ def _encode_ifds(plans: list[_IfdPlan]) -> bytes:
 
 def encode_tiff(arr: np.ndarray, *, tile: tuple[int, int] | None = None,
                 compression: str = "deflate", predictor: int = 1,
-                gt=None, epsg: int | None = None) -> bytes:
-    """Single-IFD TIFF (strips by default, tiled when `tile` given)."""
+                gt=None, epsg: int | None = None,
+                big: bool = False) -> bytes:
+    """Single-IFD TIFF (strips by default, tiled when `tile` given);
+    big=True emits BigTIFF (u64 offsets — the >4 GB form)."""
     return _encode_ifds([_IfdPlan(arr, tile, compression, predictor,
-                                  gt=gt, epsg=epsg)])
+                                  gt=gt, epsg=epsg)], big=big)
 
 
 def encode_cog(levels: list[np.ndarray], *, tile: tuple[int, int] = (256, 256),
                compression: str = "deflate", predictor: int = 1,
-               gt=None, epsg: int | None = None) -> bytes:
+               gt=None, epsg: int | None = None,
+               big: bool | None = None) -> bytes:
     """Cloud-Optimized GeoTIFF layout: levels[0] = full resolution,
     levels[1:] = successive overviews; ALL tiled; every IFD + tag data
     precedes the pixel chunks so a ranged reader gets the whole
@@ -559,4 +609,8 @@ def encode_cog(levels: list[np.ndarray], *, tile: tuple[int, int] = (256, 256),
         plans.append(_IfdPlan(lv, tile, compression, predictor,
                               gt=gt if k == 0 else None,
                               epsg=epsg if k == 0 else None))
-    return _encode_ifds(plans)
+    if big is None:
+        # auto: BigTIFF once the compressed payload approaches the
+        # classic 4 GB ceiling (the 100 TB-mosaic case)
+        big = sum(len(c) for p in plans for c in p.chunks) > 0xF0000000
+    return _encode_ifds(plans, big=big)

@@ -91,10 +91,37 @@ def test_tiff_external_javax_fixtures(name, card):
 def test_tiff_error_first():
     with pytest.raises(ValueError, match="byte-order"):
         T.decode_tiff(b"XXXX")
-    # BigTIFF magic 43
     import struct
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
-        T.decode_tiff(struct.pack("<2sHI", b"II", 43, 8))
+    with pytest.raises(ValueError, match="bad magic"):
+        T.decode_tiff(struct.pack("<2sHI", b"II", 41, 8))
+
+
+def test_bigtiff_roundtrip():
+    """BigTIFF (magic 43, u64 offsets, 20-byte IFD entries) — the form
+    a >4 GB mosaic COG needs: strips, tiled multi-IFD chains, geo tags,
+    LONG8 offset/byte-count entries, all round-trip; classic output is
+    byte-layout unchanged."""
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (50, 70), dtype=np.uint8)
+    buf = T.encode_tiff(a, compression="deflate", big=True)
+    assert buf[2:4] == b"\x2b\x00"  # magic 43
+    assert np.array_equal(T.decode_tiff(buf)[0], a)
+    gt = [1.0, 0.5, 0.0, 9.0, 0.0, -0.5]
+    cog = T.encode_cog([a, a[::2, ::2].copy()], tile=(32, 32),
+                       gt=gt, epsg=32630, big=True)
+    arrays, metas = T.decode_tiff_all(cog)
+    assert len(arrays) == 2
+    assert np.array_equal(arrays[0], a)
+    assert np.array_equal(arrays[1], a[::2, ::2])
+    assert metas[0]["gt"] == gt and metas[0]["epsg"] == 32630
+    # classic path still emits magic 42 and decodes
+    buf2 = T.encode_tiff(a)
+    assert buf2[2:4] == b"\x2a\x00"
+    assert np.array_equal(T.decode_tiff(buf2)[0], a)
+    # uint16 + predictor through the big layout
+    a16 = rng.integers(0, 65536, (33, 41), dtype=np.uint16)
+    b16 = T.encode_tiff(a16, tile=(16, 16), predictor=2, big=True)
+    assert np.array_equal(T.decode_tiff(b16)[0], a16)
 
 
 def test_codecs_dispatch_tiff():
