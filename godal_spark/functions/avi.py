@@ -52,13 +52,18 @@ def decode_avi(payload: bytes, max_frames: int | None = None):
     bitcount = 0
     compression = 0
     usec = 0
+    top_down = False
+    stream_idx = -1       # index of the current strl being parsed
+    video_stream = -1     # index of the 'vids' stream (frames come from it)
+    cur_is_video = False
     palette: np.ndarray | None = None
     frames: list[np.ndarray] = []
 
     def parse_strf(body: bytes):
-        nonlocal width, height, bitcount, compression, palette
+        nonlocal width, height, bitcount, compression, palette, top_down
         (_, w, h, _, bc, comp) = struct.unpack_from("<IiiHHI", body, 0)
         width, height, bitcount, compression = w, abs(h), bc, comp
+        top_down = h < 0  # negative biHeight = rows stored top-first
         if bc == 8 and len(body) >= 40 + 4 * 256:
             pal = np.frombuffer(body[40:40 + 1024], np.uint8).reshape(256, 4)
             palette = pal[:, :3][:, ::-1].copy()  # BGRX -> RGB
@@ -76,14 +81,16 @@ def decode_avi(payload: bytes, max_frames: int | None = None):
         stride = (width * bitcount // 8 + 3) & ~3
         rows = np.frombuffer(body[:stride * height], np.uint8) \
             .reshape(height, stride)
+        if not top_down:  # bottom-up DIB (positive biHeight): flip
+            rows = rows[::-1]
         if bitcount == 24:
-            a = rows[:, :width * 3].reshape(height, width, 3)[::-1, :, ::-1]
+            a = rows[:, :width * 3].reshape(height, width, 3)[:, :, ::-1]
             frames.append(a.copy())
         elif bitcount == 32:
-            a = rows[:, :width * 4].reshape(height, width, 4)[::-1]
+            a = rows[:, :width * 4].reshape(height, width, 4)
             frames.append(a[:, :, 2::-1].copy())  # BGRA -> RGB
         elif bitcount == 8:
-            idx = rows[:, :width][::-1]
+            idx = rows[:, :width]
             if palette is not None and not np.array_equal(
                     palette, np.repeat(np.arange(256, dtype=np.uint8),
                                        3).reshape(256, 3)):
@@ -94,18 +101,28 @@ def decode_avi(payload: bytes, max_frames: int | None = None):
             raise NotImplementedError(f"decode_avi: {bitcount}-bit DIB")
 
     def recurse(start: int, stop: int):
+        nonlocal usec, stream_idx, video_stream, cur_is_video
         for cid, bstart, bsize in _walk(payload, start, stop):
             if cid in (b"LIST",):
                 recurse(bstart + 4, bstart + bsize)
             elif cid == b"avih":
-                nonlocal usec
                 usec = struct.unpack_from("<I", payload, bstart)[0]
+            elif cid == b"strh":
+                # stream headers arrive in stream-number order; ONLY a
+                # 'vids' stream's strf carries a BITMAPINFOHEADER (an
+                # audio-first AVI previously poisoned width/height)
+                stream_idx += 1
+                cur_is_video = payload[bstart:bstart + 4] == b"vids"
+                if cur_is_video and video_stream < 0:
+                    video_stream = stream_idx
             elif cid == b"strf":
-                if width == 0:  # first (video) stream only
+                if cur_is_video and width == 0:
                     parse_strf(payload[bstart:bstart + bsize])
             elif len(cid) == 4 and cid[2:4] in (b"db", b"dc") \
                     and cid[:2].isdigit():
-                if max_frames is None or len(frames) < max_frames:
+                # frames belong to the video stream's 2-digit prefix
+                if int(cid[:2]) == max(video_stream, 0) and \
+                        (max_frames is None or len(frames) < max_frames):
                     parse_frame(payload[bstart:bstart + bsize])
 
     recurse(12, end)

@@ -744,24 +744,11 @@ def _build_transform(p: dict):
 
     if proj in ("longlat", "latlong", "latlon", "lonlat"):
         a, e2 = _proj4_ellipsoid(p)
-
-        def fwd(lon, lat):
-            lon = np.asarray(lon, np.float64)
-            lat = np.asarray(lat, np.float64)
-            if helm is None:
-                return lon.copy(), lat.copy()
-            X, Y, Z = _geodetic_to_ecef(lon, lat, R_a, E2)
-            return _ecef_to_geodetic(*helm[0](X, Y, Z), a, e2)
-
-        def inv(x, y):
-            x = np.asarray(x, np.float64)
-            y = np.asarray(y, np.float64)
-            if helm is None:
-                return x.copy(), y.copy()
-            X, Y, Z = _geodetic_to_ecef(x, y, a, e2)
-            return _ecef_to_geodetic(*helm[1](X, Y, Z), R_a, E2)
-
-        return fwd, inv
+        ident = (lambda lon, lat: (np.asarray(lon, np.float64).copy(),
+                                   np.asarray(lat, np.float64).copy()),
+                 lambda x, y: (np.asarray(x, np.float64).copy(),
+                               np.asarray(y, np.float64).copy()))
+        return ident if helm is None else _on_datum(ident, a, e2, helm)
 
     if proj in ("tmerc", "utm"):
         a, e2 = _proj4_ellipsoid(p)
@@ -775,23 +762,11 @@ def _build_transform(p: dict):
             lon0 = num("lon_0")
             k0 = float(p.get("k", p.get("k_0", 1.0)))
             fe, fn, lat0 = num("x_0"), num("y_0"), num("lat_0")
-
-        def fwd(lon, lat):
-            if helm is not None:
-                X, Y, Z = _geodetic_to_ecef(lon, lat, R_a, E2)
-                lon, lat = _ecef_to_geodetic(*helm[0](X, Y, Z), a, e2)
-            return _ll_to_tm(lon, lat, lon0, k0, fe, fn,
-                             a=a, e2=e2, lat0_deg=lat0)
-
-        def inv(x, y):
-            lon, lat = _tm_to_ll(x, y, lon0, k0, fe, fn,
-                                 a=a, e2=e2, lat0_deg=lat0)
-            if helm is not None:
-                X, Y, Z = _geodetic_to_ecef(lon, lat, a, e2)
-                lon, lat = _ecef_to_geodetic(*helm[1](X, Y, Z), R_a, E2)
-            return lon, lat
-
-        return fwd, inv
+        pair = (lambda lon, lat: _ll_to_tm(lon, lat, lon0, k0, fe, fn,
+                                           a=a, e2=e2, lat0_deg=lat0),
+                lambda x, y: _tm_to_ll(x, y, lon0, k0, fe, fn,
+                                       a=a, e2=e2, lat0_deg=lat0))
+        return pair if helm is None else _on_datum(pair, a, e2, helm)
 
     if proj == "lcc":
         a, e2 = _proj4_ellipsoid(p)
@@ -802,8 +777,18 @@ def _build_transform(p: dict):
             pair = _lcc2sp(num("lat_1"), num("lat_2"), num("lat_0"),
                            num("lon_0"), num("x_0"), num("y_0"),
                            a=a, e2=e2)
-        else:  # 1SP (EPSG 9801): tangent cone at lat_1 (or lat_0)
+        else:  # 1SP (EPSG 9801): tangent cone at the origin parallel
             lat1 = num("lat_1", num("lat_0"))
+            lat0 = num("lat_0", lat1)
+            if lat0 != lat1:
+                raise NotImplementedError(
+                    "proj4: lcc 1SP with lat_0 != lat_1 (the 9801 form "
+                    "puts the projection origin ON the standard "
+                    "parallel; a split origin is not implemented)")
+            if lat1 == 0.0:
+                raise NotImplementedError(
+                    "proj4: lcc 1SP at the equator degenerates "
+                    "(n = sin 0) — use mercator")
             pair = _lcc1sp(lat1, num("lon_0"), k0,
                            num("x_0"), num("y_0"), a, e2)
         return pair if helm is None else _on_datum(pair, a, e2, helm)
@@ -812,21 +797,39 @@ def _build_transform(p: dict):
             f"proj4: +towgs84 is supported on longlat/tmerc/utm/lcc only "
             f"(+proj={proj} runs on the WGS84 datum)")
     if proj == "merc":
-        _require_wgs84_ellipsoid(p, proj)
+        # PROJ's +proj=merc is ELLIPSOIDAL by default; this kernel is
+        # the SPHERICAL web-mercator form, so only explicitly spherical
+        # definitions (+a=+b / +R — EPSG:3857's canonical string) are
+        # accepted. Mapping ellipsoidal merc onto the sphere would be
+        # silently ~30 km wrong at mid-latitudes — error-first instead.
+        if "r" in p:
+            radius = float(p["r"])
+        else:
+            radius = float(p.get("a", R_a))
+            if float(p.get("b", -1.0)) != radius:
+                raise NotImplementedError(
+                    "proj4: ellipsoidal Mercator (+proj=merc without "
+                    "+a=+b/+R) is not implemented — only the spherical "
+                    "web-mercator form (e.g. '+proj=merc +a=6378137 "
+                    "+b=6378137')")
         if num("lat_ts") != 0.0 or float(p.get("k", p.get("k_0", 1.0))) != 1.0:
             raise NotImplementedError("proj4: merc with lat_ts/k != defaults")
         fe, fn = num("x_0"), num("y_0")
         lon0 = num("lon_0")
 
         def fwd(lon, lat):
-            x, y, _ = _from_4326(np.asarray(lon, np.float64) - lon0,
-                                 np.asarray(lat, np.float64), 3857)
-            return x + fe, y + fn
+            lam = (np.asarray(lon, np.float64) - lon0) * math.pi / 180.0
+            phi = np.clip(np.asarray(lat, np.float64),
+                          -MAX_MERC_LAT, MAX_MERC_LAT) * math.pi / 180.0
+            return (radius * lam + fe,
+                    radius * np.log(np.tan(math.pi / 4.0 + phi / 2.0)) + fn)
 
         def inv(x, y):
-            lon, lat, _ = _to_4326(np.asarray(x, np.float64) - fe,
-                                   np.asarray(y, np.float64) - fn, 3857)
-            return lon + lon0, lat
+            lam = (np.asarray(x, np.float64) - fe) / radius
+            phi = 2.0 * np.arctan(
+                np.exp((np.asarray(y, np.float64) - fn) / radius)) \
+                - math.pi / 2.0
+            return np.degrees(lam) + lon0, np.degrees(phi)
 
         return fwd, inv
     if proj == "aea":

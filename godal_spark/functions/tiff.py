@@ -295,6 +295,12 @@ def _undo_predictor(raw: np.ndarray, predictor: int, spp: int) -> np.ndarray:
         return raw
     if predictor != 2:
         raise NotImplementedError(f"tiff: predictor {predictor}")
+    if raw.dtype.kind == "f":
+        # predictor 2 is integer horizontal differencing by spec;
+        # applying it to floats silently truncates — error-first
+        raise NotImplementedError(
+            "tiff: predictor 2 on floating-point samples (predictor 3 "
+            "is not implemented)")
     h, wspp = raw.shape
     r = raw.reshape(h, wspp // spp, spp)
     return np.cumsum(r.astype(np.int64), axis=1).astype(raw.dtype) \
@@ -319,6 +325,8 @@ def _decode_one_ifd(buf: bytes, tags: dict, en: str) -> np.ndarray:
         cnts = tags[_T_TILE_BYTE_COUNTS]
         ntx = -(-w // tw)
         for idx, (o, c) in enumerate(zip(offs, cnts)):
+            if c == 0:  # sparse tile (GDAL SPARSE_OK): keep fill zeros
+                continue
             ty, tx = idx // ntx, idx % ntx
             raw = _decompress(buf[o:o + c], comp)
             a = np.frombuffer(raw, dtype=dt, count=tw * th * spp) \
@@ -333,6 +341,8 @@ def _decode_one_ifd(buf: bytes, tags: dict, en: str) -> np.ndarray:
         offs = tags[_T_STRIP_OFFSETS]
         cnts = tags[_T_STRIP_BYTE_COUNTS]
         for idx, (o, c) in enumerate(zip(offs, cnts)):
+            if c == 0:  # sparse strip: keep fill zeros
+                continue
             y0 = idx * rps
             rows = min(rps, h - y0)
             raw = _decompress(buf[o:o + c], comp)
@@ -360,19 +370,10 @@ def _geo_meta(tags: dict) -> dict:
     return meta
 
 
-def decode_tiff(buf: bytes, ifd: int = 0):
-    """Decode one IFD (default: full resolution) → (array, meta). meta
-    carries gt/epsg when geo tags are present plus n_ifds (overview
-    count + 1)."""
-    arrays, metas = decode_tiff_all(buf, limit=None)
-    m = metas[ifd]
-    m["n_ifds"] = len(arrays)
-    return arrays[ifd], m
-
-
-def decode_tiff_all(buf: bytes, limit: int | None = None):
-    """Decode every IFD in the chain (COG: IFD0 full res, then
-    overviews). Returns (arrays, metas)."""
+def _walk_ifds(buf: bytes):
+    """Cheap metadata pass: (endianness, [tags per IFD]) — no pixel
+    decompression (the tag walk is what a ranged COG reader gets from
+    the head request)."""
     if buf[:2] == b"II":
         en = "<"
     elif buf[:2] == b"MM":
@@ -391,11 +392,33 @@ def decode_tiff_all(buf: bytes, limit: int | None = None):
         off = struct.unpack_from(en + "I", buf, 4)[0]
     else:
         raise ValueError(f"tiff: bad magic {magic}")
-    arrays, metas = [], []
-    while off and (limit is None or len(arrays) < limit):
+    tag_list = []
+    while off:
         tags, off = _read_ifd(buf, off, en, big=big)
-        arrays.append(_decode_one_ifd(buf, tags, en))
-        metas.append(_geo_meta(tags))
+        tag_list.append(tags)
+    return en, tag_list
+
+
+def decode_tiff(buf: bytes, ifd: int = 0):
+    """Decode ONE IFD (default: full resolution) → (array, meta). Only
+    the requested IFD's pixel data is decompressed — a COG ingest never
+    pays for the overview pyramid it doesn't read. meta carries gt/epsg
+    when geo tags are present plus n_ifds (overview count + 1, from the
+    cheap tag walk)."""
+    en, tag_list = _walk_ifds(buf)
+    m = _geo_meta(tag_list[ifd])
+    m["n_ifds"] = len(tag_list)
+    return _decode_one_ifd(buf, tag_list[ifd], en), m
+
+
+def decode_tiff_all(buf: bytes, limit: int | None = None):
+    """Decode every IFD in the chain (COG: IFD0 full res, then
+    overviews). Returns (arrays, metas)."""
+    en, tag_list = _walk_ifds(buf)
+    if limit is not None:
+        tag_list = tag_list[:limit]
+    arrays = [_decode_one_ifd(buf, t, en) for t in tag_list]
+    metas = [_geo_meta(t) for t in tag_list]
     return arrays, metas
 
 
@@ -414,6 +437,10 @@ def _sample_format_of(dt: np.dtype) -> int:
 
 
 def _apply_predictor(a: np.ndarray, spp: int) -> np.ndarray:
+    if a.dtype.kind == "f":
+        raise NotImplementedError(
+            "tiff: predictor 2 on floating-point samples (spec-wise "
+            "integer-only; use predictor=1 for float rasters)")
     h, wspp = a.shape
     r = a.reshape(h, wspp // spp, spp).astype(np.int64)
     d = np.empty_like(r)

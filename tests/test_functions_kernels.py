@@ -654,11 +654,26 @@ def test_crs_proj4_definitions():
     xt, yt, _ = crs.transform_points([-98.5], [29.5], "EPSG:4326", tx27)
     bx2, by2, _ = crs.transform_points(xt, yt, tx27, "EPSG:4326")
     assert abs(bx2[0] + 98.5) < 1e-7 and abs(by2[0] - 29.5) < 1e-7
+    # spherical web-mercator proj4 (EPSG:3857's canonical string) is
+    # bit-equal to the registry entry
+    merc = ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 "
+            "+x_0=0 +y_0=0 +k=1 +units=m +no_defs")
+    xm, ym, _ = crs.transform_points([2.35], [48.86], "EPSG:4326", merc)
+    xr, yr, _ = crs.transform_points([2.35], [48.86], "EPSG:4326",
+                                     "EPSG:3857")
+    assert xm[0] == xr[0] and ym[0] == yr[0]
     # error-first beyond the subset
     for bad in ("+proj=robin",
                 "+proj=tmerc +nadgrids=foo",
                 "+proj=lcc +lat_1=10 +lat_2=20 +k_0=0.99",
-                "+proj=aea +lat_1=20 +lat_2=40 +towgs84=1,2,3"):
+                "+proj=aea +lat_1=20 +lat_2=40 +towgs84=1,2,3",
+                # ellipsoidal Mercator (PROJ default) would be ~30 km
+                # wrong if silently mapped to the spherical kernel
+                "+proj=merc",
+                # lcc 1SP with a split origin isn't the 9801 form
+                "+proj=lcc +lat_1=18 +lat_0=17 +k_0=1",
+                # lcc 1SP degenerates at the equator (n = sin 0)
+                "+proj=lcc +lat_1=0 +k_0=1"):
         with pytest.raises(NotImplementedError):
             crs.transform_points([0.0], [0.0], "EPSG:4326", bad)
 

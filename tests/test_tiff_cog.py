@@ -124,6 +124,43 @@ def test_bigtiff_roundtrip():
     assert np.array_equal(T.decode_tiff(b16)[0], a16)
 
 
+def test_tiff_sparse_chunks_and_float_predictor():
+    """GDAL SPARSE_OK emits byte-count-0 strips/tiles (fill-value holes);
+    the decoder must keep them zero instead of decompressing b''. And
+    predictor 2 is integer-only by spec — float input is error-first on
+    both the encode and decode sides."""
+    a = (np.arange(200 * 64, dtype=np.uint16).reshape(200, 64) % 251)
+    buf = T.encode_tiff(a)
+    en, tag_list = T._walk_ifds(buf)
+    tags = dict(tag_list[0])
+    rps = tags[T._T_ROWS_PER_STRIP][0]
+    cnts = list(tags[T._T_STRIP_BYTE_COUNTS])
+    assert len(cnts) >= 3
+    cnts[1] = 0  # emulate a sparse hole in strip 1
+    tags[T._T_STRIP_BYTE_COUNTS] = tuple(cnts)
+    out = T._decode_one_ifd(buf, tags, en).squeeze()
+    exp = a.copy()
+    exp[rps:2 * rps] = 0
+    assert np.array_equal(out, exp)
+
+    buf2 = T.encode_tiff(a, tile=(32, 32))
+    en2, tl2 = T._walk_ifds(buf2)
+    tags2 = dict(tl2[0])
+    c2 = list(tags2[T._T_TILE_BYTE_COUNTS])
+    c2[0] = 0
+    tags2[T._T_TILE_BYTE_COUNTS] = tuple(c2)
+    out2 = T._decode_one_ifd(buf2, tags2, en2).squeeze()
+    exp2 = a.copy()
+    exp2[:32, :32] = 0
+    assert np.array_equal(out2, exp2)
+
+    f = np.linspace(0, 1, 32 * 32, dtype=np.float32).reshape(32, 32)
+    with pytest.raises(NotImplementedError, match="predictor 2"):
+        T.encode_tiff(f, predictor=2)
+    # float WITHOUT predictor still round-trips
+    assert np.array_equal(T.decode_tiff(T.encode_tiff(f))[0].squeeze(), f)
+
+
 def test_codecs_dispatch_tiff():
     from godal_spark.functions import codecs
 

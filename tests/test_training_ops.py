@@ -241,6 +241,61 @@ def test_video_avi_real_decode(spark):
     assert len(wins) == 15 and all(0.8 < r.rms < 1.2 for r in wins)
 
 
+def test_avi_top_down_and_audio_first():
+    """Two real-world AVI shapes the first decoder mishandled: negative
+    biHeight (top-down DIB — rows stored top-first, no flip) and an
+    audio stream declared BEFORE the video stream (the audio strf is a
+    WAVEFORMATEX, not a BITMAPINFOHEADER — must not poison w/h; frames
+    then arrive as '01db', not '00db')."""
+    import struct
+
+    from godal_spark.functions import avi as AV
+
+    rng = np.random.default_rng(7)
+    fr = rng.integers(0, 255, (9, 13, 3), np.uint8)
+
+    # --- top-down: patch encode output to biHeight=-9 + top-first rows
+    payload = bytearray(AV.encode_avi([fr]))
+    bih_off = payload.find(b"strf") + 8
+    struct.pack_into("<i", payload, bih_off + 8, -9)
+    body_off = payload.find(b"00db") + 8
+    stride = (13 * 3 + 3) & ~3
+    rows = np.zeros((9, stride), np.uint8)
+    rows[:, :13 * 3] = fr[:, :, ::-1].reshape(9, 13 * 3)  # top-first BGR
+    payload[body_off:body_off + 9 * stride] = rows.tobytes()
+    frames, _ = AV.decode_avi(bytes(payload))
+    assert np.array_equal(frames[0], fr)
+
+    # --- audio-first: rebuild with an 'auds' strl ahead of 'vids'
+    base = AV.encode_avi([fr])
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + \
+            (b"\0" if len(body) & 1 else b"")
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    def body_of(tag):
+        i = base.find(tag)
+        return base[i + 8:i + 8 + struct.unpack_from("<I", base, i + 4)[0]]
+
+    auds_strl = lst(b"strl", chunk(b"strh", b"auds" + b"\0" * 52)
+                    + chunk(b"strf",
+                            struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)))
+    vids_strl = lst(b"strl", chunk(b"strh", body_of(b"strh"))
+                    + chunk(b"strf", body_of(b"strf")))
+    hdrl = lst(b"hdrl", chunk(b"avih", body_of(b"avih"))
+               + auds_strl + vids_strl)
+    movi = lst(b"movi", chunk(b"01db", body_of(b"00db"))
+               + chunk(b"00wb", b"\x80" * 64))
+    body = b"AVI " + hdrl + movi
+    frames2, meta2 = AV.decode_avi(
+        b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (meta2["width"], meta2["height"]) == (13, 9)
+    assert len(frames2) == 1 and np.array_equal(frames2[0], fr)
+
+
 def test_audio_wav_real_decode(spark):
     """Round 5: WAV/PCM decodes for REAL. Fixture = 440 Hz sine, 1 s at
     8 kHz, amplitude 0.5, written by the stdlib-independent encoder and
