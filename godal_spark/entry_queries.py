@@ -2027,6 +2027,66 @@ FROM customer WHERE c_custkey % 30 = 0
 """
 
 
+def q_crs_world(spark, sf_dir):
+    """Round-5 CRS widening against TRUE SQL oracles: the same synthetic
+    customer points through (a) EPSG:3395 World Mercator — the
+    ELLIPSOIDAL Mercator, EPSG method 9804, validated against both EPSG
+    Guidance 7-2 worked examples in pytest — and (b) the MODIS
+    sinusoidal grid (+proj=sinu +R=6371007.181). Both forwards are
+    closed-form, so DuckDB recomputes them exactly from the shared
+    formulas (isometric latitude for 3395; R·dlam·cos(phi) / R·phi for
+    sinusoidal). Reference: godal srs.go NewSpatialRefFromProj4 +
+    godal.go TransformEx."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.functions import crs as CRS
+
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter("c_custkey % 30 = 0")
+            .selectExpr("c_custkey", f"{CUST_LON} AS lon",
+                        f"{CUST_LAT} AS lat"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lon = pdf["lon"].to_numpy()
+            lat = pdf["lat"].to_numpy()
+            mx, my, _ = CRS.transform_points(lon, lat,
+                                             "EPSG:4326", "EPSG:3395")
+            sx, sy, _ = CRS.transform_points(
+                lon, lat, "EPSG:4326",
+                "+proj=sinu +R=6371007.181 +lon_0=0 +x_0=0 +y_0=0")
+            yield pd.DataFrame({"c_custkey": pdf["c_custkey"],
+                                "mx": np.round(mx, 4),
+                                "my": np.round(my, 4),
+                                "sx": np.round(sx, 4),
+                                "sy": np.round(sy, 4)})
+
+    return cust.mapInPandas(
+        gen,
+        schema="c_custkey bigint, mx double, my double, "
+               "sx double, sy double")
+
+
+# e = sqrt(f(2-f)), f = 1/298.257223563 (WGS84) — recomputed IN SQL so
+# the oracle shares only the published ellipsoid constants
+SQL_CRS_WORLD = f"""
+WITH pts AS (
+  SELECT c_custkey, ({CUST_LON}) AS lon, ({CUST_LAT}) AS lat
+  FROM customer WHERE c_custkey % 30 = 0),
+consts AS (
+  SELECT 6378137.0 AS a, 6371007.181 AS r,
+         sqrt((1.0/298.257223563) * (2 - 1.0/298.257223563)) AS e)
+SELECT c_custkey,
+       round(a * lon * pi() / 180.0, 4) AS mx,
+       round(a * ln(tan(pi()/4.0 + lat * pi()/360.0)
+                    * power((1 - e * sin(lat * pi()/180.0))
+                            / (1 + e * sin(lat * pi()/180.0)), e/2.0)),
+             4) AS my,
+       round(r * lon * pi() / 180.0 * cos(lat * pi()/180.0), 4) AS sx,
+       round(r * lat * pi() / 180.0, 4) AS sy
+FROM pts, consts
+"""
+
+
 def q_geom_overlay(spark, sf_dir):
     """Boolean overlay surface (godal_test.go:2960-3021 squares golden):
     intersection / union / both differences of boxes (0,0)-(2,2) and
@@ -2691,6 +2751,7 @@ QUERIES = {
     "geom_containers": q_geom_containers,
     "color_relief": q_color_relief,
     "crs_3857": q_crs_3857,
+    "crs_world": q_crs_world,
     "geom_overlay": q_geom_overlay,
     "gcps_fit": q_gcps_fit,
     "reproject_bounds": q_reproject_bounds,
@@ -2760,6 +2821,7 @@ ORACLES = {
     "geom_containers": SQL_GEOM_CONTAINERS,
     "color_relief": SQL_COLOR_RELIEF,
     "crs_3857": SQL_CRS_3857,
+    "crs_world": SQL_CRS_WORLD,
     "geom_overlay": SQL_GEOM_OVERLAY,
     "gcps_fit": SQL_GCPS_FIT,
     "reproject_bounds": SQL_REPROJECT_BOUNDS,

@@ -470,6 +470,97 @@ def _lcc1sp(lat0_deg, lon0_deg, k0, fe, fn, a: float, e2: float):
     return fwd, inv
 
 
+def _conformal_lat_inverse(chi, e2: float):
+    """Inverse conformal latitude: phi from chi (EPSG G7-2 series in
+    powers of e2 — shared by ellipsoidal Mercator and any future
+    conformal inverse)."""
+    e4 = e2 * e2
+    e6 = e4 * e2
+    e8 = e6 * e2
+    return (chi
+            + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * np.sin(2 * chi)
+            + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * np.sin(4 * chi)
+            + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+            + (4279 * e8 / 161280) * np.sin(8 * chi))
+
+
+def _merc_ellipsoidal(lat_ts_deg: float, k: float, lon0_deg: float,
+                      fe: float, fn: float, a: float, e2: float):
+    """Ellipsoidal Mercator — EPSG methods 9804 (1SP, scale k at the
+    equator: EPSG:3395 World Mercator, Makassar/NEIEZ) and 9805 (two
+    standard parallels via lat_ts: Caspian-style grids). PROJ's
+    +proj=merc default form. Forward is the isometric-latitude
+    closed form; inverse goes through the conformal-latitude series
+    (sub-mm). Reference delegates to PROJ (srs.go); formulas are the
+    published EPSG Guidance 7-2 ones."""
+    e = math.sqrt(e2)
+    if lat_ts_deg != 0.0:
+        s1 = math.sin(math.radians(lat_ts_deg))
+        k0 = k * math.cos(math.radians(lat_ts_deg)) / math.sqrt(
+            1 - e2 * s1 * s1)
+    else:
+        k0 = k
+    lam0 = math.radians(lon0_deg)
+
+    def fwd(lon, lat):
+        lam = np.radians(_wrap_lon(np.asarray(lon, np.float64)
+                                   - lon0_deg)) + 0.0
+        phi = np.radians(np.clip(np.asarray(lat, np.float64),
+                                 -MAX_MERC_LAT, MAX_MERC_LAT))
+        esin = e * np.sin(phi)
+        x = a * k0 * lam + fe
+        y = a * k0 * np.log(np.tan(math.pi / 4 + phi / 2)
+                            * ((1 - esin) / (1 + esin)) ** (e / 2)) + fn
+        return x, y
+
+    def inv(x, y):
+        lam = (np.asarray(x, np.float64) - fe) / (a * k0) + lam0
+        t = np.exp(-(np.asarray(y, np.float64) - fn) / (a * k0))
+        chi = math.pi / 2 - 2 * np.arctan(t)
+        phi = _conformal_lat_inverse(chi, e2)
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _sinusoidal(lon0_deg: float, fe: float, fn: float,
+                a: float, e2: float):
+    """Sinusoidal (equal-area, +proj=sinu): x = a cos(phi) dlam / sqrt(
+    1 - e2 sin^2 phi), y = M(phi). The MODIS land grid is this
+    projection on the authalic sphere R = 6371007.181 (pass a=R, e2=0 —
+    both reduce to the spherical x = R dlam cos phi, y = R phi).
+    Inverse latitude reuses the TM footpoint series (exact for e2=0)."""
+    e4 = e2 * e2
+
+    def fwd(lon, lat):
+        dlam = np.radians(_wrap_lon(np.asarray(lon, np.float64)
+                                    - lon0_deg))
+        phi = np.radians(np.asarray(lat, np.float64))
+        x = a * np.cos(phi) * dlam / np.sqrt(1 - e2 * np.sin(phi) ** 2) + fe
+        y = _tm_meridian_arc(phi, a, e2) + fn
+        return x, y
+
+    def inv(x, y):
+        m = (np.asarray(y, np.float64) - fn)
+        mu = m / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e4 * e2 / 256))
+        if e2 == 0.0:
+            phi = mu
+        else:
+            e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+            phi = (mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+                   + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+                   + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+                   + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+        cos = np.cos(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dlam = (np.asarray(x, np.float64) - fe) \
+                * np.sqrt(1 - e2 * np.sin(phi) ** 2) / (a * cos)
+            dlam = np.where(np.abs(cos) < 1e-12, 0.0, dlam)
+        return np.degrees(dlam) + lon0_deg, np.degrees(phi)
+
+    return fwd, inv
+
+
 # ---------------------------------------------------------------------------
 # datum shifts (round 5): Helmert 7-parameter position-vector
 # transformation (EPSG method 9606) in pure numpy — unlocks the
@@ -620,6 +711,9 @@ _PROJ_REGISTRY = {
     # k0 1.000035, FE 200000, FN 250000
     29903: _tm_on_datum(_AIRY_MOD_A, _AIRY_INVF, 53.5, -8.0, 1.000035,
                         200000.0, 250000.0, _IRELAND65_HELMERT),
+    # WGS 84 / World Mercator (EPSG method 9804, true ellipsoidal — the
+    # nautical-chart Mercator; NOT the web-mercator sphere of 3857)
+    3395: _merc_ellipsoidal(0.0, 1.0, 0.0, 0.0, 0.0, R_a, E2),
 }
 
 
@@ -628,12 +722,14 @@ _PROJ_REGISTRY = {
 # PROJ4/WKT CRS definitions (srs.go NewSpatialRefFromProj4 /
 # godal.go:2044-2143); this engine accepts the PROJ4 subset its
 # projection kernels implement:
-#   +proj= longlat/latlong | tmerc | utm | merc | lcc (2SP) | aea |
-#          laea | cea | stere (polar)
-#   +ellps / +a +rf (any ellipsoid on the longlat/tmerc/utm families —
-#     where the world's classical Gauss-Krüger grids live; the
-#     equal-area/conic families are WGS84/GRS80-ellipsoid only,
-#     error-first otherwise)
+#   +proj= longlat/latlong | tmerc | utm | merc (ellipsoidal 9804/9805
+#          by default, spherical web-mercator when +a=+b/+R) | sinu |
+#          lcc (1SP/2SP) | aea | laea | cea | stere (polar)
+#   +ellps / +a +rf / +R (any ellipsoid or sphere on the longlat/tmerc/
+#     utm/merc/sinu/lcc families — where the world's classical grids
+#     live; the equal-area/polar families are WGS84/GRS80-ellipsoid
+#     only, error-first otherwise)
+#   +pm= named or numeric prime meridian (NTF/Paris-class datums)
 #   +towgs84= 3- or 7-parameter (position-vector, local→WGS84 — the
 #     PROJ convention; applied through the exact-inverse Helmert kernel)
 #   +lat_0 +lat_1 +lat_2 +lat_ts +lon_0 +k/+k_0 +x_0 +y_0 +zone +south
@@ -661,6 +757,25 @@ _ELLIPSOIDS = {
 
 _WGS84_LIKE = ("wgs84", "grs80")  # a identical, 1/f differs at 1e-9
 
+_PRIME_MERIDIANS = {
+    # PROJ's named prime meridians (degrees east of Greenwich) — the
+    # classical national datums (NTF/Paris, the Ferro grids) reckon
+    # longitude from these
+    "greenwich": 0.0,
+    "paris": 2.337229166666667,       # 2°20'14.025"E
+    "lisbon": -9.131906111111112,     # 9°07'54.862"W
+    "bogota": -74.08091666666667,     # 74°04'51.30"W
+    "madrid": -3.687938888888889,     # 3°41'16.58"W
+    "rome": 12.452333333333334,       # 12°27'08.40"E
+    "bern": 7.439583333333333,        # 7°26'22.50"E
+    "jakarta": 106.80771944444444,    # 106°48'27.79"E
+    "ferro": -17.666666666666668,     # 17°40'00"W
+    "brussels": 4.367975,             # 4°22'04.71"E
+    "stockholm": 18.058277777777778,  # 18°03'29.80"E
+    "athens": 23.7163375,             # 23°42'58.815"E
+    "oslo": 10.722916666666666,       # 10°43'22.50"E
+}
+
 
 def _parse_proj4(defn: str) -> dict:
     out: dict = {}
@@ -670,14 +785,16 @@ def _parse_proj4(defn: str) -> dict:
         body = tok[1:]
         if "=" in body:
             k, v = body.split("=", 1)
-            out[k] = v
+            out["r" if k == "R" else k] = v
         else:
             out[body] = True
     return out
 
 
 def _proj4_ellipsoid(p: dict) -> tuple[float, float]:
-    """(a, e2) from +ellps or +a/+rf/+b (default WGS84)."""
+    """(a, e2) from +ellps or +a/+rf/+b or +R (default WGS84)."""
+    if "r" in p:  # sphere of the given radius (+R — MODIS sinusoidal)
+        return float(p["r"]), 0.0
     if "a" in p:
         a = float(p["a"])
         if "rf" in p:
@@ -734,9 +851,24 @@ def _build_transform(p: dict):
     proj = str(p.get("proj", ""))
     if p.get("units", "m") not in ("m", True):
         raise NotImplementedError("proj4: only metre units")
-    for unsupported in ("nadgrids", "grids", "geoidgrids", "pm"):
+    for unsupported in ("nadgrids", "grids", "geoidgrids"):
         if unsupported in p:
             raise NotImplementedError(f"proj4: +{unsupported} needs PROJ")
+    pm = 0.0
+    if "pm" in p:
+        # non-Greenwich prime meridian (NTF's Paris, the Ferro grids):
+        # lon_0 is reckoned FROM that meridian, so its Greenwich
+        # longitude is lon_0 + pm; geographic outputs subtract pm
+        v = str(p["pm"]).lower()
+        if v in _PRIME_MERIDIANS:
+            pm = _PRIME_MERIDIANS[v]
+        else:
+            try:
+                pm = float(v)
+            except ValueError:
+                raise NotImplementedError(f"proj4: +pm={p['pm']!r}")
+        p = dict(p)
+        p["lon_0"] = float(p.get("lon_0", 0.0)) + pm
     helm = _proj4_helmert(p)
 
     def num(key, default=0.0):
@@ -748,7 +880,13 @@ def _build_transform(p: dict):
                                    np.asarray(lat, np.float64).copy()),
                  lambda x, y: (np.asarray(x, np.float64).copy(),
                                np.asarray(y, np.float64).copy()))
-        return ident if helm is None else _on_datum(ident, a, e2, helm)
+        pair = ident if helm is None else _on_datum(ident, a, e2, helm)
+        if pm:
+            bf, bi = pair
+            pair = ((lambda lon, lat: (lambda o: (o[0] - pm, o[1]))(
+                        bf(lon, lat))),
+                    (lambda x, y: bi(np.asarray(x, np.float64) + pm, y)))
+        return pair
 
     if proj in ("tmerc", "utm"):
         a, e2 = _proj4_ellipsoid(p)
@@ -792,46 +930,52 @@ def _build_transform(p: dict):
             pair = _lcc1sp(lat1, num("lon_0"), k0,
                            num("x_0"), num("y_0"), a, e2)
         return pair if helm is None else _on_datum(pair, a, e2, helm)
-    if helm is not None:
-        raise NotImplementedError(
-            f"proj4: +towgs84 is supported on longlat/tmerc/utm/lcc only "
-            f"(+proj={proj} runs on the WGS84 datum)")
     if proj == "merc":
-        # PROJ's +proj=merc is ELLIPSOIDAL by default; this kernel is
-        # the SPHERICAL web-mercator form, so only explicitly spherical
-        # definitions (+a=+b / +R — EPSG:3857's canonical string) are
-        # accepted. Mapping ellipsoidal merc onto the sphere would be
-        # silently ~30 km wrong at mid-latitudes — error-first instead.
-        if "r" in p:
-            radius = float(p["r"])
-        else:
-            radius = float(p.get("a", R_a))
-            if float(p.get("b", -1.0)) != radius:
-                raise NotImplementedError(
-                    "proj4: ellipsoidal Mercator (+proj=merc without "
-                    "+a=+b/+R) is not implemented — only the spherical "
-                    "web-mercator form (e.g. '+proj=merc +a=6378137 "
-                    "+b=6378137')")
-        if num("lat_ts") != 0.0 or float(p.get("k", p.get("k_0", 1.0))) != 1.0:
-            raise NotImplementedError("proj4: merc with lat_ts/k != defaults")
+        # PROJ's +proj=merc is ELLIPSOIDAL by default (EPSG 9804/9805);
+        # an explicitly spherical definition (+a=+b / +R — EPSG:3857's
+        # canonical string) gets the spherical web-mercator kernel.
+        # The two differ ~30 km at mid-latitudes, so the split is on
+        # the DEFINITION, never silent.
+        k = float(p.get("k", p.get("k_0", 1.0)))
+        lat_ts = num("lat_ts", num("lat_1"))  # WKT Mercator_2SP → lat_1
         fe, fn = num("x_0"), num("y_0")
         lon0 = num("lon_0")
+        if "r" in p or float(p.get("b", -1.0)) == float(p.get("a", -2.0)):
+            if helm is not None:
+                raise NotImplementedError(
+                    "proj4: +towgs84 on a spherical merc (a sphere has "
+                    "no geodetic datum to shift)")
+            radius = float(p.get("r", p.get("a", R_a)))
+            k0 = k * math.cos(math.radians(lat_ts))
 
-        def fwd(lon, lat):
-            lam = (np.asarray(lon, np.float64) - lon0) * math.pi / 180.0
-            phi = np.clip(np.asarray(lat, np.float64),
-                          -MAX_MERC_LAT, MAX_MERC_LAT) * math.pi / 180.0
-            return (radius * lam + fe,
-                    radius * np.log(np.tan(math.pi / 4.0 + phi / 2.0)) + fn)
+            def fwd(lon, lat):
+                lam = np.radians(_wrap_lon(
+                    np.asarray(lon, np.float64) - lon0))
+                phi = np.radians(np.clip(np.asarray(lat, np.float64),
+                                         -MAX_MERC_LAT, MAX_MERC_LAT))
+                return (radius * k0 * lam + fe,
+                        radius * k0 * np.log(
+                            np.tan(math.pi / 4.0 + phi / 2.0)) + fn)
 
-        def inv(x, y):
-            lam = (np.asarray(x, np.float64) - fe) / radius
-            phi = 2.0 * np.arctan(
-                np.exp((np.asarray(y, np.float64) - fn) / radius)) \
-                - math.pi / 2.0
-            return np.degrees(lam) + lon0, np.degrees(phi)
+            def inv(x, y):
+                lam = (np.asarray(x, np.float64) - fe) / (radius * k0)
+                phi = 2.0 * np.arctan(np.exp(
+                    (np.asarray(y, np.float64) - fn) / (radius * k0))) \
+                    - math.pi / 2.0
+                return np.degrees(lam) + lon0, np.degrees(phi)
 
-        return fwd, inv
+            return fwd, inv
+        a, e2 = _proj4_ellipsoid(p)
+        pair = _merc_ellipsoidal(lat_ts, k, lon0, fe, fn, a, e2)
+        return pair if helm is None else _on_datum(pair, a, e2, helm)
+    if proj == "sinu":
+        a, e2 = _proj4_ellipsoid(p)
+        pair = _sinusoidal(num("lon_0"), num("x_0"), num("y_0"), a, e2)
+        return pair if helm is None else _on_datum(pair, a, e2, helm)
+    if helm is not None:
+        raise NotImplementedError(
+            f"proj4: +towgs84 is supported on longlat/tmerc/utm/lcc/"
+            f"merc/sinu only (+proj={proj} runs on the WGS84 datum)")
     if proj == "aea":
         _require_wgs84_ellipsoid(p, proj)
         return _albers(num("lat_1"), num("lat_2"), num("lat_0"),
@@ -872,6 +1016,9 @@ _WKT_PROJECTIONS = {
     "cylindrical_equal_area": "cea",
     "polar_stereographic": "stere",
     "mercator_1sp": "merc",
+    "mercator_2sp": "merc",   # standard_parallel_1 → lat_1 → lat_ts
+    "mercator": "merc",
+    "sinusoidal": "sinu",
 }
 
 _WKT_PARAMS = {
@@ -953,7 +1100,7 @@ def from_wkt_crs(wkt: str):
     if pm is not None:
         nums = [v for v in pm[1] if isinstance(v, float)]
         if nums and nums[0] != 0.0:
-            raise NotImplementedError("wkt crs: non-Greenwich prime meridian")
+            p["pm"] = str(nums[0])  # degrees east of Greenwich (WKT1)
     if root[0] == "GEOGCS":
         p["proj"] = "longlat"
         return _build_transform(p)

@@ -661,21 +661,105 @@ def test_crs_proj4_definitions():
     xm, ym, _ = crs.transform_points([2.35], [48.86], "EPSG:4326", merc)
     xr, yr, _ = crs.transform_points([2.35], [48.86], "EPSG:4326",
                                      "EPSG:3857")
-    assert xm[0] == xr[0] and ym[0] == yr[0]
+    assert abs(xm[0] - xr[0]) < 1e-6 and abs(ym[0] - yr[0]) < 1e-6
     # error-first beyond the subset
     for bad in ("+proj=robin",
                 "+proj=tmerc +nadgrids=foo",
                 "+proj=lcc +lat_1=10 +lat_2=20 +k_0=0.99",
                 "+proj=aea +lat_1=20 +lat_2=40 +towgs84=1,2,3",
-                # ellipsoidal Mercator (PROJ default) would be ~30 km
-                # wrong if silently mapped to the spherical kernel
-                "+proj=merc",
+                # a sphere has no geodetic datum to Helmert-shift
+                "+proj=merc +R=6371000 +towgs84=1,2,3",
                 # lcc 1SP with a split origin isn't the 9801 form
                 "+proj=lcc +lat_1=18 +lat_0=17 +k_0=1",
                 # lcc 1SP degenerates at the equator (n = sin 0)
                 "+proj=lcc +lat_1=0 +k_0=1"):
         with pytest.raises(NotImplementedError):
             crs.transform_points([0.0], [0.0], "EPSG:4326", bad)
+
+
+def test_crs_mercator_ellipsoidal_and_sinusoidal():
+    """Ellipsoidal Mercator (EPSG methods 9804/9805 — PROJ's +proj=merc
+    default and EPSG:3395 World Mercator) pinned to BOTH EPSG Guidance
+    7-2 published worked examples; sinusoidal (+proj=sinu) pinned to the
+    MODIS grid's published constants; +pm= prime meridians."""
+    # 9804 (1SP): Makassar / NEIEZ on Bessel 1841 — k0 0.997, lon0 110E,
+    # FE 3900000 FN 900000; G7-2 test point 3S 120E
+    nez = ("+proj=merc +lon_0=110 +k=0.997 +x_0=3900000 +y_0=900000 "
+           "+ellps=bessel")
+    x, y, ok = crs.transform_points([120.0], [-3.0], "EPSG:4326", nez)
+    assert ok.all()
+    assert x[0] == pytest.approx(5009726.58, abs=0.01)
+    assert y[0] == pytest.approx(569150.82, abs=0.01)
+    bx, by, _ = crs.transform_points(x, y, nez, "EPSG:4326")
+    assert abs(bx[0] - 120.0) < 1e-9 and abs(by[0] + 3.0) < 1e-9
+    # 9805 (2SP): Pulkovo 1942 / Caspian on Krassowsky — lat_ts 42N,
+    # lon0 51E; G7-2 test point 53N 53E
+    casp = "+proj=merc +lat_ts=42 +lon_0=51 +ellps=krass"
+    x2, y2, _ = crs.transform_points([53.0], [53.0], "EPSG:4326", casp)
+    assert x2[0] == pytest.approx(165704.29, abs=0.01)
+    assert y2[0] == pytest.approx(5171848.07, abs=0.01)
+    # same CRS through the WKT1 front-end (Mercator_2SP lowering)
+    wkt = ('PROJCS["Caspian",GEOGCS["Pulkovo 1942",DATUM["P42",'
+           'SPHEROID["Krassowsky 1940",6378245,298.3]],'
+           'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Mercator_2SP"],'
+           'PARAMETER["standard_parallel_1",42],'
+           'PARAMETER["central_meridian",51],'
+           'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+           'UNIT["metre",1]]')
+    x3, y3, _ = crs.transform_points([53.0], [53.0], "EPSG:4326", wkt)
+    assert x3[0] == x2[0] and y3[0] == y2[0]
+    # EPSG:3395 registry: equator x equals 3857's, y diverges ~37 km
+    # at 60N (the ellipsoidal-vs-spherical gap)
+    xw, yw, _ = crs.transform_points([10.0, 0.0], [0.0, 60.0],
+                                     "EPSG:4326", "EPSG:3395")
+    xs, ys, _ = crs.transform_points([10.0, 0.0], [0.0, 60.0],
+                                     "EPSG:4326", "EPSG:3857")
+    assert xw[0] == pytest.approx(xs[0], abs=1e-6)
+    assert 36000 < (ys[1] - yw[1]) < 38000
+    bxw, byw, _ = crs.transform_points(xw, yw, "EPSG:3395", "EPSG:4326")
+    assert np.abs(bxw - [10.0, 0.0]).max() < 1e-9
+    assert np.abs(byw - [0.0, 60.0]).max() < 1e-9
+    # ellipsoidal merc + datum shift round-trips within the 2D
+    # height-drop bound (~0.2 m; same property as PROJ with 2D coords)
+    dm = "+proj=merc +ellps=bessel +towgs84=-377,571,-467"
+    xd, yd, _ = crs.transform_points([7.0], [47.0], "EPSG:4326", dm)
+    bd, cd, _ = crs.transform_points(xd, yd, dm, "EPSG:4326")
+    assert abs(bd[0] - 7.0) < 1e-5 and abs(cd[0] - 47.0) < 1e-5
+    # sinusoidal on the MODIS authalic sphere: the grid's published
+    # constants — half-width pi*R, 10-deg tile width 2*pi*R/36
+    modis = "+proj=sinu +R=6371007.181 +lon_0=0 +x_0=0 +y_0=0"
+    xt, yt, _ = crs.transform_points([10.0, 0.0], [0.0, 45.0],
+                                     "EPSG:4326", modis)
+    assert xt[0] == pytest.approx(2 * math.pi * 6371007.181 / 36, abs=1e-6)
+    assert yt[1] == pytest.approx(math.pi / 4 * 6371007.181, abs=1e-6)
+    bt, ct, _ = crs.transform_points(xt, yt, modis, "EPSG:4326")
+    assert np.abs(bt - [10.0, 0.0]).max() < 1e-8
+    assert np.abs(ct - [0.0, 45.0]).max() < 1e-8
+    # ellipsoidal sinusoidal round-trip (WGS84)
+    se = "+proj=sinu +ellps=WGS84"
+    xe, ye, _ = crs.transform_points([-70.0], [-33.0], "EPSG:4326", se)
+    be, ce, _ = crs.transform_points(xe, ye, se, "EPSG:4326")
+    assert abs(be[0] + 70.0) < 1e-9 and abs(ce[0] + 33.0) < 1e-9
+    # +pm=paris: longitudes reckoned from the Paris meridian
+    ntf_ll = "+proj=longlat +ellps=clrk80ign +pm=paris"
+    lo, la, _ = crs.transform_points([2.337229166666667], [48.0],
+                                     "EPSG:4326", ntf_ll)
+    assert abs(lo[0]) < 1e-12 and la[0] == 48.0
+    lo2, la2, _ = crs.transform_points([0.0], [48.0], ntf_ll, "EPSG:4326")
+    assert lo2[0] == pytest.approx(2.337229166666667, abs=1e-12)
+    # NTF Lambert zone II (EPSG:27572-class): lcc 1SP on Clarke 1880 IGN
+    # with the Paris meridian + datum shift — Paris city lands in the
+    # published neighbourhood (600.9 km E, 427 km N zone-II) and
+    # round-trips
+    lamb2 = ("+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=0 "
+             "+k_0=0.99987742 +x_0=600000 +y_0=200000 "
+             "+a=6378249.2 +b=6356515 +towgs84=-168,-60,320 +pm=paris")
+    xp, yp, _ = crs.transform_points([2.3522], [48.8566],
+                                     "EPSG:4326", lamb2)
+    assert 599000 < xp[0] < 603000 and 425000 < yp[0] < 430000
+    bp, cp, _ = crs.transform_points(xp, yp, lamb2, "EPSG:4326")
+    assert abs(bp[0] - 2.3522) < 1e-5 and abs(cp[0] - 48.8566) < 1e-5
 
 
 def test_crs_wkt1_definitions():
