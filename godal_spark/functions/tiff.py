@@ -7,23 +7,29 @@ actual COG bytes and the ingest path can read the world's TIFFs:
 
   decode:  classic TIFF (II/MM), strips or tiles, PlanarConfig=1,
            Compression 1 (none) / 5 (LZW, with the TIFF early-change
-           rule) / 8+32946 (deflate) / 32773 (PackBits), horizontal
-           Predictor 2, uint8/16/32, int8/16/32, float32/64, 1..N
-           samples per pixel; multi-IFD chains (overview pyramids);
-           GeoTIFF ModelPixelScale + ModelTiepoint → geotransform and
-           GeoKeyDirectory → EPSG code.
+           rule) / 7 (new-style JPEG, standalone or abbreviated
+           streams with JPEGTables, gray + YCbCr any subsampling —
+           rides the engine's own JPEG decoder) / 8+32946 (deflate) /
+           32773 (PackBits), horizontal Predictor 2, uint8/16/32,
+           int8/16/32, float32/64, 1..N samples per pixel; multi-IFD
+           chains (overview pyramids); GeoTIFF ModelPixelScale +
+           ModelTiepoint → geotransform and GeoKeyDirectory → EPSG.
   encode:  little-endian, strips (small) or tiles, deflate / none /
-           PackBits, optional predictor 2, geo tags; `encode_cog`
-           chains a full-resolution tiled IFD + reduced-resolution
-           overview IFDs (the COG layout: all IFDs up front, tile data
-           after — cogify/cogify-main.go:59-157 semantics).
+           PackBits / jpeg (compression 7, photometric YCbCr 4:2:0
+           for RGB — the COG-for-imagery default, PSNR≥40 dB at the
+           default quality 95), optional predictor 2, geo tags;
+           `encode_cog` chains a full-resolution tiled IFD +
+           reduced-resolution overview IFDs (the COG layout: all IFDs
+           up front, tile data after — cogify/cogify-main.go:59-157
+           semantics).
 
 Validated against EXTERNAL javax.imageio TIFF fixtures
 (functions/tiff_fixtures.py) — no code shared with this writer — the
 same strategy that caught the round-4 progressive-JPEG bug.
 BigTIFF (magic 43, u64 offsets) reads AND writes — the form a
 100 TB mosaic's >4 GB COG actually needs; encode_cog auto-switches.
-Error-first: PlanarConfig=2, JPEG-in-TIFF, subsampled YCbCr.
+Error-first: PlanarConfig=2, old-style JPEG (compression 6),
+RGB-coded (photometric 2) JPEG, 12-bit JPEG.
 
 Performance note: deflate rides stdlib zlib (C speed) and is the
 default for everything the engine writes; the LZW/PackBits coders are
@@ -56,6 +62,8 @@ _T_TILE_LENGTH = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_BYTE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339
+_T_JPEG_TABLES = 347
+_T_YCBCR_SUBSAMPLING = 530
 _T_MODEL_PIXEL_SCALE = 33550
 _T_MODEL_TIEPOINT = 33922
 _T_GEO_KEY_DIRECTORY = 34735
@@ -212,11 +220,16 @@ def _decompress(data: bytes, compression: int) -> bytes:
         return zlib.decompress(data)
     if compression == 32773:
         return _packbits_decode(data)
+    if compression == 6:
+        raise NotImplementedError(
+            "tiff: old-style JPEG (compression 6) — deprecated by "
+            "TIFF TechNote 2; only new-style compression 7 is read")
     raise NotImplementedError(f"tiff: compression {compression} "
-                              "(JPEG-in-TIFF etc. need codec libraries)")
+                              "(WebP/ZSTD/CCITT need codec libraries)")
 
 
-_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_COMP_CODES = {"none": 1, "lzw": 5, "jpeg": 7, "deflate": 8,
+               "packbits": 32773}
 
 
 def _compress(data: bytes, compression: str) -> bytes:
@@ -318,6 +331,30 @@ def _decode_one_ifd(buf: bytes, tags: dict, en: str) -> np.ndarray:
     dt = np.dtype(_dtype_of(tags)).newbyteorder(en)
     out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
 
+    jpeg_dec = None
+    if comp == 7:
+        # New-style JPEG-in-TIFF (TechNote 2): each strip/tile is a
+        # JPEG stream, possibly "abbreviated" with the shared DQT/DHT
+        # segments hoisted into the JPEGTables tag (itself a
+        # SOI..tables..EOI stream — splice its body after the chunk's
+        # SOI). Photometric 6 means the stream is YCbCr-coded; the
+        # engine's JPEG decoder returns RGB for 3-component scans,
+        # which IS the logical image (GDAL semantics).
+        photo = tags.get(_T_PHOTOMETRIC, (1,))[0]
+        if photo == 2 and spp >= 3:
+            raise NotImplementedError(
+                "tiff: RGB-coded JPEG (photometric 2, no YCbCr "
+                "transform) — writers emit photometric 6")
+        if tags.get(_T_BITS_PER_SAMPLE, (8,))[0] != 8:
+            raise NotImplementedError("tiff: only 8-bit JPEG-in-TIFF")
+        from godal_spark.functions.jpeg import decode_jpeg_real
+        tbl = tags.get(_T_JPEG_TABLES, (b"",))[0]
+        tbl_body = bytes(tbl[2:-2]) if len(tbl) > 4 else b""
+
+        def jpeg_dec(chunk: bytes) -> np.ndarray:
+            a = decode_jpeg_real(chunk[:2] + tbl_body + chunk[2:])
+            return a[:, :, None] if a.ndim == 2 else a
+
     if _T_TILE_OFFSETS in tags:
         tw = tags[_T_TILE_WIDTH][0]
         th = tags[_T_TILE_LENGTH][0]
@@ -328,11 +365,14 @@ def _decode_one_ifd(buf: bytes, tags: dict, en: str) -> np.ndarray:
             if c == 0:  # sparse tile (GDAL SPARSE_OK): keep fill zeros
                 continue
             ty, tx = idx // ntx, idx % ntx
-            raw = _decompress(buf[o:o + c], comp)
-            a = np.frombuffer(raw, dtype=dt, count=tw * th * spp) \
-                .reshape(th, tw * spp)
-            a = _undo_predictor(a, pred, spp)
-            a = a.reshape(th, tw, spp)
+            if jpeg_dec is not None:
+                a = jpeg_dec(buf[o:o + c]).astype(dt.newbyteorder("="))
+            else:
+                raw = _decompress(buf[o:o + c], comp)
+                a = np.frombuffer(raw, dtype=dt, count=tw * th * spp) \
+                    .reshape(th, tw * spp)
+                a = _undo_predictor(a, pred, spp)
+                a = a.reshape(th, tw, spp)
             y0, x0 = ty * th, tx * tw
             ys, xs = min(th, h - y0), min(tw, w - x0)
             out[y0:y0 + ys, x0:x0 + xs] = a[:ys, :xs]
@@ -345,6 +385,10 @@ def _decode_one_ifd(buf: bytes, tags: dict, en: str) -> np.ndarray:
                 continue
             y0 = idx * rps
             rows = min(rps, h - y0)
+            if jpeg_dec is not None:
+                a = jpeg_dec(buf[o:o + c]).astype(dt.newbyteorder("="))
+                out[y0:y0 + rows] = a[:rows, :w]
+                continue
             raw = _decompress(buf[o:o + c], comp)
             a = np.frombuffer(raw, dtype=dt, count=rows * w * spp) \
                 .reshape(rows, w * spp)
@@ -454,7 +498,7 @@ class _IfdPlan:
 
     def __init__(self, arr: np.ndarray, tile: tuple[int, int] | None,
                  compression: str, predictor: int,
-                 gt=None, epsg: int | None = None):
+                 gt=None, epsg: int | None = None, quality: int = 95):
         arr = np.asarray(arr)
         if arr.ndim == 2:
             arr = arr[:, :, None]
@@ -466,11 +510,35 @@ class _IfdPlan:
         def tag(t, typ, vals):
             entries.append((t, typ, len(vals), tuple(vals)))
 
+        jpeg_enc = None
+        subsampling = "444"
+        if compression == "jpeg":
+            # New-style JPEG-in-TIFF (compression 7): each strip/tile
+            # is a standalone JFIF stream from the engine's own
+            # encoder (no JPEGTables — TechNote 2 allows either; the
+            # reader side handles both). RGB rides photometric 6
+            # (YCbCr-coded, 4:2:0 — the COG-for-imagery default).
+            if arr.dtype != np.uint8 or spp not in (1, 3):
+                raise ValueError(
+                    "tiff: jpeg compression needs uint8 gray or RGB")
+            if predictor != 1:
+                raise ValueError("tiff: predictor with jpeg compression")
+            from godal_spark.functions.jpeg import encode_jpeg
+            subsampling = "420" if spp == 3 else "444"
+
+            def jpeg_enc(block: np.ndarray) -> bytes:
+                a = block[:, :, 0] if spp == 1 else block
+                return encode_jpeg(a, quality, subsampling=subsampling)
+
         tag(_T_IMAGE_WIDTH, 4, [w])
         tag(_T_IMAGE_LENGTH, 4, [h])
         tag(_T_BITS_PER_SAMPLE, 3, [arr.dtype.itemsize * 8] * spp)
         tag(_T_COMPRESSION, 3, [_COMP_CODES[compression]])
-        tag(_T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
+        if jpeg_enc is not None and spp == 3:
+            tag(_T_PHOTOMETRIC, 3, [6])          # YCbCr
+            tag(_T_YCBCR_SUBSAMPLING, 3, [2, 2])  # 4:2:0
+        else:
+            tag(_T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
         tag(_T_SAMPLES_PER_PIXEL, 3, [spp])
         if predictor != 1:
             tag(_T_PREDICTOR, 3, [predictor])
@@ -486,6 +554,9 @@ class _IfdPlan:
                     xs = min(tw, w - tx * tw)
                     block[:ys, :xs] = arr[ty * th:ty * th + ys,
                                           tx * tw:tx * tw + xs]
+                    if jpeg_enc is not None:
+                        self.chunks.append(jpeg_enc(block))
+                        continue
                     flat = block.reshape(th, tw * spp)
                     if predictor == 2:
                         flat = _apply_predictor(flat, spp)
@@ -499,8 +570,16 @@ class _IfdPlan:
         else:
             rps = max(1, min(h, 8192 // max(1, w * spp * arr.dtype.itemsize)
                              or 1))
+            if jpeg_enc is not None:
+                # spec: strip height must be a multiple of the MCU
+                # height (16 for 4:2:0 YCbCr, 8 for gray)
+                mcu = 16 if spp == 3 else 8
+                rps = max(mcu, -(-rps // mcu) * mcu)
             for y0 in range(0, h, rps):
                 rows = arr[y0:y0 + rps]
+                if jpeg_enc is not None:
+                    self.chunks.append(jpeg_enc(rows))
+                    continue
                 flat = rows.reshape(rows.shape[0], w * spp)
                 if predictor == 2:
                     flat = _apply_predictor(flat, spp)
@@ -614,17 +693,20 @@ def _encode_ifds(plans: list[_IfdPlan], big: bool = False) -> bytes:
 def encode_tiff(arr: np.ndarray, *, tile: tuple[int, int] | None = None,
                 compression: str = "deflate", predictor: int = 1,
                 gt=None, epsg: int | None = None,
-                big: bool = False) -> bytes:
+                big: bool = False, quality: int = 95) -> bytes:
     """Single-IFD TIFF (strips by default, tiled when `tile` given);
-    big=True emits BigTIFF (u64 offsets — the >4 GB form)."""
+    big=True emits BigTIFF (u64 offsets — the >4 GB form).
+    compression="jpeg" emits new-style JPEG-in-TIFF (code 7) at the
+    given quality — uint8 gray or RGB (YCbCr 4:2:0) only."""
     return _encode_ifds([_IfdPlan(arr, tile, compression, predictor,
-                                  gt=gt, epsg=epsg)], big=big)
+                                  gt=gt, epsg=epsg, quality=quality)],
+                        big=big)
 
 
 def encode_cog(levels: list[np.ndarray], *, tile: tuple[int, int] = (256, 256),
                compression: str = "deflate", predictor: int = 1,
                gt=None, epsg: int | None = None,
-               big: bool | None = None) -> bytes:
+               big: bool | None = None, quality: int = 95) -> bytes:
     """Cloud-Optimized GeoTIFF layout: levels[0] = full resolution,
     levels[1:] = successive overviews; ALL tiled; every IFD + tag data
     precedes the pixel chunks so a ranged reader gets the whole
@@ -635,7 +717,8 @@ def encode_cog(levels: list[np.ndarray], *, tile: tuple[int, int] = (256, 256),
     for k, lv in enumerate(levels):
         plans.append(_IfdPlan(lv, tile, compression, predictor,
                               gt=gt if k == 0 else None,
-                              epsg=epsg if k == 0 else None))
+                              epsg=epsg if k == 0 else None,
+                              quality=quality))
     if big is None:
         # auto: BigTIFF once the compressed payload approaches the
         # classic 4 GB ceiling (the 100 TB-mosaic case)

@@ -274,11 +274,14 @@ def build_overviews(tiles_l0: DataFrame, min_size: int = 256,
 
 
 def cog_write(tiles: DataFrame, *, images_meta: DataFrame | None = None,
-              tile_size: int = 256, compression: str = "deflate") -> DataFrame:
+              tile_size: int = 256, compression: str = "deflate",
+              quality: int = 95) -> DataFrame:
     """The cogify sink (cogify/cogify-main.go:59-157): assemble each
     (image_id, band)'s level-0 + overview tile rows into REAL
     Cloud-Optimized GeoTIFF bytes (functions/tiff.py — tiled IFD chain,
-    all metadata ahead of the pixel data, deflate by default).
+    all metadata ahead of the pixel data, deflate by default;
+    compression="jpeg" emits lossy JPEG tiles at `quality` — the
+    web-imagery COG shape, uint8 bands only).
 
     Scale shape: one export task per (image_id, band) — the per-image
     gather documented for bounded-size images (the distributed
@@ -322,7 +325,8 @@ def cog_write(tiles: DataFrame, *, images_meta: DataFrame | None = None,
             except ValueError:
                 pass
         buf = TF.encode_cog(arrs, tile=(tile_size, tile_size),
-                            compression=compression, gt=gt, epsg=epsg)
+                            compression=compression, gt=gt, epsg=epsg,
+                            quality=quality)
         return pd.DataFrame({"image_id": [image_id], "band": [int(band)],
                              "n_levels": [len(arrs)],
                              "nbytes": [len(buf)], "cog": [buf]})

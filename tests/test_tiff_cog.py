@@ -124,6 +124,130 @@ def test_bigtiff_roundtrip():
     assert np.array_equal(T.decode_tiff(b16)[0], a16)
 
 
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_tiff_jpeg_roundtrip():
+    """New-style JPEG-in-TIFF (compression 7): strips and tiles, gray
+    (photometric 1) and RGB (photometric 6, YCbCr 4:2:0), PSNR >= 40
+    at the default quality 95 — the lossy COG-for-imagery shape."""
+    gray, rgb = _gray_card(260, 300), _rgb_card(260, 300)
+    for arr in (gray, rgb):
+        for tile in (None, (64, 64)):
+            buf = T.encode_tiff(arr, tile=tile, compression="jpeg")
+            dec, _ = T.decode_tiff(buf)
+            assert dec.shape == arr.shape and dec.dtype == np.uint8
+            assert _psnr(arr, dec) >= 40.0
+    # RGB tags: compression 7, photometric 6, 2x2 subsampling
+    _, tl = T._walk_ifds(T.encode_tiff(rgb, tile=(64, 64),
+                                       compression="jpeg"))
+    assert tl[0][T._T_COMPRESSION][0] == 7
+    assert tl[0][T._T_PHOTOMETRIC][0] == 6
+    assert tl[0][T._T_YCBCR_SUBSAMPLING] == (2, 2)
+    # lower quality shrinks the stream but keeps shape
+    small = T.encode_tiff(rgb, tile=(64, 64), compression="jpeg",
+                          quality=50)
+    assert len(small) < len(T.encode_tiff(rgb, tile=(64, 64),
+                                          compression="jpeg"))
+
+
+def test_tiff_jpeg_external_javax_fixtures():
+    """javax.imageio TIFFs with compression type JPEG (quality 0.95,
+    standalone per-strip streams, photometric 1 / 6+subsampling) —
+    an encoder sharing no code with this engine's JPEG or TIFF
+    writers — decode within lossy tolerance of the analytic cards."""
+    buf = base64.b64decode(FX.JAVA_GRAY_JPEG)
+    dec, _ = T.decode_tiff(buf)
+    assert dec.shape == (43, 61)
+    assert _psnr(_gray_card(61, 43), dec) >= 40.0
+    buf = base64.b64decode(FX.JAVA_RGB_JPEG)
+    dec, _ = T.decode_tiff(buf)
+    assert dec.shape == (30, 40, 3)
+    assert _psnr(_rgb_card(40, 30), dec) >= 40.0
+
+
+def test_tiff_jpeg_tables_abbreviated_streams():
+    """TechNote 2's other shape: shared DQT/DHT hoisted into the
+    JPEGTables tag (a SOI..tables..EOI stream) with abbreviated
+    per-tile streams. Synthesized from the engine's own standalone
+    output by splitting segments — decode must splice the tables back
+    and produce the identical pixels."""
+    import struct as _s
+    rgb = _rgb_card(130, 100)
+    buf = T.encode_tiff(rgb, tile=(64, 64), compression="jpeg")
+    full, _ = T.decode_tiff(buf)
+    en, tl = T._walk_ifds(buf)
+    tags = dict(tl[0])
+
+    def split(stream):
+        """-> (tables_segments, abbreviated_stream)"""
+        tabs, keep, pos = bytearray(), bytearray(b"\xFF\xD8"), 2
+        while pos < len(stream):
+            assert stream[pos] == 0xFF
+            m = stream[pos + 1]
+            if m == 0xD9:
+                keep += stream[pos:pos + 2]
+                break
+            ln = _s.unpack_from(">H", stream, pos + 2)[0]
+            seg = stream[pos:pos + 2 + ln]
+            (tabs if m in (0xDB, 0xC4) else keep).extend(seg)
+            pos += 2 + ln
+            if m == 0xDA:  # entropy data until EOI
+                keep += stream[pos:len(stream) - 2] + b"\xFF\xD9"
+                break
+        return bytes(tabs), bytes(keep)
+
+    chunks, tables = [], None
+    for o, c in zip(tags[T._T_TILE_OFFSETS], tags[T._T_TILE_BYTE_COUNTS]):
+        tabs, abbr = split(buf[o:o + c])
+        tables = b"\xFF\xD8" + tabs + b"\xFF\xD9"
+        chunks.append(abbr)
+    tags[T._T_JPEG_TABLES] = (tables,)
+    tags[T._T_TILE_OFFSETS] = tuple(
+        np.cumsum([0] + [len(c) for c in chunks[:-1]]))
+    tags[T._T_TILE_BYTE_COUNTS] = tuple(len(c) for c in chunks)
+    dec = T._decode_one_ifd(b"".join(chunks), tags, en)
+    assert np.array_equal(dec, full)
+
+
+def test_tiff_jpeg_cog_and_sink():
+    """encode_cog with JPEG tiles: full pyramid + geo tags; and the
+    distributed cog_write sink accepts compression='jpeg'."""
+    rgb = _rgb_card(150, 120)
+    gt = [10.0, 0.5, 0.0, 20.0, 0.0, -0.5]
+    cog = T.encode_cog([rgb, rgb[::2, ::2].copy()], tile=(64, 64),
+                       compression="jpeg", gt=gt, epsg=3857)
+    arrays, metas = T.decode_tiff_all(cog)
+    assert [a.shape for a in arrays] == [(120, 150, 3), (60, 75, 3)]
+    assert all(_psnr(e, g) >= 40.0 for e, g in
+               zip([rgb, rgb[::2, ::2]], arrays))
+    assert metas[0]["gt"] == gt and metas[0]["epsg"] == 3857
+
+
+def test_tiff_jpeg_error_first():
+    with pytest.raises(ValueError, match="uint8 gray or RGB"):
+        T.encode_tiff(np.zeros((8, 8), np.uint16), compression="jpeg")
+    with pytest.raises(ValueError, match="predictor"):
+        T.encode_tiff(np.zeros((8, 8), np.uint8), compression="jpeg",
+                      predictor=2)
+    # old-style JPEG (compression 6) is error-first on decode
+    buf = T.encode_tiff(np.zeros((8, 8), np.uint8))
+    en, tl = T._walk_ifds(buf)
+    tags = dict(tl[0])
+    tags[T._T_COMPRESSION] = (6,)
+    with pytest.raises(NotImplementedError, match="old-style"):
+        T._decode_one_ifd(buf, tags, en)
+    # RGB-coded (photometric 2) JPEG is error-first too
+    jbuf = T.encode_tiff(_rgb_card(32, 32), compression="jpeg")
+    en2, tl2 = T._walk_ifds(jbuf)
+    tags2 = dict(tl2[0])
+    tags2[T._T_PHOTOMETRIC] = (2,)
+    with pytest.raises(NotImplementedError, match="RGB-coded"):
+        T._decode_one_ifd(jbuf, tags2, en2)
+
+
 def test_tiff_sparse_chunks_and_float_predictor():
     """GDAL SPARSE_OK emits byte-count-0 strips/tiles (fill-value holes);
     the decoder must keep them zero instead of decompressing b''. And
