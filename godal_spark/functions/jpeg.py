@@ -19,18 +19,22 @@ implements baseline sequential JPEG from the spec:
   chroma upsample → YCbCr→RGB.
 
 Huffman tables: the encoder emits flat canonical tables (all 12 DC
-symbols at 4 bits, all 162 AC symbols at 8 bits) — spec-valid (carried
+symbols at 4 bits, all 162 AC symbols at 8 bits; the wider 16/240
+alphabets for 12-bit precision) — spec-valid (carried
 in DHT, counts < 2^length, all-ones code unused) and typo-proof, at a
 modest compression cost vs the Annex-K optimized tables. Quantization —
 which controls PSNR — uses the real Annex-K base matrices with IJG
 quality scaling.
 
-Encoder emits baseline DCT (SOF0), 8-bit, 1 or 3 components. The
-DECODER additionally handles progressive DCT (SOF2: spectral selection
-+ successive approximation, interleaved DC scans + per-component AC
-scans) and any spec-legal sampling-factor combination via index-mapped
-nearest upsample. Arithmetic-coded / lossless / 12-bit streams raise
-NotImplementedError (error-first, reference errs.go pattern).
+Encoder emits baseline DCT (SOF0), 8-bit, 1 or 3 components — or
+extended sequential (SOF1) at 12-bit sample precision (uint16 < 4096,
+level shift 2048 — the aerial-imagery tier). The DECODER additionally
+handles progressive DCT (SOF2: spectral selection + successive
+approximation, interleaved DC scans + per-component AC scans), 12-bit
+SOF1 with 8- or 16-bit DQT entries, and any spec-legal
+sampling-factor combination via index-mapped nearest upsample.
+Arithmetic-coded / lossless streams raise NotImplementedError
+(error-first, reference errs.go pattern).
 """
 
 from __future__ import annotations
@@ -91,6 +95,16 @@ _AC_SYMBOLS = ([0x00, 0xF0] + [r << 4 for r in range(1, 15)]
 _DC_SPEC = ([0, 0, 0, 12] + [0] * 12, _DC_SYMBOLS)          # 12 codes @ 4 bits
 _AC_SPEC = ([0] * 7 + [176] + [0] * 8, sorted(_AC_SYMBOLS))  # 176 codes @ 8 bits
 
+# 12-bit sample precision (T.81 tables B.5/F.1): DC categories reach
+# 15 and AC magnitude sizes reach 14 — wider flat canonical tables,
+# same construction (16 DC codes @ 5 bits, 240 AC codes @ 8 bits,
+# all-ones unused in both).
+_DC12_SYMBOLS = list(range(16))
+_AC12_SYMBOLS = ([0x00, 0xF0] + [r << 4 for r in range(1, 15)]
+                 + [(r << 4) | s for r in range(16) for s in range(1, 15)])
+_DC12_SPEC = ([0, 0, 0, 0, 16] + [0] * 11, _DC12_SYMBOLS)
+_AC12_SPEC = ([0] * 7 + [240] + [0] * 8, sorted(_AC12_SYMBOLS))
+
 _SAMPLING = {"444": [(1, 1), (1, 1), (1, 1)],
              "420": [(2, 2), (1, 1), (1, 1)],
              "422": [(2, 1), (1, 1), (1, 1)],
@@ -113,6 +127,8 @@ def _canonical_codes(bits, symbols):
 
 _DC_ENC = _canonical_codes(*_DC_SPEC)
 _AC_ENC = _canonical_codes(*_AC_SPEC)
+_DC12_ENC = _canonical_codes(*_DC12_SPEC)
+_AC12_ENC = _canonical_codes(*_AC12_SPEC)
 
 
 def quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
@@ -147,9 +163,10 @@ def _from_blocks(blocks: np.ndarray, by: int, bx: int, h: int, w: int) -> np.nda
     return full[:h, :w]
 
 
-def _fdct_quant(plane: np.ndarray, qtbl: np.ndarray) -> tuple[np.ndarray, int, int]:
+def _fdct_quant(plane: np.ndarray, qtbl: np.ndarray,
+                shift: float = 128.0) -> tuple[np.ndarray, int, int]:
     blocks, by, bx = _to_blocks(plane)
-    blocks -= 128.0
+    blocks -= shift
     # C @ block @ C.T as two broadcasted matmuls (BLAS) — ~5x faster
     # than the equivalent einsum contraction on small batch sizes
     coef = (_C @ blocks) @ _C.T
@@ -158,7 +175,7 @@ def _fdct_quant(plane: np.ndarray, qtbl: np.ndarray) -> tuple[np.ndarray, int, i
 
 
 def _dequant_idct(zz: np.ndarray, qtbl: np.ndarray, by: int, bx: int,
-                  h: int, w: int) -> np.ndarray:
+                  h: int, w: int, prec: int = 8) -> np.ndarray:
     coef = np.zeros((zz.shape[0], 64), dtype=np.float64)
     coef[:, ZIGZAG] = zz * qtbl.reshape(-1)[ZIGZAG][None, :]
     # DC-only fast path: flat blocks (most of any smooth/overview image)
@@ -170,8 +187,10 @@ def _dequant_idct(zz: np.ndarray, qtbl: np.ndarray, by: int, bx: int,
     if ac_any.any():
         sub = coef[ac_any].reshape(-1, 8, 8)
         blocks[ac_any] = (_C.T @ sub) @ _C
-    out = np.clip(np.round(_from_blocks(blocks, by, bx, h, w) + 128.0), 0, 255)
-    return out.astype(np.uint8)
+    half, maxv = float(1 << (prec - 1)), (1 << prec) - 1
+    out = np.clip(np.round(_from_blocks(blocks, by, bx, h, w) + half),
+                  0, maxv)
+    return out.astype(np.uint8 if prec == 8 else np.uint16)
 
 
 def _box_downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
@@ -272,8 +291,12 @@ def _dht_payload(tc: int, th: int, spec) -> bytes:
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
                 subsampling: str = "444", restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False, precision: int = 8) -> bytes:
     """JFIF encode of uint8 (h, w) grayscale or (h, w, 3) RGB.
+    precision=12 encodes extended sequential 12-bit DCT (T.81 sample
+    precision 12: uint16 input < 4096, level shift 2048, the wider
+    DC-category-15 / AC-size-14 Huffman alphabets) — the aerial /
+    satellite-imagery tier; baseline scans only (no progressive).
 
     subsampling: "444" (default), "420" (2x2 chroma decimation — what
     virtually all real-world encoders emit), "422", "440"; ignored for
@@ -289,8 +312,20 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
     progressive scans.
     """
     arr = np.asarray(arr)
-    if arr.dtype != np.uint8:
-        raise ValueError("jpeg: only uint8 input")
+    if precision == 8:
+        if arr.dtype != np.uint8:
+            raise ValueError("jpeg: only uint8 input at precision 8")
+    elif precision == 12:
+        if progressive:
+            raise NotImplementedError("jpeg: progressive 12-bit scans")
+        if arr.dtype != np.uint16:
+            raise ValueError("jpeg: 12-bit input must be uint16 (< 4096)")
+        if arr.size and int(arr.max()) > 4095:
+            raise ValueError("jpeg: 12-bit sample out of range (>= 4096)")
+    else:
+        raise NotImplementedError(f"jpeg: precision {precision} "
+                                  "(8 and 12 supported)")
+    half = float(1 << (precision - 1))
     if arr.ndim == 2:
         comps = [arr.astype(np.float64)]
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -298,8 +333,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
         g = arr[:, :, 1].astype(np.float64)
         b = arr[:, :, 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
         comps = [y, cb, cr]
     else:
         raise NotImplementedError("jpeg: 1 (gray) or 3 (RGB) bands only")
@@ -326,16 +361,23 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
     for tid, qt in enumerate(qtbls):
         zz = qt.reshape(-1)[ZIGZAG]
         out += _seg(0xDB, bytes([tid]) + bytes(int(v) for v in zz))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    dc_spec, ac_spec = ((_DC12_SPEC, _AC12_SPEC) if precision == 12
+                        else (_DC_SPEC, _AC_SPEC))
+    dc_enc, ac_enc = ((_DC12_ENC, _AC12_ENC) if precision == 12
+                      else (_DC_ENC, _AC_ENC))
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci in range(ncomp):
         hi, vi = samp[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += _seg(0xC2 if progressive else 0xC0, sof)
-    out += _seg(0xC4, _dht_payload(0, 0, _DC_SPEC))
-    out += _seg(0xC4, _dht_payload(1, 0, _AC_SPEC))
+    # 12-bit sequential is SOF1 (extended); 8-bit stays SOF0/SOF2
+    sof_marker = 0xC2 if progressive else (0xC1 if precision == 12
+                                           else 0xC0)
+    out += _seg(sof_marker, sof)
+    out += _seg(0xC4, _dht_payload(0, 0, dc_spec))
+    out += _seg(0xC4, _dht_payload(1, 0, ac_spec))
     if ncomp == 3:
-        out += _seg(0xC4, _dht_payload(0, 1, _DC_SPEC))
-        out += _seg(0xC4, _dht_payload(1, 1, _AC_SPEC))
+        out += _seg(0xC4, _dht_payload(0, 1, dc_spec))
+        out += _seg(0xC4, _dht_payload(1, 1, ac_spec))
     if ri and not progressive:
         out += _seg(0xDD, struct.pack(">H", ri))
 
@@ -350,7 +392,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
         plane = np.pad(plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
                        mode="edge")
         qt = qtbls[0] if ci == 0 else qtbls[1]
-        zz, _, bx = _fdct_quant(plane, qt)
+        zz, _, bx = _fdct_quant(plane, qt, shift=half)
         planes.append(zz)
         nbx.append(bx)
 
@@ -383,7 +425,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
                 for hh in range(hi):
                     idx = (my * vi + v) * nbx[ci] + (mx * hi + hh)
                     preds[ci] = _encode_block(
-                        bw, planes[ci][idx], preds[ci], _DC_ENC, _AC_ENC)
+                        bw, planes[ci][idx], preds[ci], dc_enc, ac_enc)
     bw.flush()
     out += bw.buf
     out += b"\xFF\xD9"  # EOI
@@ -940,10 +982,12 @@ def _upsample_plane(p: np.ndarray, hi: int, vi: int, hmax: int, vmax: int,
 
 def decode_jpeg_real(buf: bytes) -> np.ndarray:
     """Decode a JFIF/JPEG byte stream to uint8 (h, w) or (h, w, 3) RGB.
-    Baseline (SOF0) AND progressive (SOF2) DCT, arbitrary sampling
-    factors (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...), any DHT-carried canonical
-    Huffman tables, restart intervals, multi-scan spectral selection +
-    successive approximation. Arithmetic/lossless/12-bit raise."""
+    Baseline (SOF0), extended sequential (SOF1, incl. 12-bit sample
+    precision -> uint16 output) AND progressive (SOF2) DCT, arbitrary
+    sampling factors (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...), any
+    DHT-carried canonical Huffman tables (8- or 16-bit DQT entries),
+    restart intervals, multi-scan spectral selection + successive
+    approximation. Arithmetic/lossless raise."""
     if buf[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -971,19 +1015,25 @@ def decode_jpeg_real(buf: bytes) -> np.ndarray:
             off = 0
             while off < len(payload):
                 pq, tq = payload[off] >> 4, payload[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("jpeg: 16-bit quant tables")
-                zz = np.frombuffer(payload, dtype=np.uint8,
-                                   count=64, offset=off + 1).astype(np.int32)
+                if pq == 0:
+                    zz = np.frombuffer(payload, dtype=np.uint8, count=64,
+                                       offset=off + 1).astype(np.int32)
+                    off += 65
+                elif pq == 1:  # 16-bit entries (12-bit precision streams)
+                    zz = np.frombuffer(payload, dtype=">u2", count=64,
+                                       offset=off + 1).astype(np.int32)
+                    off += 129
+                else:
+                    raise ValueError(f"jpeg: bad quant precision {pq}")
                 tbl = np.zeros(64, dtype=np.int32)
                 tbl[ZIGZAG] = zz
                 qt[tq] = tbl.reshape(8, 8)
-                off += 65
         elif marker in (0xC0, 0xC1, 0xC2):
             progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
-                raise NotImplementedError("jpeg: only 8-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"jpeg: precision {prec} (8 and 12 supported)")
             for ci in range(nc):
                 cid, sampb, tq = payload[6 + 3 * ci:9 + 3 * ci]
                 hi, vi = sampb >> 4, sampb & 0xF
@@ -1051,13 +1101,17 @@ def decode_jpeg_real(buf: bytes) -> np.ndarray:
         cw = (w * comp["h"] + hmax - 1) // hmax
         ch = (h * comp["v"] + vmax - 1) // vmax
         p = _dequant_idct(zz_planes[ci], qt[comp["tq"]],
-                          nby[ci], nbx[ci], ch, cw).astype(np.float64)
+                          nby[ci], nbx[ci], ch, cw,
+                          prec=prec).astype(np.float64)
         planes.append(_upsample_plane(p, comp["h"], comp["v"],
                                       hmax, vmax, w, h))
+    odt = np.uint8 if prec == 8 else np.uint16
     if len(planes) == 1:
-        return planes[0].astype(np.uint8)
+        return planes[0].astype(odt)
+    half, maxv = float(1 << (prec - 1)), (1 << prec) - 1
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)),
+                   0, maxv).astype(odt)

@@ -28,8 +28,9 @@ Validated against EXTERNAL javax.imageio TIFF fixtures
 same strategy that caught the round-4 progressive-JPEG bug.
 BigTIFF (magic 43, u64 offsets) reads AND writes — the form a
 100 TB mosaic's >4 GB COG actually needs; encode_cog auto-switches.
+12-bit JPEG-in-TIFF (BitsPerSample 12 → uint16) reads AND writes.
 Error-first: PlanarConfig=2, old-style JPEG (compression 6),
-RGB-coded (photometric 2) JPEG, 12-bit JPEG.
+RGB-coded (photometric 2) JPEG.
 
 Performance note: deflate rides stdlib zlib (C speed) and is the
 default for everything the engine writes; the LZW/PackBits coders are
@@ -293,6 +294,8 @@ def _read_ifd(buf: bytes, off: int, en: str,
 def _dtype_of(tags: dict) -> np.dtype:
     bits = tags.get(_T_BITS_PER_SAMPLE, (8,))[0]
     sfmt = tags.get(_T_SAMPLE_FORMAT, (1,))[0]
+    if bits == 12 and tags.get(_T_COMPRESSION, (1,))[0] == 7:
+        return np.uint16  # 12-bit JPEG-in-TIFF decodes into uint16
     if sfmt == 1:
         return {8: np.uint8, 16: np.uint16, 32: np.uint32}[bits]
     if sfmt == 2:
@@ -345,8 +348,9 @@ def _decode_one_ifd(buf: bytes, tags: dict, en: str) -> np.ndarray:
             raise NotImplementedError(
                 "tiff: RGB-coded JPEG (photometric 2, no YCbCr "
                 "transform) — writers emit photometric 6")
-        if tags.get(_T_BITS_PER_SAMPLE, (8,))[0] != 8:
-            raise NotImplementedError("tiff: only 8-bit JPEG-in-TIFF")
+        if tags.get(_T_BITS_PER_SAMPLE, (8,))[0] not in (8, 12):
+            raise NotImplementedError(
+                "tiff: only 8- and 12-bit JPEG-in-TIFF")
         from godal_spark.functions.jpeg import decode_jpeg_real
         tbl = tags.get(_T_JPEG_TABLES, (b"",))[0]
         tbl_body = bytes(tbl[2:-2]) if len(tbl) > 4 else b""
@@ -518,9 +522,23 @@ class _IfdPlan:
             # encoder (no JPEGTables — TechNote 2 allows either; the
             # reader side handles both). RGB rides photometric 6
             # (YCbCr-coded, 4:2:0 — the COG-for-imagery default).
-            if arr.dtype != np.uint8 or spp not in (1, 3):
+            # uint16 input < 4096 encodes 12-bit extended sequential
+            # (BitsPerSample 12 — the aerial-imagery GeoTIFF shape).
+            if spp not in (1, 3):
                 raise ValueError(
-                    "tiff: jpeg compression needs uint8 gray or RGB")
+                    "tiff: jpeg compression needs gray or RGB")
+            if arr.dtype == np.uint8:
+                jprec = 8
+            elif arr.dtype == np.uint16:
+                if arr.size and int(arr.max()) > 4095:
+                    raise ValueError(
+                        "tiff: jpeg uint16 input must be 12-bit "
+                        "(< 4096); 16-bit JPEG does not exist")
+                jprec = 12
+            else:
+                raise ValueError(
+                    "tiff: jpeg compression needs uint8 or 12-bit "
+                    "uint16 samples")
             if predictor != 1:
                 raise ValueError("tiff: predictor with jpeg compression")
             from godal_spark.functions.jpeg import encode_jpeg
@@ -528,11 +546,14 @@ class _IfdPlan:
 
             def jpeg_enc(block: np.ndarray) -> bytes:
                 a = block[:, :, 0] if spp == 1 else block
-                return encode_jpeg(a, quality, subsampling=subsampling)
+                return encode_jpeg(a, quality, subsampling=subsampling,
+                                   precision=jprec)
 
         tag(_T_IMAGE_WIDTH, 4, [w])
         tag(_T_IMAGE_LENGTH, 4, [h])
-        tag(_T_BITS_PER_SAMPLE, 3, [arr.dtype.itemsize * 8] * spp)
+        bits = (12 if (jpeg_enc is not None and arr.dtype == np.uint16)
+                else arr.dtype.itemsize * 8)
+        tag(_T_BITS_PER_SAMPLE, 3, [bits] * spp)
         tag(_T_COMPRESSION, 3, [_COMP_CODES[compression]])
         if jpeg_enc is not None and spp == 3:
             tag(_T_PHOTOMETRIC, 3, [6])          # YCbCr

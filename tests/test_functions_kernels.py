@@ -1099,3 +1099,195 @@ def test_crs_geographic_datum_aliases():
         bx, by, ok = CRS.transform_points(mx, my, "EPSG:3857", code)
         assert np.allclose([bx, by], [xs, ys], atol=1e-9)
     assert 4269 in CRS.supported_epsg() and 4258 in CRS.supported_epsg()
+
+
+def _psnr12(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(4095.0 ** 2 / mse)
+
+
+def test_jpeg_12bit_roundtrip():
+    """Extended sequential 12-bit DCT (T.81 sample precision 12):
+    uint16 gray and RGB (444 + 420), SOF1 marker, level shift 2048,
+    wider DC-15/AC-14 Huffman alphabets; restart intervals too."""
+    from godal_spark.functions import jpeg as J
+
+    y, x = np.mgrid[0:180, 0:220]
+    g12 = ((1800 + 6 * (y // 3) + 5 * (x // 2)) % 4096).astype(np.uint16)
+    rgb12 = np.stack([(1900 + 8 * (y // 4)) % 4096,
+                      (1400 + 9 * (x // 4)) % 4096,
+                      (1600 + 7 * ((x + y) // 8)) % 4096],
+                     axis=-1).astype(np.uint16)
+    for arr, sub, floor in [(g12, "444", 60.0), (rgb12, "444", 60.0),
+                            (rgb12, "420", 55.0)]:
+        buf = J.encode_jpeg(arr, 95, subsampling=sub, precision=12)
+        assert b"\xff\xc1" in buf  # SOF1 extended sequential
+        dec = J.decode_jpeg_real(buf)
+        assert dec.dtype == np.uint16 and dec.shape == arr.shape
+        assert _psnr12(arr, dec) >= floor
+    # full-range noise stays decodable (exercises the wide categories)
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 4096, (64, 48), dtype=np.uint16)
+    dec = J.decode_jpeg_real(J.encode_jpeg(noise, 95, precision=12))
+    assert _psnr12(noise, dec) >= 30.0  # noise is the lossy worst case
+    # restart intervals reset the wide-range DC predictor correctly
+    buf = J.encode_jpeg(g12, 90, precision=12, restart_interval=4)
+    assert _psnr12(g12, J.decode_jpeg_real(buf)) >= 55.0
+
+
+def test_jpeg_12bit_straightloop_reference_encoder():
+    """Decode a 12-bit stream produced by a from-the-spec scalar
+    encoder living in this test (math.cos DCT, its own bit writer —
+    no code shared with the library's vectorized path). Catches
+    vectorization bugs the library round-trip can't."""
+    import math
+    import struct as _s
+    from godal_spark.functions import jpeg as J
+
+    y, x = np.mgrid[0:24, 0:16]
+    card = ((1000 + 90 * (y // 8) + 70 * (x // 8) + 5 * x) % 4096)
+
+    qtbl = [[16] * 8 for _ in range(8)]
+    # scalar FDCT per T.81 A.3.3
+    def fdct(block):
+        out = [[0.0] * 8 for _ in range(8)]
+        for u in range(8):
+            for v in range(8):
+                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                s = 0.0
+                for yy in range(8):
+                    for xx in range(8):
+                        s += (block[yy][xx] - 2048.0) * \
+                            math.cos((2 * yy + 1) * u * math.pi / 16) * \
+                            math.cos((2 * xx + 1) * v * math.pi / 16)
+                out[u][v] = cu * cv * s / 4.0
+        return out
+
+    bits_out = []
+
+    def put(val, n):
+        for k in range(n - 1, -1, -1):
+            bits_out.append((val >> k) & 1)
+
+    dc_enc = J._DC12_ENC
+    ac_enc = J._AC12_ENC
+
+    def mag(v):
+        if v == 0:
+            return 0, 0
+        size = abs(v).bit_length()
+        return size, (v + (1 << size) - 1) if v < 0 else v
+
+    zig = [(0, 0)]
+    # build the zigzag walk scalar-style from the library's table ONLY
+    # as coordinates (it is spec data, not code)
+    zz_idx = list(J.ZIGZAG)
+    pred = 0
+    payload_bits = []
+    bh, bw_ = 24 // 8, 16 // 8
+    for by in range(bh):
+        for bx in range(bw_):
+            block = [[float(card[by * 8 + yy][bx * 8 + xx])
+                      for xx in range(8)] for yy in range(8)]
+            co = fdct(block)
+            q = [round(co[i // 8][i % 8] / qtbl[i // 8][i % 8])
+                 for i in range(64)]
+            zz = [q[zz_idx[k]] for k in range(64)]
+            size, amp = mag(int(zz[0]) - pred)
+            pred = int(zz[0])
+            c, ln = dc_enc[size]
+            put(c, ln), put(amp, size)
+            run = 0
+            last = max([k for k in range(1, 64) if zz[k] != 0], default=0)
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, ln = ac_enc[0xF0]
+                    put(c, ln)
+                    run -= 16
+                size, amp = mag(v)
+                c, ln = ac_enc[(run << 4) | size]
+                put(c, ln), put(amp, size)
+                run = 0
+            if last < 63:
+                c, ln = ac_enc[0x00]
+                put(c, ln)
+    while len(bits_out) % 8:
+        bits_out.append(1)
+    ent = bytearray()
+    for i in range(0, len(bits_out), 8):
+        b = 0
+        for bit in bits_out[i:i + 8]:
+            b = (b << 1) | bit
+        ent.append(b)
+        if b == 0xFF:
+            ent.append(0x00)  # byte stuffing
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + _s.pack(">H", len(p) + 2) + p
+
+    zzq = bytes(16 for _ in range(64))
+    dqt = seg(0xDB, bytes([0]) + zzq)
+    sof = seg(0xC1, _s.pack(">BHHB", 12, 24, 16, 1) + bytes([1, 0x11, 0]))
+    dcb, dcs = J._DC12_SPEC
+    acb, acs = J._AC12_SPEC
+    dht = (seg(0xC4, bytes([0x00]) + bytes(dcb) + bytes(dcs))
+           + seg(0xC4, bytes([0x10]) + bytes(acb) + bytes(acs)))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    stream = b"\xFF\xD8" + dqt + sof + dht + sos + bytes(ent) + b"\xFF\xD9"
+
+    dec = J.decode_jpeg_real(stream)
+    assert dec.dtype == np.uint16 and dec.shape == (24, 16)
+    assert _psnr12(card, dec) >= 40.0
+
+
+def test_jpeg_12bit_16bit_quant_tables():
+    """DQT with Pq=1 (16-bit big-endian entries — what real 12-bit
+    encoders emit for tables > 255): rewrite the library's 8-bit DQT
+    into the 16-bit form; decode must be bit-identical."""
+    import struct as _s
+    from godal_spark.functions import jpeg as J
+
+    y, x = np.mgrid[0:40, 0:56]
+    g12 = ((900 + 11 * (y // 2) + 3 * x) % 4096).astype(np.uint16)
+    buf = J.encode_jpeg(g12, 85, precision=12)
+    base = J.decode_jpeg_real(buf)
+
+    out = bytearray()
+    pos = 0
+    while pos < len(buf):
+        if buf[pos] == 0xFF and pos + 1 < len(buf) and buf[pos + 1] == 0xDB:
+            ln = _s.unpack_from(">H", buf, pos + 2)[0]
+            body = buf[pos + 4:pos + 2 + ln]
+            tq = body[0] & 0xF
+            entries = body[1:65]
+            wide = b"".join(_s.pack(">H", v) for v in entries)
+            npay = bytes([(1 << 4) | tq]) + wide
+            out += bytes([0xFF, 0xDB]) + _s.pack(">H", len(npay) + 2) + npay
+            pos += 2 + ln
+        else:
+            out.append(buf[pos])
+            pos += 1
+    dec = J.decode_jpeg_real(bytes(out))
+    assert np.array_equal(dec, base)
+
+
+def test_jpeg_12bit_error_first():
+    import pytest
+    from godal_spark.functions import jpeg as J
+
+    g12 = np.zeros((8, 8), np.uint16)
+    with pytest.raises(ValueError, match="uint16"):
+        J.encode_jpeg(g12.astype(np.uint8), precision=12)
+    with pytest.raises(ValueError, match="out of range"):
+        J.encode_jpeg(np.full((8, 8), 4096, np.uint16), precision=12)
+    with pytest.raises(NotImplementedError, match="progressive 12-bit"):
+        J.encode_jpeg(g12, precision=12, progressive=True)
+    with pytest.raises(NotImplementedError, match="precision 10"):
+        J.encode_jpeg(g12, precision=10)
+    with pytest.raises(ValueError, match="uint8"):
+        J.encode_jpeg(g12)  # uint16 at precision 8

@@ -226,9 +226,43 @@ def test_tiff_jpeg_cog_and_sink():
     assert metas[0]["gt"] == gt and metas[0]["epsg"] == 3857
 
 
+def test_tiff_jpeg_12bit():
+    """12-bit JPEG-in-TIFF (BitsPerSample 12, extended sequential
+    SOF1 streams) — the aerial/satellite GeoTIFF shape: uint16 input
+    < 4096 round-trips through strips, tiles and the COG chain."""
+    y, x = np.mgrid[0:150, 0:130]
+    g12 = ((1800 + 6 * (y // 3) + 5 * (x // 2)) % 4096).astype(np.uint16)
+    rgb12 = np.stack([(1900 + 8 * (y // 4)) % 4096,
+                      (1400 + 9 * (x // 4)) % 4096,
+                      (1600 + 7 * ((x + y) // 8)) % 4096],
+                     axis=-1).astype(np.uint16)
+
+    def psnr12(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(4095.0 ** 2 / mse)
+
+    for arr in (g12, rgb12):
+        for tile in (None, (64, 64)):
+            buf = T.encode_tiff(arr, tile=tile, compression="jpeg")
+            _, tl = T._walk_ifds(buf)
+            assert tl[0][T._T_BITS_PER_SAMPLE][0] == 12
+            dec, _ = T.decode_tiff(buf)
+            assert dec.dtype == np.uint16 and dec.shape == arr.shape
+            assert psnr12(arr, dec) >= 55.0
+    cog = T.encode_cog([g12, g12[::2, ::2].copy()], tile=(64, 64),
+                       compression="jpeg", gt=[0, 1, 0, 0, 0, -1],
+                       epsg=32630)
+    arrs, metas = T.decode_tiff_all(cog)
+    assert [a.shape for a in arrs] == [(150, 130), (75, 65)]
+    assert psnr12(g12, arrs[0]) >= 55.0 and metas[0]["epsg"] == 32630
+    with pytest.raises(ValueError, match="16-bit JPEG"):
+        T.encode_tiff(np.full((8, 8), 60000, np.uint16),
+                      compression="jpeg")
+
+
 def test_tiff_jpeg_error_first():
-    with pytest.raises(ValueError, match="uint8 gray or RGB"):
-        T.encode_tiff(np.zeros((8, 8), np.uint16), compression="jpeg")
+    with pytest.raises(ValueError, match="uint8 or 12-bit"):
+        T.encode_tiff(np.zeros((8, 8), np.float32), compression="jpeg")
     with pytest.raises(ValueError, match="predictor"):
         T.encode_tiff(np.zeros((8, 8), np.uint8), compression="jpeg",
                       predictor=2)
