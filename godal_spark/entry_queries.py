@@ -2664,6 +2664,77 @@ FROM (VALUES ('strip_deflate'), ('strip_lzw'), ('strip_packbits'),
 """
 
 
+def q_cog_jpeg(spark, sf_dir):
+    """Lossy JPEG-COG export contract (round 5): deterministic smooth
+    40x40 gradient card → tile explode → overview pyramid →
+    cog_write(compression='jpeg', quality 95 — new-style JPEG-in-TIFF,
+    compression 7) → a second Spark stage decodes the IFD chain and
+    checks the north-rule lossy-pixel invariant: PSNR ≥ 40 dB per
+    level against the pre-encode pyramid (rebuilt in the worker via
+    the same iterated 2x2-average the overview stage uses). Level
+    dims are relational (ceil-halving from 40 down to min_size 16);
+    the PSNR bound is the BASELINE north rule's decoded-pixel
+    contract for lossy tiles."""
+    _ensure_workers_can_import(spark)
+    from godal_spark import datagen
+    from godal_spark.operators import tiling as TL
+
+    yy, xx = np.mgrid[0:40, 0:40]
+    card = (30 + 4 * yy + xx).astype(np.uint8)  # smooth, no wraps
+    imgs = datagen.images_df(spark, [datagen.image_row(
+        "cogj", card, "raw8", gt=[0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+        srs="EPSG:32630")])
+    t0 = TL.explode_tiles(imgs, bw=16, bh=16)
+    ov = TL.build_overviews(t0, min_size=16, block=16)
+    cogs = TL.cog_write(t0.unionByName(ov), images_meta=imgs,
+                        tile_size=16, compression="jpeg", quality=95)
+
+    def read_back(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from godal_spark.functions import tiff as TF
+        from godal_spark.functions.resampling import resample
+        y2, x2 = np.mgrid[0:40, 0:40]
+        exp = (30 + 4 * y2 + x2).astype(np.uint8)
+        for pdf in batches:
+            out = {"level_idx": [], "w": [], "h": [], "bits": [],
+                   "compression": [], "psnr_ge_40": []}
+            for r in pdf.itertuples(index=False):
+                buf = bytes(r.cog)
+                arrays, _ = TF.decode_tiff_all(buf)
+                _, tag_list = TF._walk_ifds(buf)
+                ref = exp
+                for k, a in enumerate(arrays):
+                    if k > 0:
+                        ref = resample(ref, ref.shape[1] // 2,
+                                       ref.shape[0] // 2, "average",
+                                       path="overview")
+                    mse = np.mean((a.astype(np.float64)
+                                   - ref.astype(np.float64)) ** 2)
+                    ps = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2
+                                                             / mse)
+                    out["level_idx"].append(k)
+                    out["h"].append(a.shape[0])
+                    out["w"].append(a.shape[1])
+                    out["bits"].append(
+                        int(tag_list[k][TF._T_BITS_PER_SAMPLE][0]))
+                    out["compression"].append(
+                        int(tag_list[k][TF._T_COMPRESSION][0]))
+                    out["psnr_ge_40"].append(bool(ps >= 40.0))
+            yield pd.DataFrame(out)
+
+    return cogs.mapInPandas(
+        read_back, schema="level_idx int, w int, h int, bits int, "
+                          "compression int, psnr_ge_40 boolean")
+
+
+SQL_COG_JPEG = """
+SELECT * FROM (VALUES
+  (0, 40, 40, 8, 7, TRUE),
+  (1, 20, 20, 8, 7, TRUE),
+  (2, 10, 10, 8, 7, TRUE))
+  t(level_idx, w, h, bits, compression, psnr_ge_40)
+"""
+
+
 def q_video_avi(spark, sf_dir):
     """REAL uncompressed-AVI video decode (round 5, functions/avi.py):
     six constant gray frames (value 10k) in a RIFF/AVI container,
@@ -2766,6 +2837,7 @@ QUERIES = {
     "crs_osgb": q_crs_osgb,
     "cog_roundtrip": q_cog_roundtrip,
     "tiff_ingest": q_tiff_ingest,
+    "cog_jpeg": q_cog_jpeg,
     "video_avi": q_video_avi,
 }
 
@@ -2836,5 +2908,6 @@ ORACLES = {
     "crs_osgb": SQL_CRS_OSGB,
     "cog_roundtrip": SQL_COG_ROUNDTRIP,
     "tiff_ingest": SQL_TIFF_INGEST,
+    "cog_jpeg": SQL_COG_JPEG,
     "video_avi": SQL_VIDEO_AVI,
 }

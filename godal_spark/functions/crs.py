@@ -26,6 +26,16 @@ country-wide fits, accurate to ~2 m against the definitive grid
 transformations (OSTN15 / OSi-OSNI), which require PROJ + grid files
 this environment does not have. NOT survey-grade; adding a family is a
 documented manual step (see _PROJ_REGISTRY below).
+
+FORMULAIC EPSG RANGES (round 5b, epsg_to_proj4): whole national-grid
+families resolve by rule into PROJ4 strings on the shared dispatch —
+ETRS89 UTM 25828-38, NAD83 UTM 26901-23, NAD27 UTM 26701-22 (+4267),
+ED50 UTM 23028-38 (+4230), GDA94 MGA 28348-58, GDA2020 MGA 7846-59,
+WGS72 UTM 322xx/323xx, DHDN Gauss-Krüger 31466-69, Arctic-SDI LAEA
+3571-76 (exact polar-aspect equations), UPS 5041/5042/32661/32761
+(polar stereographic variant A, EPSG G7-2 worked example < 1 cm),
+GDA94 Lambert 3112. Classical-datum members carry their standard
+published towgs84 shifts (few-metre accuracy without regional grids).
 """
 
 from __future__ import annotations
@@ -104,6 +114,10 @@ def _to_4326(xs, ys, epsg: int):
     if epsg in _PROJ_REGISTRY:
         lon, lat = _PROJ_REGISTRY[epsg][1](xs, ys)
         return lon, lat, ok
+    p4 = epsg_to_proj4(epsg)
+    if p4 is not None:
+        lon, lat = _proj4_pair(p4)[1](xs, ys)
+        return lon, lat, ok & np.isfinite(lon) & np.isfinite(lat)
     raise NotImplementedError(f"EPSG:{epsg} not supported (no PROJ in this env)")
 
 
@@ -127,6 +141,10 @@ def _from_4326(lon, lat, epsg: int):
     if epsg in _PROJ_REGISTRY:
         x, y = _PROJ_REGISTRY[epsg][0](lon, lat)
         return x, y, ok
+    p4 = epsg_to_proj4(epsg)
+    if p4 is not None:
+        x, y = _proj4_pair(p4)[0](lon, lat)
+        return x, y, ok & np.isfinite(x) & np.isfinite(y)
     raise NotImplementedError(f"EPSG:{epsg} not supported (no PROJ in this env)")
 
 
@@ -275,9 +293,37 @@ def _cea(lat_ts_deg: float):
 
 
 def _laea(lat0_deg: float, lon0_deg: float, fe: float, fn: float):
-    """Lambert azimuthal equal-area, ellipsoidal (EPSG guidance 7-2)."""
-    phi0 = math.radians(lat0_deg)
+    """Lambert azimuthal equal-area, ellipsoidal (EPSG guidance 7-2).
+    |lat0| = 90 uses the exact polar-aspect equations (Snyder 24-29..34:
+    rho = a*sqrt(qp -/+ q)) — the oblique form's D = a*m0/(Rq*cos b0)
+    degenerates 0/0 at the pole (the Arctic-SDI 3571-3576 family)."""
     lam0 = math.radians(lon0_deg)
+    if abs(lat0_deg) == 90.0:
+        north = lat0_deg > 0
+
+        def fwd(lon, lat):
+            lam = np.radians(np.asarray(lon, np.float64)) - lam0
+            q = _q_authalic(np.sin(np.radians(
+                np.asarray(lat, np.float64))))
+            rho = R_a * np.sqrt(np.maximum(
+                _QP - q if north else _QP + q, 0.0))
+            x = fe + rho * np.sin(lam)
+            y = fn + (-rho * np.cos(lam) if north else rho * np.cos(lam))
+            return x, y
+
+        def inv(x, y):
+            xp = np.asarray(x, np.float64) - fe
+            yp = np.asarray(y, np.float64) - fn
+            rho = np.hypot(xp, yp)
+            q = (_QP - (rho / R_a) ** 2 if north
+                 else (rho / R_a) ** 2 - _QP)
+            beta = np.arcsin(np.clip(q / _QP, -1, 1))
+            lam = np.arctan2(xp, -yp) if north else np.arctan2(xp, yp)
+            return (_wrap_lon(np.degrees(lam0 + lam)),
+                    np.degrees(_phi_from_beta(beta)))
+
+        return fwd, inv
+    phi0 = math.radians(lat0_deg)
     q0 = float(_q_authalic(math.sin(phi0)))
     beta0 = math.asin(q0 / _QP)
     rq = R_a * math.sqrt(_QP / 2)
@@ -341,8 +387,12 @@ def _albers(lat1_deg, lat2_deg, lat0_deg, lon0_deg, fe, fn):
 
 
 def _polar_stereo(lat_ts_deg: float, lon0_deg: float, fe: float, fn: float,
-                  south: bool):
-    """Polar stereographic variant B; south aspect = north mirrored."""
+                  south: bool, k0: float | None = None):
+    """Polar stereographic variant B (standard parallel lat_ts); with
+    `k0` given, variant A instead (EPSG 9810: scale at the pole — the
+    UPS form, rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e))). Both
+    share the kernel because only the rho/t ratio differs. South
+    aspect = north mirrored."""
     lam0 = math.radians(lon0_deg)
     phi_f = math.radians(abs(lat_ts_deg))
     e = _E
@@ -351,15 +401,17 @@ def _polar_stereo(lat_ts_deg: float, lon0_deg: float, fe: float, fn: float,
         return (np.tan(math.pi / 4 - phi / 2)
                 * ((1 + e * np.sin(phi)) / (1 - e * np.sin(phi))) ** (e / 2))
 
-    tf = float(_t(np.array(phi_f)))
-    mf = float(_m_of(phi_f))
+    if k0 is not None:  # variant A
+        ratio = 2.0 * k0 / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    else:  # variant B
+        ratio = float(_m_of(phi_f)) / float(_t(np.array(phi_f)))
 
     def fwd(lon, lat):
         lam = np.radians(np.asarray(lon, np.float64)) - lam0
         phi = np.radians(np.asarray(lat, np.float64))
         if south:
             phi = -phi
-        rho = R_a * mf * _t(phi) / tf
+        rho = R_a * ratio * _t(phi)
         x = rho * np.sin(lam)
         y = -rho * np.cos(lam)
         if south:
@@ -372,7 +424,7 @@ def _polar_stereo(lat_ts_deg: float, lon0_deg: float, fe: float, fn: float,
         if south:
             yp = -yp
         rho = np.hypot(xp, yp)
-        t = rho * tf / (R_a * mf)
+        t = rho / (R_a * ratio)
         chi = math.pi / 2 - 2 * np.arctan(t)
         phi = (chi
                + (E2 / 2 + 5 * _E4 / 24 + _E6 / 12 + 13 * _E8 / 360) * np.sin(2 * chi)
@@ -681,6 +733,63 @@ _OSGB36_HELMERT = (-446.448, 125.157, -542.060,
 _IRELAND65_HELMERT = (-482.530, 130.596, -564.557,
                       -1.042, -0.214, -0.631, -8.150)
 
+def epsg_to_proj4(epsg: int):
+    """Formulaic EPSG ranges → PROJ4 definition strings (public EPSG
+    registry parameters), routed through the same from_proj4 dispatch
+    as user-supplied strings — this is how the engine covers whole
+    national-grid families without a PROJ database. Datum notes:
+    ETRS89/NAD83/GDA94/GDA2020 ≡ WGS84 (metre-level, module policy);
+    NAD27/ED50/WGS72/DHDN carry their standard published towgs84
+    shifts (few-metre accuracy without regional grids — documented).
+    Returns None for codes outside the rules (caller stays
+    error-first). Reference: godal accepts any EPSG via PROJ
+    (srs.go NewSpatialRefFromEPSG)."""
+    if 25828 <= epsg <= 25838:    # ETRS89 / UTM zones 28N..38N
+        return f"+proj=utm +zone={epsg - 25800} +ellps=grs80"
+    if 26901 <= epsg <= 26923:    # NAD83 / UTM zones 1N..23N
+        return f"+proj=utm +zone={epsg - 26900} +ellps=grs80"
+    if 26701 <= epsg <= 26722:    # NAD27 / UTM (Clarke 1866, CONUS shift)
+        return (f"+proj=utm +zone={epsg - 26700} +ellps=clrk66 "
+                "+towgs84=-8,160,176")
+    if 23028 <= epsg <= 23038:    # ED50 / UTM (International 1924)
+        return (f"+proj=utm +zone={epsg - 23000} +ellps=intl "
+                "+towgs84=-87,-98,-121")
+    if 28348 <= epsg <= 28358:    # GDA94 / MGA zones 48..58
+        return f"+proj=utm +zone={epsg - 28300} +south +ellps=grs80"
+    if 7846 <= epsg <= 7859:      # GDA2020 / MGA zones 46..59
+        return f"+proj=utm +zone={epsg - 7800} +south +ellps=grs80"
+    if 32201 <= epsg <= 32260:    # WGS 72 / UTM north
+        return (f"+proj=utm +zone={epsg - 32200} +ellps=wgs72 "
+                "+towgs84=0,0,4.5,0,0,0.554,0.219")
+    if 32301 <= epsg <= 32360:    # WGS 72 / UTM south
+        return (f"+proj=utm +zone={epsg - 32300} +south +ellps=wgs72 "
+                "+towgs84=0,0,4.5,0,0,0.554,0.219")
+    if 31466 <= epsg <= 31469:    # DHDN / 3-deg Gauss-Krüger zones 2..5
+        z = epsg - 31464
+        return (f"+proj=tmerc +lat_0=0 +lon_0={3 * z} +k=1 "
+                f"+x_0={z * 1000000 + 500000} +y_0=0 +ellps=bessel "
+                "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+    if 3571 <= epsg <= 3576:      # WGS 84 / North Pole LAEA (Arctic SDI)
+        lon0 = {3571: 180.0, 3572: -150.0, 3573: -100.0, 3574: -40.0,
+                3575: 10.0, 3576: 90.0}[epsg]
+        return (f"+proj=laea +lat_0=90 +lon_0={lon0} +x_0=0 +y_0=0 "
+                "+ellps=wgs84")
+    if epsg in (5041, 32661):     # WGS 84 / UPS North (EPSG 9810, k0)
+        return ("+proj=stere +lat_0=90 +k=0.994 +x_0=2000000 "
+                "+y_0=2000000 +ellps=wgs84")
+    if epsg in (5042, 32761):     # WGS 84 / UPS South
+        return ("+proj=stere +lat_0=-90 +k=0.994 +x_0=2000000 "
+                "+y_0=2000000 +ellps=wgs84")
+    if epsg == 4267:              # NAD27 geographic
+        return "+proj=longlat +ellps=clrk66 +towgs84=-8,160,176"
+    if epsg == 4230:              # ED50 geographic
+        return "+proj=longlat +ellps=intl +towgs84=-87,-98,-121"
+    if epsg == 3112:              # GDA94 / Geoscience Australia Lambert
+        return ("+proj=lcc +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=134 "
+                "+x_0=0 +y_0=0 +ellps=grs80")
+    return None
+
+
 _PROJ_REGISTRY = {
     6933: _cea(30.0),                                # WGS84 / EASE-Grid 2.0 Global
     3035: _laea(52.0, 10.0, 4321000.0, 3210000.0),   # ETRS89 / LAEA Europe
@@ -750,6 +859,7 @@ _ELLIPSOIDS = {
     "clrk66": (6378206.4, 294.9786982),
     "clrk80ign": (6378249.2, 293.4660212936),
     "krass": (6378245.0, 298.3),
+    "wgs72": (6378135.0, 298.26),
     "bessel": (6377397.155, 299.1528128),
     "grs67": (6378160.0, 298.247167427),
     "aust_sa": (6378160.0, 298.25),
@@ -993,6 +1103,12 @@ def _build_transform(p: dict):
         lat0 = num("lat_0")
         if abs(lat0) != 90.0:
             raise NotImplementedError("proj4: stere is polar-only here")
+        if "lat_ts" not in p and ("k" in p or "k_0" in p):
+            # variant A (EPSG 9810): scale at the pole — the UPS form
+            return _polar_stereo(90.0 if lat0 > 0 else -90.0,
+                                 num("lon_0"), num("x_0"), num("y_0"),
+                                 lat0 < 0,
+                                 k0=float(p.get("k", p.get("k_0", 1.0))))
         return _polar_stereo(num("lat_ts", 90.0 if lat0 > 0 else -90.0),
                              num("lon_0"), num("x_0"), num("y_0"),
                              lat0 < 0)
@@ -1160,8 +1276,11 @@ def _proj4_pair(defn: str):
 
 
 def supported_epsg() -> list[int]:
-    """Registry-backed EPSG codes (plus 4326/3857/UTM 326xx/327xx and the
-    no-datum-shift geographic aliases 4269/4258)."""
+    """Registry-backed EPSG codes (plus 4326/3857/UTM 326xx/327xx, the
+    no-datum-shift geographic aliases 4269/4258, and the formulaic
+    ranges epsg_to_proj4 resolves — ETRS89/NAD83/NAD27/ED50/WGS72 UTM,
+    GDA94/GDA2020 MGA, DHDN GK, Arctic LAEA, UPS — which are not
+    enumerated here)."""
     return sorted([4326, 3857, 4269, 4258, *_PROJ_REGISTRY])
 
 

@@ -1291,3 +1291,114 @@ def test_jpeg_12bit_error_first():
         J.encode_jpeg(g12, precision=10)
     with pytest.raises(ValueError, match="uint8"):
         J.encode_jpeg(g12)  # uint16 at precision 8
+
+
+def test_crs_formulaic_epsg_ranges():
+    """epsg_to_proj4: whole national-grid families routed through the
+    from_proj4 dispatch — ETRS89/NAD83/GDA94/GDA2020 UTM (≡ WGS84
+    datum policy), NAD27/ED50/WGS72/DHDN with their standard published
+    towgs84 shifts, Arctic LAEA, UPS."""
+    from godal_spark.functions import crs as C
+
+    def tp(x, y, s, d):
+        gx, gy, ok = C.transform_points(
+            np.array([x]), np.array([y]), s, d)
+        return float(gx[0]), float(gy[0]), bool(ok[0])
+
+    # ETRS89 / GDA2020 UTM ≡ WGS84 UTM (grs80 vs wgs84: sub-mm)
+    for code, ref, pt in [("EPSG:25832", "EPSG:32632", (12.0, 55.0)),
+                          ("EPSG:26915", "EPSG:32615", (-93.0, 45.0)),
+                          ("EPSG:7850", "EPSG:32750", (117.0, -32.0)),
+                          ("EPSG:28355", "EPSG:32755", (145.0, -37.0))]:
+        a = tp(*pt, "EPSG:4326", code)
+        w = tp(*pt, "EPSG:4326", ref)
+        assert abs(a[0] - w[0]) < 1e-3 and abs(a[1] - w[1]) < 1e-3, code
+
+    # classical datums: real displacement vs the modern grid + exact
+    # round-trips through the Helmert kernel
+    n27 = tp(-93.0, 45.0, "EPSG:4326", "EPSG:26715")
+    n83 = tp(-93.0, 45.0, "EPSG:4326", "EPSG:26915")
+    d = float(np.hypot(n27[0] - n83[0], n27[1] - n83[1]))
+    assert 10 < d < 400  # NAD27 CONUS shift is tens-hundreds of m
+    rt = tp(n27[0], n27[1], "EPSG:26715", "EPSG:4326")
+    assert abs(rt[0] + 93) < 1e-8 and abs(rt[1] - 45) < 1e-8
+    e50 = tp(5.0, 52.0, "EPSG:4326", "EPSG:23031")
+    w84 = tp(5.0, 52.0, "EPSG:4326", "EPSG:32631")
+    d = float(np.hypot(e50[0] - w84[0], e50[1] - w84[1]))
+    assert 50 < d < 400  # ED50 mean-European shift
+    w72 = tp(3.0, 50.0, "EPSG:4326", "EPSG:32231")
+    w84b = tp(3.0, 50.0, "EPSG:4326", "EPSG:32631")
+    d = float(np.hypot(w72[0] - w84b[0], w72[1] - w84b[1]))
+    assert 1 < d < 30  # WGS72->WGS84: ~metres (dz 4.5 m + rotation)
+    gk = tp(9.5, 50.0, "EPSG:4326", "EPSG:31467")  # DHDN GK zone 3
+    assert 3400000 < gk[0] < 3600000
+    rt = tp(gk[0], gk[1], "EPSG:31467", "EPSG:4326")
+    # 7-param Helmert + TM series truncation: ~mm-level round trip
+    assert abs(rt[0] - 9.5) < 5e-8 and abs(rt[1] - 50) < 5e-8
+
+    # geographic classical datums
+    nad27 = tp(-93.0, 45.0, "EPSG:4326", "EPSG:4267")
+    d = float(np.hypot((nad27[0] + 93) * 78800, (nad27[1] - 45) * 111100))
+    assert 10 < d < 400
+
+    # unknown code stays error-first
+    import pytest
+    with pytest.raises(NotImplementedError, match="EPSG:29999"):
+        tp(0.0, 0.0, "EPSG:4326", "EPSG:29999")
+
+
+def test_crs_ups_epsg_worked_example():
+    """UPS North (EPSG 5041/32661, polar stereographic variant A,
+    k0 = 0.994): the EPSG Guidance 7-2 worked example — phi 73N,
+    lam 44E -> E 3320416.75, N 632668.43 — reproduced < 1 cm; the
+    south aspect and both alias codes round-trip."""
+    from godal_spark.functions import crs as C
+
+    def tp(x, y, s, d):
+        gx, gy, ok = C.transform_points(
+            np.array([x]), np.array([y]), s, d)
+        return float(gx[0]), float(gy[0]), bool(ok[0])
+
+    e, n, ok = tp(44.0, 73.0, "EPSG:4326", "EPSG:5041")
+    assert ok and abs(e - 3320416.75) < 0.01 and abs(n - 632668.43) < 0.01
+    assert tp(44.0, 73.0, "EPSG:4326", "EPSG:32661")[:2] == (e, n)
+    b = tp(e, n, "EPSG:5041", "EPSG:4326")
+    assert abs(b[0] - 44) < 1e-9 and abs(b[1] - 73) < 1e-8
+    s = tp(44.0, -73.0, "EPSG:4326", "EPSG:5042")
+    rt = tp(s[0], s[1], "EPSG:32761", "EPSG:4326")
+    assert abs(rt[0] - 44) < 1e-9 and abs(rt[1] + 73) < 1e-8
+
+
+def test_crs_polar_laea_exact_snyder():
+    """Arctic-SDI LAEA (EPSG 3571-3576): the oblique formula's
+    D = a*m0/(Rq*cos b0) is 0/0 at the pole, so lat0=90 dispatches to
+    the exact polar-aspect equations — pinned here against an
+    independent scalar Snyder 24-29..34 implementation."""
+    import math
+    from godal_spark.functions import crs as C
+
+    a, e2 = 6378137.0, 0.00669437999014
+    e = math.sqrt(e2)
+
+    def q(phi):
+        s = math.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - (1 / (2 * e)) * math.log((1 - e * s)
+                                                      / (1 + e * s)))
+
+    qp = q(math.pi / 2)
+    for lon, lat, code, lon0 in [(25.0, 64.0, "EPSG:3575", 10.0),
+                                 (-120.0, 70.0, "EPSG:3572", -150.0),
+                                 (170.0, 55.0, "EPSG:3571", 180.0)]:
+        rho = a * math.sqrt(qp - q(math.radians(lat)))
+        lam = math.radians(lon - lon0)
+        xe, ye = rho * math.sin(lam), -rho * math.cos(lam)
+        gx, gy, ok = C.transform_points(np.array([lon]), np.array([lat]),
+                                        "EPSG:4326", code)
+        assert ok[0] and abs(gx[0] - xe) < 0.01 and abs(gy[0] - ye) < 0.01
+        bx, by, ok = C.transform_points(gx, gy, code, "EPSG:4326")
+        assert abs(bx[0] - lon) < 1e-8 and abs(by[0] - lat) < 1e-8
+    # the pole itself maps to the origin
+    gx, gy, _ = C.transform_points(np.array([123.0]), np.array([90.0]),
+                                   "EPSG:4326", "EPSG:3575")
+    assert abs(gx[0]) < 1e-6 and abs(gy[0]) < 1e-6
