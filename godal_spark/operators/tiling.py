@@ -275,7 +275,7 @@ def build_overviews(tiles_l0: DataFrame, min_size: int = 256,
 
 def cog_write(tiles: DataFrame, *, images_meta: DataFrame | None = None,
               tile_size: int = 256, compression: str = "deflate",
-              quality: int = 95) -> DataFrame:
+              quality: int = 95, predictor: int = 1) -> DataFrame:
     """The cogify sink (cogify/cogify-main.go:59-157): assemble each
     (image_id, band)'s level-0 + overview tile rows into REAL
     Cloud-Optimized GeoTIFF bytes (functions/tiff.py — tiled IFD chain,
@@ -326,7 +326,7 @@ def cog_write(tiles: DataFrame, *, images_meta: DataFrame | None = None,
                 pass
         buf = TF.encode_cog(arrs, tile=(tile_size, tile_size),
                             compression=compression, gt=gt, epsg=epsg,
-                            quality=quality)
+                            quality=quality, predictor=predictor)
         return pd.DataFrame({"image_id": [image_id], "band": [int(band)],
                              "n_levels": [len(arrs)],
                              "nbytes": [len(buf)], "cog": [buf]})

@@ -319,6 +319,118 @@ def test_tiff_sparse_chunks_and_float_predictor():
     assert np.array_equal(T.decode_tiff(T.encode_tiff(f))[0].squeeze(), f)
 
 
+def test_tiff_predictor3_float():
+    """Floating-point predictor (3, TIFF TechNote 3): big-endian
+    byte-split + byte-wise differencing. Round-trips for f32/f64,
+    strips/tiles, gray/RGB; byte layout pinned against a scalar
+    straight-loop reference; and it actually compresses smooth float
+    rasters (the reason it exists)."""
+    rng = np.random.default_rng(11)
+    f32 = rng.standard_normal((45, 37)).astype(np.float32)
+    f64 = rng.standard_normal((20, 30)).astype(np.float64)
+    rgbf = rng.standard_normal((33, 21, 3)).astype(np.float32)
+    for arr, tile in [(f32, None), (f32, (16, 16)), (f64, None),
+                      (rgbf, (16, 16)), (rgbf, None)]:
+        buf = T.encode_tiff(arr, tile=tile, compression="deflate",
+                            predictor=3)
+        assert np.array_equal(T.decode_tiff(buf)[0], arr)
+        buf = T.encode_tiff(arr, tile=tile, compression="lzw",
+                            predictor=3)
+        assert np.array_equal(T.decode_tiff(buf)[0], arr)
+    smooth = np.linspace(0, 1, 64 * 64, dtype=np.float32).reshape(64, 64)
+    assert len(T.encode_tiff(smooth, compression="deflate", predictor=3)) \
+        < len(T.encode_tiff(smooth, compression="deflate")) / 5
+    # scalar straight-loop reference for the byte layout
+    row = np.array([[1.5, -2.25, 3.125]], dtype=np.float32)
+    got = T._apply_predictor3(row)
+    import struct as _s
+    split = [[], [], [], []]
+    for v in row[0]:
+        bb = _s.pack(">f", v)
+        for k in range(4):
+            split[k].append(bb[k])
+    stream = [b for plane in split for b in plane]
+    exp = [stream[0]] + [(stream[i] - stream[i - 1]) % 256
+                         for i in range(1, len(stream))]
+    assert got[0].tolist() == exp
+    assert np.array_equal(
+        T._undo_predictor3(got.tobytes(), 1, 3, np.dtype(np.float32)),
+        row)
+    # error-first: predictor 3 on integers
+    with pytest.raises(ValueError, match="predictor 3"):
+        T.encode_tiff(np.zeros((8, 8), np.uint8), predictor=3)
+
+
+def test_tiff_planar_config2():
+    """PlanarConfiguration 2 (separate sample planes, plane-major
+    chunk order) decodes for strips and tiles, with compression and
+    predictor 2 — synthesized by re-chunking the interleaved encoder's
+    pixels (no planar writer here: GDAL emits INTERLEAVE=BAND files
+    like these)."""
+    import zlib
+    rng = np.random.default_rng(12)
+    rgb = rng.integers(0, 256, (25, 31, 3), dtype=np.uint8)
+
+    buf = T.encode_tiff(rgb, compression="none")
+    en, tl = T._walk_ifds(buf)
+    tags = dict(tl[0])
+    rps = tags[T._T_ROWS_PER_STRIP][0]
+    chunks = [rgb[y0:y0 + rps, :, plane].tobytes()
+              for plane in range(3) for y0 in range(0, 25, rps)]
+    offs = list(np.cumsum([0] + [len(c) for c in chunks[:-1]]))
+    tags[T._T_PLANAR_CONFIG] = (2,)
+    tags[T._T_STRIP_OFFSETS] = tuple(offs)
+    tags[T._T_STRIP_BYTE_COUNTS] = tuple(len(c) for c in chunks)
+    assert np.array_equal(T._decode_one_ifd(b"".join(chunks), tags, en),
+                          rgb)
+
+    buf2 = T.encode_tiff(rgb, tile=(16, 16), compression="none")
+    en2, tl2 = T._walk_ifds(buf2)
+    tg = dict(tl2[0])
+    chunks = []
+    for plane in range(3):
+        for ty in range(2):
+            for tx in range(2):
+                block = np.zeros((16, 16), np.uint8)
+                ys, xs = min(16, 25 - ty * 16), min(16, 31 - tx * 16)
+                block[:ys, :xs] = rgb[ty * 16:ty * 16 + ys,
+                                      tx * 16:tx * 16 + xs, plane]
+                d = block.astype(np.int16)
+                diff = np.empty_like(d)
+                diff[:, 0] = d[:, 0]
+                diff[:, 1:] = d[:, 1:] - d[:, :-1]
+                chunks.append(zlib.compress(
+                    diff.astype(np.uint8).tobytes()))
+    offs = list(np.cumsum([0] + [len(c) for c in chunks[:-1]]))
+    tg[T._T_PLANAR_CONFIG] = (2,)
+    tg[T._T_COMPRESSION] = (8,)
+    tg[T._T_PREDICTOR] = (2,)
+    tg[T._T_TILE_OFFSETS] = tuple(offs)
+    tg[T._T_TILE_BYTE_COUNTS] = tuple(len(c) for c in chunks)
+    assert np.array_equal(T._decode_one_ifd(b"".join(chunks), tg, en2),
+                          rgb)
+    # planar float strips with predictor 3
+    rgbf = rng.standard_normal((10, 7, 3)).astype(np.float32)
+    b3 = T.encode_tiff(rgbf[:, :, 0], compression="deflate", predictor=3)
+    en3, tl3 = T._walk_ifds(b3)
+    t3 = dict(tl3[0])
+    rps = t3[T._T_ROWS_PER_STRIP][0]
+    chunks = [zlib.compress(
+        T._apply_predictor3(
+            rgbf[y0:y0 + rps, :, plane].reshape(min(rps, 10 - y0), -1)
+        ).tobytes())
+        for plane in range(3) for y0 in range(0, 10, rps)]
+    offs = list(np.cumsum([0] + [len(c) for c in chunks[:-1]]))
+    t3[T._T_SAMPLES_PER_PIXEL] = (3,)
+    t3[T._T_BITS_PER_SAMPLE] = (32, 32, 32)
+    t3[T._T_SAMPLE_FORMAT] = (3, 3, 3)
+    t3[T._T_PLANAR_CONFIG] = (2,)
+    t3[T._T_STRIP_OFFSETS] = tuple(offs)
+    t3[T._T_STRIP_BYTE_COUNTS] = tuple(len(c) for c in chunks)
+    assert np.array_equal(T._decode_one_ifd(b"".join(chunks), t3, en3),
+                          rgbf)
+
+
 def test_codecs_dispatch_tiff():
     from godal_spark.functions import codecs
 
