@@ -5,9 +5,11 @@ The reference delegates decoding to GDAL drivers (reference driver.go:
 
   * ``raw8``  — row-major uint8, band-interleaved-by-pixel (the input_hint
     layout); pure numpy reshape. Lossless.
-  * ``png``   — real, self-contained PNG codec over stdlib zlib
-    (8-bit grayscale / RGB / RGBA, filters 0-4 on decode, filter 0 on
-    encode). Deterministic and lossless, so the PSNR invariant is exact.
+  * ``png``   — real, self-contained PNG codec (functions/png.py):
+    depths 1/2/4/8/16, gray / gray+alpha / RGB / RGBA / palette+tRNS,
+    all five filters both ways, Adam7 interlace on decode; validated
+    against external javax.imageio fixtures. Lossless, so the PSNR
+    invariant is exact.
   * ``jpeg``  — real baseline JFIF codec, pure numpy (functions/jpeg.py):
     vectorized DCT, Annex-K quantization with IJG quality scaling,
     canonical Huffman. Lossy; default quality 95 keeps PSNR ≥ 40 dB
@@ -45,93 +47,11 @@ def decode_raw8(buf: bytes, w: int, h: int) -> np.ndarray:
     return arr.reshape(h, w, bands).copy()
 
 
+# png — full codec in functions/png.py (depths 1-16, palette, Adam7;
+# external javax.imageio fixture validation in png_fixtures.py)
 # ---------------------------------------------------------------------------
-# png (pure python + stdlib zlib)
-# ---------------------------------------------------------------------------
 
-_COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # bands -> PNG color type
-_BANDS = {0: 1, 2: 3, 6: 4}
-
-
-def _chunk(tag: bytes, payload: bytes) -> bytes:
-    return (struct.pack(">I", len(payload)) + tag + payload
-            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
-
-
-def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        h, w, bands = arr.shape[0], arr.shape[1], 1
-        flat = arr
-    else:
-        h, w, bands = arr.shape
-        flat = arr.reshape(h, w * bands)
-    ctype = _COLOR_TYPE[bands]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    raw = np.empty((h, w * bands + 1), dtype=np.uint8)
-    raw[:, 0] = 0  # filter type 0 per scanline
-    raw[:, 1:] = flat
-    idat = zlib.compress(raw.tobytes(), level)
-    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
-
-
-def decode_png(buf: bytes) -> np.ndarray:
-    if buf[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    off = 8
-    w = h = None
-    ctype = None
-    idat = b""
-    while off < len(buf):
-        ln = struct.unpack_from(">I", buf, off)[0]
-        tag = buf[off + 4:off + 8]
-        payload = buf[off + 8:off + 8 + ln]
-        off += 12 + ln
-        if tag == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or interlace != 0 or ctype not in _BANDS:
-                raise NotImplementedError("png: only 8-bit non-interlaced gray/RGB/RGBA")
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-    bands = _BANDS[ctype]
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * bands + 1)
-    filters = raw[:, 0]
-    data = raw[:, 1:].astype(np.int32)
-    bpp = bands
-    out = np.zeros_like(data)
-    for y in range(h):
-        line = data[y].copy()
-        f = filters[y]
-        prev = out[y - 1] if y > 0 else np.zeros_like(line)
-        if f == 0:
-            out[y] = line
-        elif f == 1:  # Sub
-            for x in range(len(line)):
-                left = out[y, x - bpp] if x >= bpp else 0
-                out[y, x] = (line[x] + left) & 0xFF
-        elif f == 2:  # Up
-            out[y] = (line + prev) & 0xFF
-        elif f == 3:  # Average
-            for x in range(len(line)):
-                left = out[y, x - bpp] if x >= bpp else 0
-                out[y, x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(len(line)):
-                a = out[y, x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                out[y, x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"png filter {f}")
-    img = out.astype(np.uint8)
-    if bands == 1:
-        return img.reshape(h, w)
-    return img.reshape(h, w, bands)
+from godal_spark.functions.png import decode_png, encode_png, png_info  # noqa: F401,E402
 
 
 # ---------------------------------------------------------------------------
