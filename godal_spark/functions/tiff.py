@@ -15,7 +15,10 @@ actual COG bytes and the ingest path can read the world's TIFFs:
            32773 (PackBits), horizontal Predictor 2 + floating-point
            Predictor 3 (TechNote 3 byte-split differencing),
            uint8/16/32, int8/16/32, float32/64, 1..N samples per
-           pixel; multi-IFD chains (overview pyramids); GeoTIFF
+           pixel, packed sub-byte BitsPerSample 1/2/4 (bilevel /
+           GDAL-mask bands; spec-default BitsPerSample=1 honored when
+           the tag is absent, as bilevel writers omit it);
+           multi-IFD chains (overview pyramids); GeoTIFF
            ModelPixelScale + ModelTiepoint → geotransform and
            GeoKeyDirectory → EPSG.
   encode:  little-endian, strips (small) or tiles, deflate / none /
@@ -297,11 +300,14 @@ def _read_ifd(buf: bytes, off: int, en: str,
 
 
 def _dtype_of(tags: dict) -> np.dtype:
-    bits = tags.get(_T_BITS_PER_SAMPLE, (8,))[0]
+    # spec default BitsPerSample is 1 (bilevel writers omit the tag)
+    bits = tags.get(_T_BITS_PER_SAMPLE, (1,))[0]
     sfmt = tags.get(_T_SAMPLE_FORMAT, (1,))[0]
     if bits == 12 and tags.get(_T_COMPRESSION, (1,))[0] == 7:
         return np.uint16  # 12-bit JPEG-in-TIFF decodes into uint16
     if sfmt == 1:
+        if bits in (1, 2, 4):
+            return np.uint8  # packed sub-byte samples (mask bands)
         return {8: np.uint8, 16: np.uint16, 32: np.uint32}[bits]
     if sfmt == 2:
         return {8: np.int8, 16: np.int16, 32: np.int32}[bits]
@@ -360,6 +366,33 @@ def _apply_predictor3(flat: np.ndarray) -> np.ndarray:
     return d
 
 
+def _unpack_subbyte(raw: bytes, rows: int, width: int, bits: int) -> np.ndarray:
+    """Packed MSB-first sub-byte samples (BitsPerSample 1/2/4, one
+    sample per pixel — the GDAL mask-band shape; each scanline pads to
+    a byte boundary). Returns (rows, width) uint8 of raw sample values
+    (no photometric inversion — GDAL exposes raw values too)."""
+    stride = (width * bits + 7) // 8
+    b = np.frombuffer(raw, np.uint8, rows * stride).reshape(rows, stride)
+    per = 8 // bits
+    shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * bits
+    expanded = (b[:, :, None] >> shifts[None, None, :]) & ((1 << bits) - 1)
+    return expanded.reshape(rows, stride * per)[:, :width]
+
+
+def _pack_subbyte(rows2d: np.ndarray, bits: int) -> bytes:
+    """(rows, width) uint8 values < 2**bits -> packed MSB-first bytes,
+    scanlines padded to byte boundaries."""
+    rows, width = rows2d.shape
+    per = 8 // bits
+    stride = (width * bits + 7) // 8
+    padded = np.zeros((rows, stride * per), dtype=np.uint8)
+    padded[:, :width] = rows2d
+    lanes = padded.reshape(rows, stride, per)
+    shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * bits
+    return ((lanes << shifts[None, None, :])
+            .sum(axis=2, dtype=np.uint32).astype(np.uint8).tobytes())
+
+
 def _decode_one_ifd(buf: bytes, tags: dict, en: str) -> np.ndarray:
     w = tags[_T_IMAGE_WIDTH][0]
     h = tags[_T_IMAGE_LENGTH][0]
@@ -374,6 +407,18 @@ def _decode_one_ifd(buf: bytes, tags: dict, en: str) -> np.ndarray:
     pred = tags.get(_T_PREDICTOR, (1,))[0]
     dt = np.dtype(_dtype_of(tags)).newbyteorder(en)
     out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
+
+    bits = tags.get(_T_BITS_PER_SAMPLE, (1,))[0]
+    subbyte = bits in (1, 2, 4) and comp != 7
+    if subbyte:
+        if spp != 1 or planar != 1:
+            raise NotImplementedError(
+                "tiff: sub-byte samples with SamplesPerPixel > 1")
+        if pred != 1:
+            raise NotImplementedError(
+                "tiff: predictor on sub-byte samples")
+        if tags.get(266, (1,))[0] != 1:  # FillOrder 2 = bit-reversed
+            raise NotImplementedError("tiff: FillOrder 2")
 
     jpeg_dec = None
     if comp == 7:
@@ -419,7 +464,9 @@ def _decode_one_ifd(buf: bytes, tags: dict, en: str) -> np.ndarray:
                 a = jpeg_dec(buf[o:o + c]).astype(dt.newbyteorder("="))
             else:
                 raw = _decompress(buf[o:o + c], comp)
-                if pred == 3:
+                if subbyte:
+                    a = _unpack_subbyte(raw, th, tw, bits)
+                elif pred == 3:
                     a = _undo_predictor3(raw, th, tw * cspp,
                                          dt.newbyteorder("="))
                 else:
@@ -450,7 +497,9 @@ def _decode_one_ifd(buf: bytes, tags: dict, en: str) -> np.ndarray:
                 out[y0:y0 + rows] = a[:rows, :w]
                 continue
             raw = _decompress(buf[o:o + c], comp)
-            if pred == 3:
+            if subbyte:
+                a = _unpack_subbyte(raw, rows, w, bits)
+            elif pred == 3:
                 a = _undo_predictor3(raw, rows, w * cspp,
                                      dt.newbyteorder("="))
             else:
@@ -565,11 +614,28 @@ class _IfdPlan:
 
     def __init__(self, arr: np.ndarray, tile: tuple[int, int] | None,
                  compression: str, predictor: int,
-                 gt=None, epsg: int | None = None, quality: int = 95):
+                 gt=None, epsg: int | None = None, quality: int = 95,
+                 bits: int | None = None):
         arr = np.asarray(arr)
         if arr.ndim == 2:
             arr = arr[:, :, None]
         h, w, spp = arr.shape
+        self.subbits = None
+        if bits is not None:
+            # packed sub-byte write — the GDAL mask-band shape
+            if bits not in (1, 2, 4):
+                raise ValueError(f"tiff: bits={bits} (use 1, 2 or 4)")
+            if arr.dtype != np.uint8 or spp != 1:
+                raise ValueError(
+                    "tiff: sub-byte write needs a single uint8 band")
+            if arr.size and int(arr.max()) >= (1 << bits):
+                raise ValueError(
+                    f"tiff: sample values exceed {bits}-bit range")
+            if compression == "jpeg" or predictor != 1:
+                raise ValueError(
+                    "tiff: sub-byte write supports byte-stream "
+                    "compressions without predictor")
+            self.subbits = bits
         dt = arr.dtype.newbyteorder("<")
         self.chunks: list[bytes] = []
         entries: list[tuple[int, int, int, tuple]] = []
@@ -614,9 +680,9 @@ class _IfdPlan:
 
         tag(_T_IMAGE_WIDTH, 4, [w])
         tag(_T_IMAGE_LENGTH, 4, [h])
-        bits = (12 if (jpeg_enc is not None and arr.dtype == np.uint16)
-                else arr.dtype.itemsize * 8)
-        tag(_T_BITS_PER_SAMPLE, 3, [bits] * spp)
+        nbits = (12 if (jpeg_enc is not None and arr.dtype == np.uint16)
+                 else (self.subbits or arr.dtype.itemsize * 8))
+        tag(_T_BITS_PER_SAMPLE, 3, [nbits] * spp)
         tag(_T_COMPRESSION, 3, [_COMP_CODES[compression]])
         if jpeg_enc is not None and spp == 3:
             tag(_T_PHOTOMETRIC, 3, [6])          # YCbCr
@@ -645,6 +711,11 @@ class _IfdPlan:
                     if jpeg_enc is not None:
                         self.chunks.append(jpeg_enc(block))
                         continue
+                    if self.subbits:
+                        self.chunks.append(_compress(
+                            _pack_subbyte(block[:, :, 0], self.subbits),
+                            compression))
+                        continue
                     flat = block.reshape(th, tw * spp)
                     if predictor == 3:
                         self.chunks.append(_compress(
@@ -661,8 +732,9 @@ class _IfdPlan:
             tag(_T_TILE_OFFSETS, 4, [0] * len(self.chunks))
             tag(_T_TILE_BYTE_COUNTS, 4, [len(c) for c in self.chunks])
         else:
-            rps = max(1, min(h, 8192 // max(1, w * spp * arr.dtype.itemsize)
-                             or 1))
+            row_bytes = ((w * self.subbits + 7) // 8 if self.subbits
+                         else w * spp * arr.dtype.itemsize)
+            rps = max(1, min(h, 8192 // max(1, row_bytes) or 1))
             if jpeg_enc is not None:
                 # spec: strip height must be a multiple of the MCU
                 # height (16 for 4:2:0 YCbCr, 8 for gray)
@@ -672,6 +744,11 @@ class _IfdPlan:
                 rows = arr[y0:y0 + rps]
                 if jpeg_enc is not None:
                     self.chunks.append(jpeg_enc(rows))
+                    continue
+                if self.subbits:
+                    self.chunks.append(_compress(
+                        _pack_subbyte(rows[:, :, 0], self.subbits),
+                        compression))
                     continue
                 flat = rows.reshape(rows.shape[0], w * spp)
                 if predictor == 3:
@@ -790,13 +867,17 @@ def _encode_ifds(plans: list[_IfdPlan], big: bool = False) -> bytes:
 def encode_tiff(arr: np.ndarray, *, tile: tuple[int, int] | None = None,
                 compression: str = "deflate", predictor: int = 1,
                 gt=None, epsg: int | None = None,
-                big: bool = False, quality: int = 95) -> bytes:
+                big: bool = False, quality: int = 95,
+                bits: int | None = None) -> bytes:
     """Single-IFD TIFF (strips by default, tiled when `tile` given);
     big=True emits BigTIFF (u64 offsets — the >4 GB form).
     compression="jpeg" emits new-style JPEG-in-TIFF (code 7) at the
-    given quality — uint8 gray or RGB (YCbCr 4:2:0) only."""
+    given quality — uint8 gray or RGB (YCbCr 4:2:0) only.
+    bits=1/2/4 packs a single uint8 band at sub-byte depth (the GDAL
+    mask-band / bilevel shape)."""
     return _encode_ifds([_IfdPlan(arr, tile, compression, predictor,
-                                  gt=gt, epsg=epsg, quality=quality)],
+                                  gt=gt, epsg=epsg, quality=quality,
+                                  bits=bits)],
                         big=big)
 
 

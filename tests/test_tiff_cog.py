@@ -482,3 +482,43 @@ def test_cog_write_end_to_end(spark):
     for x in arrays:
         assert (x == 7).all()  # constant image: every overview stays 7
     assert metas[0]["gt"] == gt and metas[0]["epsg"] == 4326
+
+
+# ---------------------------------------------------------------------------
+# sub-byte (bilevel / mask-band) samples — round 5c
+# ---------------------------------------------------------------------------
+
+def test_tiff_bilevel_external_javax_fixtures():
+    """Depth-1 TIFFs from javax.imageio: BitsPerSample tag omitted
+    (spec default 1), odd width 61 -> scanline byte padding; all three
+    byte-stream compressions."""
+    yy, xx = np.mgrid[0:23, 0:61]
+    exp = ((xx // 3 + yy // 2) % 2).astype(np.uint8)
+    for name in ("BILEVEL_NONE", "BILEVEL_DEFLATE", "BILEVEL_PACKBITS"):
+        buf = base64.b64decode(getattr(FX, f"JAVA_{name}"))
+        arr, _ = T.decode_tiff(buf)
+        assert arr.dtype == np.uint8 and arr.shape == (23, 61), name
+        assert np.array_equal(arr, exp), name
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+def test_tiff_subbyte_roundtrip(bits):
+    rng = np.random.default_rng(bits)
+    img = rng.integers(0, 1 << bits, (37, 53), dtype=np.uint8)
+    for comp in ("none", "deflate", "packbits", "lzw"):
+        for tile in (None, (16, 16)):
+            buf = T.encode_tiff(img, bits=bits, compression=comp, tile=tile)
+            out, _ = T.decode_tiff(buf)
+            assert np.array_equal(out, img), (comp, tile)
+
+
+def test_tiff_subbyte_error_first():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        T.encode_tiff(img, bits=3)
+    with pytest.raises(ValueError):
+        T.encode_tiff(img + 2, bits=1)  # value out of range
+    with pytest.raises(ValueError):
+        T.encode_tiff(np.zeros((8, 8, 3), np.uint8), bits=1)  # multi-band
+    with pytest.raises(ValueError):
+        T.encode_tiff(img, bits=1, compression="jpeg")
