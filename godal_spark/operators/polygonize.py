@@ -176,16 +176,16 @@ def _trace_rings(mask: np.ndarray) -> list[np.ndarray]:
 
 def _merge_collinear(ring: np.ndarray) -> np.ndarray:
     """Drop interior vertices on straight runs (exact test — rectilinear
-    rings have integer-grid vertices), matching GDAL's minimal rings."""
+    rings have integer-grid vertices), matching GDAL's minimal rings.
+    Vectorized (round 5c): the per-vertex loop was O(unit-perimeter)
+    Python on dissolved mega-components."""
     pts = ring[:-1]
-    n = len(pts)
-    keep = []
-    for i in range(n):
-        a, b, c = pts[i - 1], pts[i], pts[(i + 1) % n]
-        cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
-        if cross != 0:
-            keep.append(i)
-    out = pts[keep] if keep else pts
+    a = np.roll(pts, 1, axis=0)
+    c = np.roll(pts, -1, axis=0)
+    cross = ((pts[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+             - (pts[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+    keep = cross != 0
+    out = pts[keep] if keep.any() else pts
     return np.vstack([out, out[:1]])
 
 
@@ -433,14 +433,11 @@ def _cid_base(bx: int, by: int) -> int:
 
 
 
-def _dissolve_pixel_rings(polys: list) -> "G.Geom":
-    """Dissolve per-tile rectilinear rings (integer pixel coords, y-down)
-    into one clean geometry: decompose every ring segment into unit
-    directed edges — shared tile-border runs appear as exact OPPOSITE
-    unit edges and cancel in the stitcher — then re-walk rings, merge
-    collinear runs and sort shells/holes. No axis flip needed: a shell
-    traced CW in y-down screen space reads as CCW under the standard
-    shoelace, exactly geom._assemble's shell convention."""
+def _dissolve_pixel_rings_slow(polys: list) -> "G.Geom":
+    """Reference path for the degenerate cases the vectorized dissolve
+    rejects (duplicate directed unit edges from overlapping rings):
+    decompose every ring segment into unit directed edges and hand them
+    to the general fuzzy stitcher."""
     edges = []
     for rings in polys:
         for r in rings:
@@ -463,6 +460,221 @@ def _dissolve_pixel_rings(polys: list) -> "G.Geom":
     if len(merged) == 1:
         return G.Geom("Polygon", merged[0])
     return G.Geom("MultiPolygon", merged)
+
+
+# successor-direction preference per incoming direction (0:+x, 1:+y,
+# 2:-x, 3:-y on raw coords): leftmost turn first — atan2 order +pi/2
+# (left), 0 (straight), -pi/2 (right) — exactly geom._stitch's
+# max-over-atan2 rule (reverse edges cannot survive cancellation)
+_TURN_PREF = np.array([[(d + 1) % 4, d, (d + 3) % 4] for d in range(4)],
+                      dtype=np.int64)
+
+
+def _dissolve_pixel_rings(polys: list) -> "G.Geom":
+    """Dissolve per-tile rectilinear rings (integer pixel coords, y-down)
+    into one clean geometry. Shared tile-border runs appear as exact
+    OPPOSITE unit edges and cancel; surviving edges re-walk into rings
+    (leftmost-turn at saddles), collinear runs merge, shells/holes sort
+    by shoelace sign (a CW shell in y-down screen space reads CCW under
+    the standard shoelace — geom._assemble's convention).
+
+    Round 5c: fully vectorized — unit-edge expansion via repeat/arange,
+    cancellation via a composite-key bincount, successor resolution via
+    12 searchsorted probes — the per-unit-edge Python loops were
+    O(total perimeter) and took 32 s on a 1 Mpx percolating blob
+    (kernel-audit class). Only the final ring walk is a pointer chase
+    over Python lists (inherently sequential), O(dissolved perimeter).
+    Degenerate inputs (duplicate directed edges) fall back to the
+    general fuzzy stitcher."""
+    segs = []
+    for rings in polys:
+        for r in rings:
+            ri = np.rint(np.asarray(r, dtype=np.float64)).astype(np.int64)
+            if len(ri) > 1:
+                segs.append(np.hstack([ri[:-1], ri[1:]]))
+    if not segs:
+        return G.empty("Polygon")
+    S = np.concatenate(segs)
+    X0, Y0, X1, Y1 = S[:, 0], S[:, 1], S[:, 2], S[:, 3]
+    dxs = np.sign(X1 - X0)
+    dys = np.sign(Y1 - Y0)
+    n = np.maximum(np.abs(X1 - X0), np.abs(Y1 - Y0))
+    live = n > 0
+    X0, Y0, dxs, dys, n = X0[live], Y0[live], dxs[live], dys[live], n[live]
+    if n.size == 0:
+        return G.empty("Polygon")
+
+    # unit-edge expansion
+    rep = np.repeat(np.arange(n.size), n)
+    base = np.concatenate([[0], np.cumsum(n)[:-1]])
+    k = np.arange(int(n.sum()), dtype=np.int64) - base[rep]
+    edx, edy = dxs[rep], dys[rep]
+    ex0 = X0[rep] + k * edx
+    ey0 = Y0[rep] + k * edy
+
+    # cancellation: canonical undirected key + sign
+    ox = min(int(ex0.min()), int((ex0 + edx).min()))
+    oy = min(int(ey0.min()), int((ey0 + edy).min()))
+    spany = max(int(ey0.max()), int((ey0 + edy).max())) - oy + 2
+    shift = int(spany).bit_length()
+    axis = (edy != 0).astype(np.int64)
+    pos = (edx > 0) | (edy > 0)
+    bx = np.where(pos, ex0, ex0 + edx) - ox
+    by = np.where(pos, ey0, ey0 + edy) - oy
+    ukey = ((bx << shift) | by) << 1 | axis
+    uniqk, inv = np.unique(ukey, return_inverse=True)
+    plus = np.bincount(inv, weights=pos.astype(np.float64))
+    excess = (2 * plus - np.bincount(inv)).astype(np.int64)  # plus - minus
+    if np.abs(excess).max(initial=0) > 1:
+        return _dissolve_pixel_rings_slow(polys)  # duplicate rings
+    keep = excess != 0
+    kkey = uniqk[keep]
+    ksign = excess[keep] > 0
+    kaxis = kkey & 1
+    rest = kkey >> 1
+    by = (rest & ((1 << shift) - 1)) + oy
+    bx = (rest >> shift) + ox
+    dxa = np.where(kaxis == 0, 1, 0)
+    dya = np.where(kaxis == 0, 0, 1)
+    sx = np.where(ksign, bx, bx + dxa)
+    sy = np.where(ksign, by, by + dya)
+    ex = np.where(ksign, bx + dxa, bx)
+    ey = np.where(ksign, by + dya, by)
+    d = np.where(kaxis == 0, np.where(ksign, 0, 2), np.where(ksign, 1, 3))
+    E = int(d.size)
+    if E == 0:
+        return G.empty("Polygon")
+
+    # successor: at each edge's end vertex pick the leftmost-turn
+    # outgoing edge (3 candidate directions x 4 direction buckets)
+    svkey = ((sx - ox) << shift) | (sy - oy)
+    evkey = ((ex - ox) << shift) | (ey - oy)
+    by_dir = {}
+    for dd in range(4):
+        ids = np.nonzero(d == dd)[0]
+        o = np.argsort(svkey[ids])
+        by_dir[dd] = (svkey[ids][o], ids[o])
+    succ = np.full(E, -1, dtype=np.int64)
+    for rank in range(3):
+        cand = _TURN_PREF[d, rank]
+        for dd in range(4):
+            m = (cand == dd) & (succ < 0)
+            if not m.any():
+                continue
+            sk, ids = by_dir[dd]
+            if sk.size == 0:
+                continue
+            q = evkey[m]
+            p = np.searchsorted(sk, q)
+            ok = (p < sk.size) & (sk[np.minimum(p, sk.size - 1)] == q)
+            mi = np.nonzero(m)[0][ok]
+            succ[mi] = ids[p[ok]]
+    if (succ < 0).any() or np.bincount(succ, minlength=E).max() > 1:
+        return _dissolve_pixel_rings_slow(polys)  # not 2-regular
+
+    # ring walk (pointer chase — the only sequential phase)
+    succ_l = succ.tolist()
+    exl, eyl = ex.tolist(), ey.tolist()
+    sxl, syl = sx.tolist(), sy.tolist()
+    seen = bytearray(E)
+    ring_of = np.empty(E, dtype=np.int64)
+    rings_out = []
+    for s in range(E):
+        if seen[s]:
+            continue
+        ri = len(rings_out)
+        px = [sxl[s]]
+        py = [syl[s]]
+        c = s
+        while True:
+            seen[c] = 1
+            ring_of[c] = ri
+            px.append(exl[c])
+            py.append(eyl[c])
+            c = succ_l[c]
+            if c == s:
+                break
+        rings_out.append(_merge_collinear(
+            np.column_stack([px, py]).astype(np.float64)))
+    merged = _assemble_rectilinear(rings_out, ring_of, kaxis, bx, by)
+    if merged is None:
+        merged = G._assemble(rings_out).polygons()
+    if not merged:
+        return G.empty("Polygon")
+    if len(merged) == 1:
+        return G.Geom("Polygon", merged[0])
+    return G.Geom("MultiPolygon", merged)
+
+
+def _assemble_rectilinear(rings_out, ring_of, kaxis, bx, by):
+    """Hole→shell assignment for the vectorized dissolve — the generic
+    G._assemble ray-casts every hole vertex against every bbox-candidate
+    shell, O(holes × shell perimeter): 157 s of a 159 s percolation
+    dissolve went there (round 5c profile). The dissolve output is a
+    rectilinear planar subdivision of distinct unit edges, so each
+    hole's parent is found EXACTLY by one leftward ray-shoot from the
+    midpoint of its minimal-x vertical edge: the point just left of
+    that edge is in the filled region (else the hole would own an edge
+    further left in the same unit row), and the nearest surviving
+    vertical edge strictly left in that row bounds that filled region —
+    it belongs either to the parent shell's own left boundary or to a
+    sibling hole of the same shell. A sibling hit that way always has a
+    smaller min-x, so resolving holes in ascending min-x order makes
+    every chain one lookup. O(E log E) via one lexsort + one
+    searchsorted per hole. Returns polygons() shape
+    ([[shell, hole...], ...]) or None on structural anomaly (caller
+    falls back to the generic assembler)."""
+    areas = np.array([G._signed_ring_area(r) for r in rings_out])
+    if (areas == 0).any():
+        return None
+    shell_ids = np.nonzero(areas > 0)[0]
+    hole_ids = np.nonzero(areas < 0)[0]
+    if shell_ids.size == 0:
+        return None
+    polys = {int(s): [rings_out[s]] for s in shell_ids}
+    if hole_ids.size == 0:
+        return list(polys.values())
+    vert = np.nonzero(kaxis == 1)[0]
+    vx = bx[vert]
+    vy = by[vert]
+    vr = ring_of[vert]
+    # one surviving vertical unit edge per (row, x) after cancellation
+    spanx = int(vx.max()) - int(vx.min()) + 2
+    xorg = int(vx.min())
+    key = (vy - int(vy.min())) * spanx + (vx - xorg)
+    order = np.argsort(key)
+    skey = key[order]
+    sring = vr[order]
+    # minimal-(x, y) vertical edge per ring
+    lex = np.lexsort((vy, vx, vr))
+    head = np.ones(lex.size, dtype=bool)
+    head[1:] = vr[lex][1:] != vr[lex][:-1]
+    min_edge = dict(zip(vr[lex][head].tolist(), lex[head].tolist()))
+    is_shell = np.zeros(len(rings_out), dtype=bool)
+    is_shell[shell_ids] = True
+    parent = {}
+    holes_sorted = sorted(
+        (int(h) for h in hole_ids),
+        key=lambda h: int(vx[min_edge[h]]) if h in min_edge else -1)
+    for h in holes_sorted:
+        e = min_edge.get(h)
+        if e is None:
+            return None  # closed ring with no vertical edge — malformed
+        q = int(key[e])
+        pos = int(np.searchsorted(skey, q)) - 1
+        if pos < 0 or int(skey[pos]) // spanx != q // spanx:
+            return None  # top-level hole — not a valid dissolve output
+        r = int(sring[pos])
+        if is_shell[r]:
+            parent[h] = r
+        else:
+            pr = parent.get(r)
+            if pr is None:
+                return None
+            parent[h] = pr
+    for h, s in parent.items():
+        polys[s].append(rings_out[h])
+    return list(polys.values())
 
 
 def _resolve_roots_distributed(edges: DataFrame, max_iters: int = 25) -> DataFrame:
