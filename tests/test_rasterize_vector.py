@@ -464,3 +464,95 @@ def test_dissolve_rectilinear_assemble_matches_generic():
             assert abs(g.area() - float(m.sum())) < 1e-9, name
     finally:
         P._assemble_rectilinear = orig
+
+
+def test_trace_rings_matches_dict_walk_reference():
+    """Vectorized _trace_rings (round 5c) vs the original dict-of-lists
+    walk it replaced: identical directed-edge multisets and identical
+    total signed area on every mask. Ring PAIRING may differ only where
+    a ring starts at a saddle (the dict walk took whichever out-edge
+    was appended last there; the vectorized walk applies the CW rule
+    uniformly) — on saddle-free masks the rings must be identical up to
+    rotation."""
+    from godal_spark.operators.polygonize import _trace_rings
+
+    def trace_ref(mask):  # the pre-round-5c implementation, verbatim
+        h, w = mask.shape
+        padded = np.zeros((h + 2, w + 2), dtype=bool)
+        padded[1:-1, 1:-1] = mask
+        core = padded[1:-1, 1:-1]
+        edges = {}
+        m_top = core & ~padded[:-2, 1:-1]
+        m_right = core & ~padded[1:-1, 2:]
+        m_bot = core & ~padded[2:, 1:-1]
+        m_left = core & ~padded[1:-1, :-2]
+        segs = []
+        ys, xs = np.nonzero(m_top); segs.append((xs, ys, xs + 1, ys))
+        ys, xs = np.nonzero(m_right); segs.append((xs + 1, ys, xs + 1, ys + 1))
+        ys, xs = np.nonzero(m_bot); segs.append((xs + 1, ys + 1, xs, ys + 1))
+        ys, xs = np.nonzero(m_left); segs.append((xs, ys + 1, xs, ys))
+        for (x0a, y0a, x1a, y1a) in segs:
+            for x0, y0, x1, y1 in zip(x0a.tolist(), y0a.tolist(),
+                                      x1a.tolist(), y1a.tolist()):
+                edges.setdefault((x0, y0), []).append((x1, y1))
+        DIRS = {(1, 0): 0, (0, 1): 1, (-1, 0): 2, (0, -1): 3}
+        rings = []
+        while edges:
+            start = next(iter(edges))
+            ring = [start]; cur = start; prev = None
+            while True:
+                outs = edges.get(cur)
+                if not outs:
+                    break
+                if len(outs) == 1 or prev is None:
+                    nxt = outs.pop()
+                else:
+                    outs.sort(key=lambda c: (
+                        DIRS[(c[0] - cur[0], c[1] - cur[1])] - prev) % 4)
+                    nxt = outs.pop(0)
+                if not edges[cur]:
+                    del edges[cur]
+                prev = DIRS[(nxt[0] - cur[0], nxt[1] - cur[1])]
+                cur = nxt; ring.append(cur)
+                if cur == start:
+                    break
+            if len(ring) >= 4 and ring[0] == ring[-1]:
+                rings.append(np.array(ring, dtype=np.float64))
+        return rings
+
+    def edgeset(rr):
+        s = set()
+        for r in rr:
+            ri = r.astype(np.int64)
+            s.update((int(a[0]), int(a[1]), int(b[0]), int(b[1]))
+                     for a, b in zip(ri[:-1], ri[1:]))
+        return s
+
+    def shoelace_sum(rr):
+        return sum(float(np.sum(r[:-1, 0] * np.roll(r[:-1, 1], -1)
+                                - np.roll(r[:-1, 0], -1) * r[:-1, 1])) / 2
+                   for r in rr)
+
+    def canon(rr):
+        out = []
+        for r in rr:
+            pts = [tuple(p) for p in r[:-1].tolist()]
+            i = min(range(len(pts)), key=lambda k: pts[k])
+            out.append(tuple(pts[i:] + pts[:i]))
+        return sorted(out)
+
+    rng = np.random.default_rng(0)
+    for trial in range(40):
+        n = int(rng.integers(1, 40))
+        m = rng.random((n, n)) < rng.uniform(0.1, 0.95)
+        old, new = trace_ref(m), _trace_rings(m)
+        assert edgeset(old) == edgeset(new), trial
+        assert abs(shoelace_sum(old) - shoelace_sum(new)) < 1e-9, trial
+    # saddle-free fixtures: exact ring equality (up to start rotation)
+    nest = np.zeros((16, 16), bool)
+    nest[1:15, 1:15] = True
+    nest[4:12, 4:12] = False
+    nest[6:10, 6:10] = True
+    for m in [np.ones((5, 7), bool), nest,
+              np.pad(np.ones((3, 3), bool), 2)]:
+        assert canon(trace_ref(m)) == canon(_trace_rings(m))
