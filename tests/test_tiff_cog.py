@@ -522,3 +522,95 @@ def test_tiff_subbyte_error_first():
         T.encode_tiff(np.zeros((8, 8, 3), np.uint8), bits=1)  # multi-band
     with pytest.raises(ValueError):
         T.encode_tiff(img, bits=1, compression="jpeg")
+
+
+def test_lzw_packbits_match_scalar_references():
+    """The round-5c vectorized LZW/PackBits coders must emit the SAME
+    BYTES as the straight-loop implementations they replaced (kept here
+    verbatim as references) — the speedup is not allowed to change the
+    streams, only how fast they're produced. LZW: per-byte bigint bit
+    reader was 0.5 MB/s decode / 0.05 MB/s encode — an ingest wall for
+    the most common GeoTIFF compression in the wild."""
+
+    def ref_lzw_encode(data):
+        out_bits = []
+        table = {}
+
+        def reset():
+            table.clear()
+            for i in range(256):
+                table[bytes([i])] = i
+            return 258, 9
+
+        next_code, width = reset()
+        out_bits.append((256, width))
+        w = b""
+        for byte in data:
+            c = bytes([byte])
+            if w + c in table:
+                w = w + c
+                continue
+            out_bits.append((table[w], width))
+            table[w + c] = next_code
+            next_code += 1
+            if next_code + 1 > (1 << width) and width < 12:
+                width += 1
+            if next_code >= 4094:
+                out_bits.append((256, width))
+                next_code, width = reset()
+            w = c
+        if w:
+            out_bits.append((table[w], width))
+        out_bits.append((257, width))
+        buf = bytearray()
+        acc = nacc = 0
+        for code, wd in out_bits:
+            acc = (acc << wd) | code
+            nacc += wd
+            while nacc >= 8:
+                buf.append((acc >> (nacc - 8)) & 0xFF)
+                nacc -= 8
+        if nacc:
+            buf.append((acc << (8 - nacc)) & 0xFF)
+        return bytes(buf)
+
+    def ref_pb_encode(data):
+        out = bytearray()
+        i = 0
+        n = len(data)
+        while i < n:
+            j = i
+            while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+                j += 1
+            if j > i:
+                out.append(257 - (j - i + 1))
+                out.append(data[i])
+                i = j + 1
+                continue
+            j = i
+            while (j + 1 < n and j - i < 127
+                   and not (j + 2 < n
+                            and data[j + 1] == data[j + 2] == data[j])):
+                j += 1
+            out.append(j - i)
+            out += data[i:j + 1]
+            i = j + 1
+        return bytes(out)
+
+    rng = np.random.default_rng(7)
+    cases = [b"", b"A", b"AAA", b"ABABAB", b"TOBEORNOTTOBEORTOBEORNOT" * 50,
+             bytes(10000),                                # deep-match + clears
+             bytes(rng.integers(0, 256, 30000, dtype=np.uint8)),   # noisy
+             bytes(np.repeat(rng.integers(0, 8, 4000),
+                             rng.integers(1, 9, 4000)).astype(np.uint8))]
+    for t in range(30):
+        n = int(rng.integers(1, 500))
+        cases.append(bytes(np.repeat(rng.integers(0, 4, n),
+                                     rng.integers(1, 6, n)).astype(np.uint8)))
+    for i, c in enumerate(cases):
+        le = T._lzw_encode(c)
+        assert le == ref_lzw_encode(c), ("lzw", i)
+        assert T._lzw_decode(le) == c, ("lzw-rt", i)
+        pe = T._packbits_encode(c)
+        assert pe == ref_pb_encode(c), ("pb", i)
+        assert T._packbits_decode(pe) == c, ("pb-rt", i)
