@@ -19,8 +19,9 @@ actual COG bytes and the ingest path can read the world's TIFFs:
            GDAL-mask bands; spec-default BitsPerSample=1 honored when
            the tag is absent, as bilevel writers omit it);
            multi-IFD chains (overview pyramids); GeoTIFF
-           ModelPixelScale + ModelTiepoint → geotransform and
-           GeoKeyDirectory → EPSG.
+           ModelPixelScale + ModelTiepoint → geotransform,
+           ModelTransformation (rotated rasters, takes priority like
+           GDAL) and GeoKeyDirectory → EPSG.
   encode:  little-endian, strips (small) or tiles, deflate / none /
            PackBits / jpeg (compression 7, photometric YCbCr 4:2:0
            for RGB — the COG-for-imagery default, PSNR≥40 dB at the
@@ -80,6 +81,7 @@ _T_JPEG_TABLES = 347
 _T_YCBCR_SUBSAMPLING = 530
 _T_MODEL_PIXEL_SCALE = 33550
 _T_MODEL_TIEPOINT = 33922
+_T_MODEL_TRANSFORMATION = 34264
 _T_GEO_KEY_DIRECTORY = 34735
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
@@ -570,7 +572,13 @@ def _decode_one_ifd(buf: bytes, tags: dict, en: str) -> np.ndarray:
 
 def _geo_meta(tags: dict) -> dict:
     meta: dict = {}
-    if _T_MODEL_PIXEL_SCALE in tags and _T_MODEL_TIEPOINT in tags:
+    if _T_MODEL_TRANSFORMATION in tags:
+        # raster→model 4×4 row-major matrix (GeoTIFF §2.6.1): X = m00·I
+        # + m01·J + m03, Y = m10·I + m11·J + m13 — the rotated-gt form.
+        # Takes priority over PixelScale+Tiepoint, matching GDAL.
+        m = tags[_T_MODEL_TRANSFORMATION]
+        meta["gt"] = [m[3], m[0], m[1], m[7], m[4], m[5]]
+    elif _T_MODEL_PIXEL_SCALE in tags and _T_MODEL_TIEPOINT in tags:
         sx, sy = tags[_T_MODEL_PIXEL_SCALE][0], tags[_T_MODEL_PIXEL_SCALE][1]
         tp = tags[_T_MODEL_TIEPOINT]
         # tiepoint (i, j, k, x, y, z): pixel (i,j) maps to geo (x,y)
@@ -821,11 +829,17 @@ class _IfdPlan:
 
         if gt is not None:
             if gt[2] != 0.0 or gt[4] != 0.0:
-                raise NotImplementedError(
-                    "tiff geo tags: rotated geotransforms need a "
-                    "ModelTransformationTag (not emitted)")
-            tag(_T_MODEL_PIXEL_SCALE, 12, [gt[1], -gt[5], 0.0])
-            tag(_T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
+                # rotated geotransform: ModelTransformationTag, the
+                # full raster→model affine (GeoTIFF §2.6.1)
+                tag(_T_MODEL_TRANSFORMATION, 12,
+                    [gt[1], gt[2], 0.0, gt[0],
+                     gt[4], gt[5], 0.0, gt[3],
+                     0.0, 0.0, 0.0, 0.0,
+                     0.0, 0.0, 0.0, 1.0])
+            else:
+                tag(_T_MODEL_PIXEL_SCALE, 12, [gt[1], -gt[5], 0.0])
+                tag(_T_MODEL_TIEPOINT, 12,
+                    [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
         if epsg is not None:
             model = 2 if epsg in (4326, 4269, 4258) else 1
             kd = [1, 1, 0, 3,

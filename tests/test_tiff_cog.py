@@ -56,8 +56,9 @@ def test_tiff_geo_tags_roundtrip():
     assert meta["gt"] == gt and meta["epsg"] == 4326
     back, meta = T.decode_tiff(T.encode_tiff(a, gt=gt, epsg=27700))
     assert meta["epsg"] == 27700  # projected key
-    with pytest.raises(NotImplementedError, match="rotated"):
-        T.encode_tiff(a, gt=[0, 1, 0.1, 0, 0.1, -1])
+    # rotated gts round-trip via ModelTransformationTag since round 5c
+    _, meta = T.decode_tiff(T.encode_tiff(a, gt=[0, 1, 0.1, 0, 0.1, -1]))
+    assert meta["gt"] == [0, 1, 0.1, 0, 0.1, -1]
 
 
 def test_tiff_cog_multi_ifd():
@@ -614,3 +615,19 @@ def test_lzw_packbits_match_scalar_references():
         pe = T._packbits_encode(c)
         assert pe == ref_pb_encode(c), ("pb", i)
         assert T._packbits_decode(pe) == c, ("pb-rt", i)
+
+
+def test_tiff_rotated_gt_model_transformation():
+    """Rotated geotransforms round-trip through ModelTransformationTag
+    (GeoTIFF §2.6.1 raster→model affine); north-up rasters keep the
+    PixelScale+Tiepoint form, and a present transformation tag takes
+    priority over PixelScale — GDAL's precedence."""
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rot = [100.0, 0.3, 0.1, 50.0, -0.05, -0.4]
+    out, info = T.decode_tiff(T.encode_tiff(a, gt=rot, epsg=32633))
+    assert np.array_equal(out, a)
+    assert info["gt"] == rot
+    assert info["epsg"] == 32633
+    north = [10.0, 0.5, 0.0, 20.0, 0.0, -0.5]
+    _, info2 = T.decode_tiff(T.encode_tiff(a, gt=north))
+    assert info2["gt"] == north
