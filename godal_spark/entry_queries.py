@@ -2761,6 +2761,65 @@ FROM (SELECT unnest(range(0, 3)) AS i)
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (operators/text.py
+    repetition_stats): per-document top-2-gram / duplicate-2-gram /
+    top-3-gram token fractions over the documents table, averaged per
+    language. The Spark side is a pure relational plan (n-gram explode
+    + two keyed groupBys); the oracle recomputes the same n-gram
+    statistics independently in DuckDB list SQL."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.operators import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = TX.repetition_stats(docs)
+    return (rep.groupBy("lang")
+            .agg(F.round(F.avg("top2gram_frac"), 4).alias("avg_top2"),
+                 F.round(F.avg("dup2gram_frac"), 4).alias("avg_dup2"),
+                 F.round(F.avg("top3gram_frac"), 4).alias("avg_top3"),
+                 F.count("*").alias("n_docs"))
+            .orderBy("lang"))
+
+
+SQL_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM t WHERE len(toks) >= 2
+),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+m2 AS (SELECT doc_id,
+         round(max(c)::DOUBLE / sum(c), 6) AS top2,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+               / sum(c), 6) AS dup2
+       FROM c2 GROUP BY 1),
+g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM t WHERE len(toks) >= 3
+),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+m3 AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top3
+       FROM c3 GROUP BY 1)
+SELECT t.lang,
+       round(avg(coalesce(m2.top2, 0)), 4) AS avg_top2,
+       round(avg(coalesce(m2.dup2, 0)), 4) AS avg_dup2,
+       round(avg(coalesce(m3.top3, 0)), 4) AS avg_top3,
+       count(*) AS n_docs
+FROM t
+LEFT JOIN m2 USING (doc_id)
+LEFT JOIN m3 USING (doc_id)
+GROUP BY t.lang
+ORDER BY t.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2838,6 +2897,7 @@ QUERIES = {
     "cog_roundtrip": q_cog_roundtrip,
     "tiff_ingest": q_tiff_ingest,
     "cog_jpeg": q_cog_jpeg,
+    "repetition": q_repetition,
     "video_avi": q_video_avi,
 }
 
@@ -2909,5 +2969,6 @@ ORACLES = {
     "cog_roundtrip": SQL_COG_ROUNDTRIP,
     "tiff_ingest": SQL_TIFF_INGEST,
     "cog_jpeg": SQL_COG_JPEG,
+    "repetition": SQL_REPETITION,
     "video_avi": SQL_VIDEO_AVI,
 }

@@ -110,3 +110,47 @@ def token_count_bpe_ish(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pat = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
     toks = F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
     return docs.withColumn("n_pretokens", F.size(toks).cast("long"))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1), token
+    n-gram flavor: for each document the fraction of all word 2-grams
+    taken by the single most frequent one (`top2gram_frac`), the
+    fraction covered by 2-grams occurring more than once
+    (`dup2gram_frac`), and the top-3-gram fraction (`top3gram_frac`).
+    High values flag boilerplate / keyword-stuffed pages that survive
+    per-token diversity checks.
+
+    Fully relational — explode n-grams, one keyed groupBy per order —
+    so it scales as an ordinary aggregation (no per-row Python, no
+    driver state); documents with fewer than n tokens get 0.0.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = docs.withColumn("__toks", toks)
+    n = F.size("__toks")
+
+    def gram_metrics(order: int, top_name: str, dup_name: str | None):
+        grams = F.when(
+            n >= order,
+            F.transform(F.sequence(F.lit(0), n - order),
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at("__toks", i + k + 1)
+                                   for k in range(order)]))
+        ).otherwise(F.array().cast("array<string>"))
+        per_gram = (d.select(F.col(id_col), F.explode(grams).alias("__g"))
+                    .groupBy(id_col, "__g").agg(F.count("*").alias("__c")))
+        aggs = [
+            (F.max("__c") / F.sum("__c")).alias(top_name)]
+        if dup_name is not None:
+            aggs.append(
+                (F.sum(F.when(F.col("__c") > 1, F.col("__c"))
+                       .otherwise(F.lit(0))) / F.sum("__c")).alias(dup_name))
+        return per_gram.groupBy(id_col).agg(*aggs)
+
+    g2 = gram_metrics(2, "top2gram_frac", "dup2gram_frac")
+    g3 = gram_metrics(3, "top3gram_frac", None)
+    out = (docs.join(g2, id_col, "left").join(g3, id_col, "left"))
+    for c in ("top2gram_frac", "dup2gram_frac", "top3gram_frac"):
+        out = out.withColumn(c, F.round(F.coalesce(F.col(c), F.lit(0.0)), 6))
+    return out

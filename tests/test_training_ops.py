@@ -536,3 +536,22 @@ def test_substring_spans_fanout_cap(spark):
     # pair docs 0 and 10)
     capped = DD.substring_duplicate_spans(docs, min_span=40, max_fanout=1)
     assert capped.count() == 0
+
+
+def test_repetition_stats_hand_derived(spark):
+    """Gopher-style n-gram repetition fractions against hand-computed
+    values: 'a b a b a b' has 2-grams [ab ba ab ba ab] -> top 3/5, dup
+    5/5, 3-grams [aba bab aba bab] -> top 2/4; all-distinct and
+    too-short docs get exact 1/n and 0.0."""
+    import pandas as pd
+    from godal_spark.operators import text as TX
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a b a b", "x y z w", "q", "m m m m m"]}))
+    out = {r.doc_id: (r.top2gram_frac, r.dup2gram_frac, r.top3gram_frac)
+           for r in TX.repetition_stats(docs).collect()}
+    assert out[1] == (0.6, 1.0, 0.5)
+    assert out[2] == (round(1 / 3, 6), 0.0, 0.5)
+    assert out[3] == (0.0, 0.0, 0.0)
+    assert out[4] == (1.0, 1.0, 1.0)
