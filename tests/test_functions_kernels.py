@@ -1402,3 +1402,77 @@ def test_crs_polar_laea_exact_snyder():
     gx, gy, _ = C.transform_points(np.array([123.0]), np.array([90.0]),
                                    "EPSG:4326", "EPSG:3575")
     assert abs(gx[0]) < 1e-6 and abs(gy[0]) < 1e-6
+
+
+def test_jpeg_vectorized_scan_matches_scalar():
+    """The round-5c vectorized entropy coder must produce byte-identical
+    scans to the per-block _encode_block walk (which remains the
+    restart-interval path) across sampling modes, 8- and 12-bit
+    alphabets, and degenerate inputs — the speedup may not change the
+    stream."""
+    import godal_spark.functions.jpeg as J
+
+    def scan_scalar(planes, samp, nbx, mcux, mcuy, dc_enc, ac_enc):
+        bw = J._BitWriter()
+        preds = [0] * len(planes)
+        for m in range(mcuy * mcux):
+            mx, my = m % mcux, m // mcux
+            for ci in range(len(planes)):
+                hi, vi = samp[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        idx = (my * vi + v) * nbx[ci] + (mx * hi + hh)
+                        preds[ci] = J._encode_block(
+                            bw, planes[ci][idx], preds[ci], dc_enc, ac_enc)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def build_planes(arr, subsampling, quality, precision=8):
+        half = float(1 << (precision - 1))
+        if arr.ndim == 2:
+            comps = [arr.astype(np.float64)]
+            samp = [(1, 1)]
+        else:
+            r = arr[:, :, 0].astype(np.float64)
+            g = arr[:, :, 1].astype(np.float64)
+            b = arr[:, :, 2].astype(np.float64)
+            comps = [0.299 * r + 0.587 * g + 0.114 * b,
+                     -0.168736 * r - 0.331264 * g + 0.5 * b + half,
+                     0.5 * r - 0.418688 * g - 0.081312 * b + half]
+            samp = J._SAMPLING[subsampling]
+        h, w = arr.shape[:2]
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        lum, chm = J.quant_tables(quality)
+        qtbls = [lum] + ([chm] if len(comps) == 3 else [])
+        planes, nbx = [], []
+        for ci, comp in enumerate(comps):
+            hi, vi = samp[ci]
+            plane = J._box_downsample(comp, hmax // hi, vmax // vi)
+            th, tw = mcuy * vi * 8, mcux * hi * 8
+            plane = np.pad(plane, ((0, th - plane.shape[0]),
+                                   (0, tw - plane.shape[1])), mode="edge")
+            zz, _, bx = J._fdct_quant(plane, qtbls[0] if ci == 0 else qtbls[1],
+                                      shift=half)
+            planes.append(zz)
+            nbx.append(bx)
+        return planes, samp, nbx, mcux, mcuy
+
+    rng = np.random.default_rng(11)
+    cases = [(rng.integers(0, 256, (8, 8)).astype(np.uint8), "444", 90, 8),
+             (rng.integers(0, 256, (41, 33, 3)).astype(np.uint8), "422", 90, 8),
+             (rng.integers(0, 256, (100, 64, 3)).astype(np.uint8), "440", 75, 8),
+             (rng.integers(0, 256, (64, 56, 3)).astype(np.uint8), "420", 95, 8),
+             (np.zeros((32, 32), np.uint8), "444", 90, 8),
+             (np.clip(np.cumsum(rng.integers(-2, 3, (96, 96, 3)), axis=1),
+                      0, 255).astype(np.uint8), "420", 10, 8),
+             (rng.integers(0, 4096, (48, 40)).astype(np.uint16), "444", 90, 12)]
+    for i, (arr, sub, q, prec) in enumerate(cases):
+        planes, samp, nbx, mcux, mcuy = build_planes(arr, sub, q, prec)
+        dce, ace = ((J._DC12_ENC, J._AC12_ENC) if prec == 12
+                    else (J._DC_ENC, J._AC_ENC))
+        a = scan_scalar(planes, samp, nbx, mcux, mcuy, dce, ace)
+        b = J._encode_scan_vec(planes, samp, nbx, mcux, mcuy, dce, ace)
+        assert a == b, (i, arr.shape, sub, q, prec)
