@@ -396,6 +396,19 @@ def _grid_eval(alg: str, px, py, pz, gx: np.ndarray, gy: np.ndarray,
     if alg == "linear":
         return _grid_linear(px, py, pz, gx, gy)
 
+    # bound the nodes×points temporaries: chunk the node axis so the
+    # distance matrix stays ~32 MB — every alg below reduces along the
+    # points axis per node, so chunking is exact (round 5c: the
+    # unchunked 16k-node × 2k-point case built five 260 MB temps)
+    if alg != "average_distance_pts" and gx.size * max(px.size, 1) > 4_000_000 \
+            and gx.size > 1:
+        gxf, gyf = gx.ravel(), gy.ravel()
+        step = max(1, 4_000_000 // max(px.size, 1))
+        parts = [_grid_eval(alg, px, py, pz, gxf[i:i + step],
+                            gyf[i:i + step], **kw)
+                 for i in range(0, gxf.size, step)]
+        return np.concatenate(parts).reshape(gx.shape)
+
     d2 = ((gx[..., None] - px) ** 2 + (gy[..., None] - py) ** 2)
     radius = kw.get("radius", 0.0)
     if radius:
@@ -441,7 +454,10 @@ def _grid_eval(alg: str, px, py, pz, gx: np.ndarray, gy: np.ndarray,
         return pz[np.argmin(d2, axis=-1)]
     if alg in ("invdist", "invdistnn"):
         power = kw.get("power", 2.0)
-        w8 = 1.0 / np.maximum(d2 ** (power / 2), 1e-300)
+        if power == 2.0:  # default: d2 ** 1 — skip the pow call
+            w8 = 1.0 / np.maximum(d2, 1e-300)
+        else:
+            w8 = 1.0 / np.maximum(d2 ** (power / 2), 1e-300)
         w8 = np.where(inr, w8, 0.0)
         exact = d2 < 1e-24
         out = (w8 * pz).sum(axis=-1) / np.maximum(w8.sum(axis=-1), 1e-300)
@@ -455,28 +471,78 @@ def _grid_eval(alg: str, px, py, pz, gx: np.ndarray, gy: np.ndarray,
 def _delaunay(pts: np.ndarray) -> list[tuple[int, int, int]]:
     """Bowyer–Watson Delaunay triangulation (deterministic insertion in
     input order; cocircular ties resolve by insertion order like qhull's
-    joggled input — pinned by the 4-corner grid golden)."""
+    joggled input — pinned by the 4-corner grid golden).
+
+    Round 5c kernel audit: the per-insertion Python passes — seed scan
+    over every live triangle, full edge_map rebuild, full-list filter —
+    were O(n) heavy-Python each, O(n²) overall (127 s at 4,000 points).
+    The live set now keeps cached per-triangle geometry in growing
+    numpy arrays so the containing-triangle seed search and the
+    incircle carve test are vectorized, and the edge→triangle map is
+    maintained incrementally (O(carved) per insertion). The carve
+    closure is a SET (order-independent), so the produced triangle SET
+    is identical to the reference loop — pinned by a differential test
+    and the corner goldens."""
     n = len(pts)
     cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
     r = max(np.abs(pts[:, 0] - cx).max(), np.abs(pts[:, 1] - cy).max(), 1.0) * 64
     sup = np.array([[cx - 2 * r, cy - r], [cx + 2 * r, cy - r], [cx, cy + 2 * r]])
     allp = np.vstack([pts, sup])
     S0, S1, S2 = n, n + 1, n + 2
-    tris: list[tuple[int, int, int]] = [(S0, S1, S2)]
 
-    def incircle(t, p):
-        """+1 strictly inside circumcircle, 0 cocircular (fp tolerance),
-        -1 outside."""
-        ax, ay = allp[t[0]]
-        bx, by = allp[t[1]]
-        cx_, cy_ = allp[t[2]]
+    # growing triangle store: vertex ids + cached barycentric geometry
+    # per triangle (for the vectorized seed search); `alive` masks
+    # carved entries
+    cap = max(16, 4 * n)
+    tv = np.empty((cap, 3), dtype=np.int64)        # vertex ids
+    det_c = np.empty(cap)                          # barycentric det
+    bc1 = np.empty((cap, 2))                       # l1 row: (by-cy, cx-bx)
+    bc2 = np.empty((cap, 2))                       # l2 row: (cy-ay, ax-cx)
+    cxy = np.empty((cap, 2))                       # vertex C coords
+    alive = np.zeros(cap, dtype=bool)
+    ntri = 0
+
+    def add_tri(a, b, c):
+        nonlocal ntri, cap, tv, det_c, bc1, bc2, cxy, alive
+        if ntri == cap:
+            cap *= 2
+            tv = np.resize(tv, (cap, 3))
+            det_c = np.resize(det_c, cap)
+            bc1 = np.resize(bc1, (cap, 2))
+            bc2 = np.resize(bc2, (cap, 2))
+            cxy = np.resize(cxy, (cap, 2))
+            na = np.zeros(cap, dtype=bool)
+            na[:ntri] = alive[:ntri]
+            alive = na
+        i = ntri
+        ntri += 1
+        tv[i] = (a, b, c)
+        A, B, C = allp[a], allp[b], allp[c]
+        cxy[i] = C
+        det_c[i] = (B[1] - C[1]) * (A[0] - C[0]) + (C[0] - B[0]) * (A[1] - C[1])
+        bc1[i] = (B[1] - C[1], C[0] - B[0])
+        bc2[i] = (C[1] - A[1], A[0] - C[0])
+        alive[i] = True
+        for e in ((a, b), (b, c), (c, a)):
+            edge_map.setdefault((min(e), max(e)), []).append(i)
+
+    edge_map: dict[tuple[int, int], list] = {}
+    add_tri(S0, S1, S2)
+
+    def incircle_exact(i, p):
+        """Reference-identical incircle: +1 inside, 0 cocircular within
+        the scale-relative eps, -1 outside."""
+        a, b, c = tv[i]
+        ax2, ay2 = allp[a]
+        bx2, by2 = allp[b]
+        cx2, cy2 = allp[c]
         px_, py_ = allp[p]
         m = np.array([
-            [ax - px_, ay - py_, (ax - px_) ** 2 + (ay - py_) ** 2],
-            [bx - px_, by - py_, (bx - px_) ** 2 + (by - py_) ** 2],
-            [cx_ - px_, cy_ - py_, (cx_ - px_) ** 2 + (cy_ - py_) ** 2],
+            [ax2 - px_, ay2 - py_, (ax2 - px_) ** 2 + (ay2 - py_) ** 2],
+            [bx2 - px_, by2 - py_, (bx2 - px_) ** 2 + (by2 - py_) ** 2],
+            [cx2 - px_, cy2 - py_, (cx2 - px_) ** 2 + (cy2 - py_) ** 2],
         ])
-        orient = (bx - ax) * (cy_ - ay) - (by - ay) * (cx_ - ax)
+        orient = (bx2 - ax2) * (cy2 - ay2) - (by2 - ay2) * (cx2 - ax2)
         det = float(np.linalg.det(m)) * (1.0 if orient >= 0 else -1.0)
         mag = float(np.abs(m[:, :2]).max()) or 1.0
         eps = 1e-12 * mag ** 4
@@ -486,59 +552,81 @@ def _delaunay(pts: np.ndarray) -> list[tuple[int, int, int]]:
             return -1
         return 0
 
-    def contains(t, p):
-        a, b, c = allp[t[0]], allp[t[1]], allp[t[2]]
-        det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
-        if abs(det) < 1e-30:
-            return False
-        l1 = ((b[1] - c[1]) * (allp[p][0] - c[0]) + (c[0] - b[0]) * (allp[p][1] - c[1])) / det
-        l2 = ((c[1] - a[1]) * (allp[p][0] - c[0]) + (a[0] - c[0]) * (allp[p][1] - c[1])) / det
-        return l1 >= -1e-12 and l2 >= -1e-12 and (1 - l1 - l2) >= -1e-12
-
     for p in range(n):
-        # robust carve: BFS from the triangle(s) containing p over shared
-        # edges, adding neighbors whose circumcircle contains p
-        # (>= 0: exact-cocircular neighbors are re-split too, which
-        # resolves the ambiguous square toward the later point's diagonal
-        # — the reference golden's choice, godal_test.go:4279-4332)
-        seed = [t for t in tris if contains(t, p)]
-        if not seed:
+        P = allp[p]
+        # vectorized containing-triangle seed search over live triangles
+        live = np.nonzero(alive[:ntri])[0]
+        dets = det_c[live]
+        ok = np.abs(dets) >= 1e-30
+        dx = P[0] - cxy[live, 0]
+        dy = P[1] - cxy[live, 1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            l1 = (bc1[live, 0] * dx + bc1[live, 1] * dy) / dets
+            l2 = (bc2[live, 0] * dx + bc2[live, 1] * dy) / dets
+        inside = ok & (l1 >= -1e-12) & (l2 >= -1e-12) \
+            & ((1 - l1 - l2) >= -1e-12)
+        seed = live[inside]
+        if seed.size == 0:
             continue
-        bad_set = set(seed)
-        frontier = list(seed)
-        edge_map: dict[tuple[int, int], list] = {}
-        for t in tris:
-            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-                edge_map.setdefault((min(e), max(e)), []).append(t)
+        bad_set = set(int(s) for s in seed)
+        frontier = list(bad_set)
         while frontier:
             t = frontier.pop()
-            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            a, b, c = tv[t]
+            for e in ((a, b), (b, c), (c, a)):
                 for nb in edge_map[(min(e), max(e))]:
-                    if nb not in bad_set and incircle(nb, p) >= 0:
+                    if nb not in bad_set and alive[nb] \
+                            and incircle_exact(nb, p) >= 0:
                         bad_set.add(nb)
                         frontier.append(nb)
-        bad = list(bad_set)
         # polygon boundary of the bad-triangle union
         edge_count: dict[tuple[int, int], int] = {}
-        for t in bad:
-            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+        for t in bad_set:
+            a, b, c = tv[t]
+            for e in ((a, b), (b, c), (c, a)):
                 key = (min(e), max(e))
                 edge_count[key] = edge_count.get(key, 0) + 1
         boundary = [e for e, cnt in edge_count.items() if cnt == 1]
-        tris = [t for t in tris if t not in bad]
+        for t in bad_set:
+            alive[t] = False
+            a, b, c = tv[t]
+            for e in ((a, b), (b, c), (c, a)):
+                key = (min(e), max(e))
+                lst = edge_map[key]
+                lst.remove(t)
+                if not lst:
+                    del edge_map[key]
         for e in boundary:
-            tris.append((e[0], e[1], p))
-    return [t for t in tris if max(t) < n]
+            add_tri(e[0], e[1], p)
+    return [tuple(int(v) for v in tv[i])
+            for i in np.nonzero(alive[:ntri])[0] if tv[i].max() < n]
 
 
 def _grid_linear(px, py, pz, gx, gy):
     """Barycentric interpolation over the Delaunay triangulation (GDAL's
     linear alg; golden corner values incl. the 1/256 half-pixel offset,
-    godal_test.go:4279-4332)."""
+    godal_test.go:4279-4332).
+
+    Round 5c: on a REGULAR grid (the only shape grid_create/grid_tiles
+    produce) each triangle tests only the node-index window of its
+    tolerance-padded bbox instead of every node — total work O(covered
+    nodes), not O(tris × nodes). Claim order per node is unchanged
+    (same triangle list order, same test), so assignment is identical:
+    the pad is ≥ tol·|det| / min row-gradient, the geometric distance
+    at which the relaxed barycentric test could still pass. Irregular
+    node sets fall back to the full scan."""
     pts = np.stack([px, py], axis=1)
     tris = _delaunay(pts)
     gxf, gyf = gx.ravel(), gy.ravel()
     res = np.full(gxf.shape, np.nan)
+
+    # regular-grid detection: gxf tiles xs, gyf repeats ys
+    xs = np.unique(gxf)
+    ys = np.unique(gyf)
+    regular = (xs.size * ys.size == gxf.size
+               and np.array_equal(gxf, np.tile(xs, ys.size))
+               and np.array_equal(gyf, np.repeat(ys, xs.size)))
+
     # two passes: exact assignment, then a relaxed pass that catches
     # points sitting on shared edges where fp noise makes both triangles
     # report "slightly outside" (both give the same plane value there)
@@ -548,12 +636,35 @@ def _grid_linear(px, py, pz, gx, gy):
             det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
             if abs(det) < 1e-30:
                 continue
-            l1 = ((b[1] - c[1]) * (gxf - c[0]) + (c[0] - b[0]) * (gyf - c[1])) / det
-            l2 = ((c[1] - a[1]) * (gxf - c[0]) + (a[0] - c[0]) * (gyf - c[1])) / det
+            if regular:
+                g1 = np.hypot(b[1] - c[1], c[0] - b[0])
+                g2 = np.hypot(c[1] - a[1], a[0] - c[0])
+                g3 = np.hypot(a[1] - b[1], b[0] - a[0])
+                pad = tol * abs(det) / max(min(g1, g2, g3), 1e-300)
+                x0 = np.searchsorted(xs, min(a[0], b[0], c[0]) - pad)
+                x1 = np.searchsorted(xs, max(a[0], b[0], c[0]) + pad, "right")
+                y0 = np.searchsorted(ys, min(a[1], b[1], c[1]) - pad)
+                y1 = np.searchsorted(ys, max(a[1], b[1], c[1]) + pad, "right")
+                if x0 >= x1 or y0 >= y1:
+                    continue
+                iy, ix = np.meshgrid(np.arange(y0, y1), np.arange(x0, x1),
+                                     indexing="ij")
+                sel = (iy * xs.size + ix).ravel()
+                wx, wy = gxf[sel], gyf[sel]
+            else:
+                sel = slice(None)
+                wx, wy = gxf, gyf
+            l1 = ((b[1] - c[1]) * (wx - c[0]) + (c[0] - b[0]) * (wy - c[1])) / det
+            l2 = ((c[1] - a[1]) * (wx - c[0]) + (a[0] - c[0]) * (wy - c[1])) / det
             l3 = 1 - l1 - l2
-            inside = (l1 >= -tol) & (l2 >= -tol) & (l3 >= -tol) & np.isnan(res)
+            inside = (l1 >= -tol) & (l2 >= -tol) & (l3 >= -tol) \
+                & np.isnan(res[sel])
             if inside.any():
-                res[inside] = (l1 * pz[t[0]] + l2 * pz[t[1]] + l3 * pz[t[2]])[inside]
+                vals = l1 * pz[t[0]] + l2 * pz[t[1]] + l3 * pz[t[2]]
+                if isinstance(sel, slice):
+                    res[inside] = vals[inside]
+                else:
+                    res[sel[inside]] = vals[inside]
         if not np.isnan(res).any():
             break
     return res.reshape(gx.shape)

@@ -248,3 +248,110 @@ def test_grid_average_distance_pts():
     out3 = grid_create("average_distance_pts", px, py, pz,
                        1, 1, -3.5, -2.5, -0.5, 0.5, radius=0.4)
     assert out3[0, 0] == 0.0
+
+
+def test_delaunay_matches_reference_walk():
+    """Round-5c vectorized Bowyer–Watson must produce the IDENTICAL
+    triangle set as the per-triangle Python reference it replaced (kept
+    verbatim here), including cocircular grids where the insertion-order
+    tie rule decides the diagonals."""
+    from godal_spark.operators.fill import _delaunay
+
+    def ref_delaunay(pts):
+        n = len(pts)
+        cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+        r = max(np.abs(pts[:, 0] - cx).max(),
+                np.abs(pts[:, 1] - cy).max(), 1.0) * 64
+        sup = np.array([[cx - 2 * r, cy - r], [cx + 2 * r, cy - r],
+                        [cx, cy + 2 * r]])
+        allp = np.vstack([pts, sup])
+        tris = [(n, n + 1, n + 2)]
+
+        def incircle(t, p):
+            ax, ay = allp[t[0]]
+            bx, by = allp[t[1]]
+            cx_, cy_ = allp[t[2]]
+            px_, py_ = allp[p]
+            m = np.array([
+                [ax - px_, ay - py_, (ax - px_) ** 2 + (ay - py_) ** 2],
+                [bx - px_, by - py_, (bx - px_) ** 2 + (by - py_) ** 2],
+                [cx_ - px_, cy_ - py_, (cx_ - px_) ** 2 + (cy_ - py_) ** 2]])
+            orient = (bx - ax) * (cy_ - ay) - (by - ay) * (cx_ - ax)
+            det = float(np.linalg.det(m)) * (1.0 if orient >= 0 else -1.0)
+            eps = 1e-12 * ((float(np.abs(m[:, :2]).max()) or 1.0) ** 4)
+            return 1 if det > eps else (-1 if det < -eps else 0)
+
+        def contains(t, p):
+            a, b, c = allp[t[0]], allp[t[1]], allp[t[2]]
+            det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
+            if abs(det) < 1e-30:
+                return False
+            l1 = ((b[1] - c[1]) * (allp[p][0] - c[0])
+                  + (c[0] - b[0]) * (allp[p][1] - c[1])) / det
+            l2 = ((c[1] - a[1]) * (allp[p][0] - c[0])
+                  + (a[0] - c[0]) * (allp[p][1] - c[1])) / det
+            return l1 >= -1e-12 and l2 >= -1e-12 and (1 - l1 - l2) >= -1e-12
+
+        for p in range(n):
+            seed = [t for t in tris if contains(t, p)]
+            if not seed:
+                continue
+            bad_set = set(seed)
+            frontier = list(seed)
+            edge_map = {}
+            for t in tris:
+                for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                    edge_map.setdefault((min(e), max(e)), []).append(t)
+            while frontier:
+                t = frontier.pop()
+                for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                    for nb in edge_map[(min(e), max(e))]:
+                        if nb not in bad_set and incircle(nb, p) >= 0:
+                            bad_set.add(nb)
+                            frontier.append(nb)
+            edge_count = {}
+            for t in bad_set:
+                for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                    key = (min(e), max(e))
+                    edge_count[key] = edge_count.get(key, 0) + 1
+            boundary = [e for e, cnt in edge_count.items() if cnt == 1]
+            tris = [t for t in tris if t not in bad_set]
+            for e in boundary:
+                tris.append((e[0], e[1], p))
+        return [t for t in tris if max(t) < n]
+
+    def canon(tris):
+        return sorted(tuple(sorted(t)) for t in tris)
+
+    rng = np.random.default_rng(5)
+    for trial in range(8):
+        m = int(rng.integers(3, 80))
+        pts = rng.random((m, 2)) * 100
+        if trial % 3 == 0:  # cocircular-heavy grid
+            k = int(rng.integers(2, 6))
+            pts = np.array([(i * 10.0, j * 10.0)
+                            for i in range(k) for j in range(k)])
+        assert canon(ref_delaunay(np.asarray(pts))) \
+            == canon(_delaunay(np.asarray(pts))), trial
+
+
+def test_grid_linear_windowed_matches_full_scan():
+    """The regular-grid node-window fast path must assign bit-identical
+    values (incl. the NaN hull pattern) to the full-scan fallback,
+    exercised by shuffling the node order (irregular -> fallback)."""
+    from godal_spark.operators import fill as FL
+
+    rng = np.random.default_rng(9)
+    for trial in range(5):
+        m = int(rng.integers(4, 50))
+        pts = rng.random((m, 3)) * 100
+        px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+        full = FL.grid_create("linear", px, py, pz, 33, 27, 0, 100, 0, 100)
+        xs = (np.arange(33) + 0.5) * 100 / 33
+        ys = (np.arange(27) + 0.5) * 100 / 27
+        gx, gy = np.meshgrid(xs, ys)
+        perm = rng.permutation(gx.size)
+        scat = FL._grid_eval("linear", px, py, pz,
+                             gx.ravel()[perm], gy.ravel()[perm])
+        assert np.array_equal(full.ravel(), scat[np.argsort(perm)],
+                              equal_nan=True), trial
