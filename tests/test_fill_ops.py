@@ -355,3 +355,65 @@ def test_grid_linear_windowed_matches_full_scan():
                              gx.ravel()[perm], gy.ravel()[perm])
         assert np.array_equal(full.ravel(), scat[np.argsort(perm)],
                               equal_nan=True), trial
+
+
+def test_fillnodata_fixed_point_break_matches_reference():
+    """The round-5c convergence break (no update -> stop) must give
+    results identical to the full-iteration reference loop, including
+    border holes with no valid pixel upstream in a direction (the case
+    where the old every-pixel-finite early-exit never fired and all
+    max_distance passes ran)."""
+    import math
+
+    from godal_spark.operators import fill as FL
+
+    def fill_ref(arr, valid, max_distance=100):
+        h, w = arr.shape
+        out = arr.astype(np.float64).copy()
+        vals = np.zeros((8, h, w))
+        dist = np.full((8, h, w), np.inf)
+        arr64 = arr.astype(np.float64)
+        for k, (dx, dy) in enumerate(FL._DIRS8):
+            v = np.where(valid, arr64, np.nan)
+            d = np.where(valid, 0.0, np.inf)
+            step = math.hypot(dx, dy)
+            src_y = slice(max(-dy, 0), h - max(dy, 0))
+            dst_y = slice(max(dy, 0), h - max(-dy, 0))
+            src_x = slice(max(-dx, 0), w - max(dx, 0))
+            dst_x = slice(max(dx, 0), w - max(-dx, 0))
+            for _ in range(max_distance):  # reference: ALWAYS all passes
+                cand_v = v[src_y, src_x].copy()
+                cand_d = d[src_y, src_x] + step
+                dv = d[dst_y, dst_x]
+                better = cand_d < dv
+                if better.any():
+                    v[dst_y, dst_x][better] = cand_v[better]
+                    dv[better] = cand_d[better]
+            vals[k] = np.nan_to_num(v)
+            dist[k] = d
+        wsum = np.zeros((h, w))
+        vsum = np.zeros((h, w))
+        for k in range(8):
+            ok = np.isfinite(dist[k]) & (dist[k] <= max_distance) & (dist[k] > 0)
+            wgt = np.where(ok, 1.0 / np.maximum(dist[k], 1e-9), 0.0)
+            wsum += wgt
+            vsum += wgt * vals[k]
+        filled = ~valid & (wsum > 0)
+        out[filled] = vsum[filled] / wsum[filled]
+        return out.astype(arr.dtype)
+
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        n = int(rng.integers(8, 60))
+        a = (rng.random((n, n)) * 255).astype(np.float32)
+        valid = rng.random((n, n)) >= rng.uniform(0.1, 0.9)
+        md = int(rng.integers(3, 40))
+        assert np.array_equal(FL.fillnodata(a, valid, max_distance=md),
+                              fill_ref(a, valid, max_distance=md),
+                              equal_nan=True), trial
+    a = (rng.random((40, 40)) * 255).astype(np.float32)
+    valid = np.ones((40, 40), bool)
+    valid[:5] = False
+    valid[:, :3] = False
+    assert np.array_equal(FL.fillnodata(a, valid, 20),
+                          fill_ref(a, valid, 20), equal_nan=True)
