@@ -215,6 +215,61 @@ def resample(src: np.ndarray, out_w: int, out_h: int, alg: str = "nearest",
 
     if alg in ("average", "mode"):
         win = src[y0:y0 + win_h, x0:x0 + win_w]
+        if alg == "mode" and np.issubdtype(win.dtype, np.integer):
+            # vectorized arbitrary-factor mode (round 5c): the per-
+            # output-pixel np.unique loop was 1.5 s on a 1 Mpx → 341²
+            # reduce. Box ranges can OVERLAP by one source pixel
+            # (floor/ceil), so build explicit (src, out) pair maps per
+            # axis, cross them, and vote by sorted run-length: per cell
+            # the max-count run with the smallest value wins — exactly
+            # np.unique + argmax's tie rule. Gated to integer dtypes
+            # (exact compares; float NaN-collapse semantics stay on the
+            # loop below).
+            ysrc, yout = [], []
+            for i, lo, hi in _box_ranges(win_h, out_h):
+                ysrc.append(np.arange(lo, hi))
+                yout.append(np.full(hi - lo, i))
+            xsrc, xout = [], []
+            for i, lo, hi in _box_ranges(win_w, out_w):
+                xsrc.append(np.arange(lo, hi))
+                xout.append(np.full(hi - lo, i))
+            ysrc = np.concatenate(ysrc)
+            yout = np.concatenate(yout)
+            xsrc = np.concatenate(xsrc)
+            xout = np.concatenate(xout)
+            vals = win[ysrc[:, None], xsrc[None, :]].ravel()
+            cell = (yout[:, None] * out_w + xout[None, :]).ravel()
+            vmin = int(vals.min()) if vals.size else 0
+            vmax = int(vals.max()) if vals.size else 0
+            span = vmax - vmin + 1
+            ncell = out_h * out_w
+            if span <= 1 << 31 and ncell * span <= 1 << 62:
+                # composite single-key sort (one int64 np.sort beats
+                # lexsort ~3x for the narrow-range categorical case)
+                key = np.sort(cell.astype(np.int64) * span
+                              + (vals.astype(np.int64) - vmin))
+                cell = key // span
+                vals = (key % span + vmin).astype(win.dtype)
+            else:
+                o = np.lexsort((vals, cell))
+                vals, cell = vals[o], cell[o]
+            newrun = np.ones(vals.size, dtype=bool)
+            newrun[1:] = (cell[1:] != cell[:-1]) | (vals[1:] != vals[:-1])
+            starts = np.nonzero(newrun)[0]
+            counts = np.diff(np.concatenate([starts, [vals.size]]))
+            rcell, rval = cell[starts], vals[starts]
+            o2 = np.lexsort((rval, -counts, rcell))
+            first = np.ones(o2.size, dtype=bool)
+            first[1:] = rcell[o2][1:] != rcell[o2][:-1]
+            win_cells = rcell[o2][first]
+            win_vals = rval[o2][first]
+            out = np.zeros(out_h * out_w, dtype=win.dtype)
+            out[win_cells] = win_vals
+            out = out.reshape(out_h, out_w)
+            if np.issubdtype(np.dtype(out_dtype), np.integer):
+                info = np.iinfo(out_dtype)
+                return np.clip(out, info.min, info.max).astype(out_dtype)
+            return _round_like(out.astype(np.float64), out_dtype)
         # mode emits EXISTING pixel values — keep the source dtype so
         # int64 categories above 2^53 survive (a float64 buffer would
         # merge them; ADVICE r3). average genuinely computes in float64.

@@ -1476,3 +1476,39 @@ def test_jpeg_vectorized_scan_matches_scalar():
         a = scan_scalar(planes, samp, nbx, mcux, mcuy, dce, ace)
         b = J._encode_scan_vec(planes, samp, nbx, mcux, mcuy, dce, ace)
         assert a == b, (i, arr.shape, sub, q, prec)
+
+
+def test_mode_resample_vectorized_matches_unique_loop():
+    """Round-5c arbitrary-factor mode vote (pair-map + sorted run-length)
+    must match the per-output-pixel np.unique loop exactly — including
+    overlapping box ranges, ties (smallest value wins), and int64
+    categories above 2^53 on both the composite-key and lexsort paths."""
+    from godal_spark.functions import resampling as RS
+    from godal_spark.functions.resampling import _box_ranges
+
+    def mode_loop(win, out_h, out_w):
+        out = np.zeros((out_h, out_w), dtype=win.dtype)
+        for i, ylo, yhi in _box_ranges(win.shape[0], out_h):
+            for jj, xlo, xhi in _box_ranges(win.shape[1], out_w):
+                blk = win[ylo:yhi, xlo:xhi]
+                vals, counts = np.unique(blk, return_counts=True)
+                out[i, jj] = vals[np.argmax(counts)]
+        return out
+
+    rng = np.random.default_rng(21)
+    for trial in range(15):
+        h = int(rng.integers(3, 80))
+        w = int(rng.integers(3, 80))
+        oh = int(rng.integers(1, h + 1))
+        ow = int(rng.integers(1, w + 1))
+        dt = [np.uint8, np.int16, np.int32, np.int64][trial % 4]
+        lo, hi = ((-(2 ** 40), 2 ** 40) if dt == np.int64 and trial % 2
+                  else (0, 9))
+        a = rng.integers(lo, hi, (h, w)).astype(dt)
+        got = RS.resample(a, ow, oh, alg="mode", out_dtype=np.int64)
+        assert np.array_equal(np.asarray(got, np.int64),
+                              mode_loop(a, oh, ow).astype(np.int64)), trial
+    big = np.array([[2 ** 60, 2 ** 60 + 1], [2 ** 60 + 1, 2 ** 60]],
+                   dtype=np.int64)
+    got = RS.resample(big, 1, 1, alg="mode", out_dtype=np.int64)
+    assert int(np.asarray(got).ravel()[0]) == 2 ** 60  # tie -> smallest
