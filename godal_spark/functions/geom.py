@@ -610,6 +610,8 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     n, s = len(px), len(x0)
+    if s >= 256 and n >= 64:
+        return _points_in_ring_banded(px, py, x0, y0, x1, y1)
     chunk = max(256, (1 << 22) // max(s, 1))
     if n <= chunk:
         return _points_in_ring_block(px[:, None], py[:, None],
@@ -619,6 +621,53 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
         hi = min(n, lo + chunk)
         out[lo:hi] = _points_in_ring_block(px[lo:hi, None],
                                            py[lo:hi, None], x0, y0, x1, y1)
+    return out
+
+
+def _points_in_ring_banded(px, py, x0, y0, x1, y1, eps=1e-12):
+    """Exact y-banded ray cast for BIG rings (round 5c): the crossing
+    test only ever involves segments whose eps-padded y-span contains
+    the point's y, and every such segment lands in the point's band, so
+    testing only the band's segment list returns bit-identical results
+    to the full O(points × segments) block at ~O(points × s/bands) —
+    the overlay classification against jagged 2,000-vertex rings went
+    superquadratic through this kernel (6.2 s per intersection)."""
+    n, s = px.size, x0.size
+    ylo = min(float(y0.min()), float(y1.min())) - eps
+    yhi = max(float(y0.max()), float(y1.max())) + eps
+    nb = int(np.clip(s // 8, 16, 4096))
+    bh = (yhi - ylo) / nb
+    if bh <= 0:
+        return _points_in_ring_block(px[:, None], py[:, None],
+                                     x0, y0, x1, y1)
+    out = np.zeros(n, dtype=bool)
+    inr = (py >= ylo) & (py <= yhi)   # outside the y-range: False
+    pb = np.clip(((py - ylo) / bh).astype(np.int64), 0, nb - 1)
+    # CSR of segments per band (a segment spans [slo, shi] bands)
+    slo = np.clip(((np.minimum(y0, y1) - eps - ylo) / bh).astype(np.int64),
+                  0, nb - 1)
+    shi = np.clip(((np.maximum(y0, y1) + eps - ylo) / bh).astype(np.int64),
+                  0, nb - 1)
+    cnt = shi - slo + 1
+    rep = np.repeat(np.arange(s), cnt)
+    base = np.cumsum(cnt) - cnt
+    band_of = slo[rep] + (np.arange(rep.size) - base[rep])
+    o = np.argsort(band_of, kind="stable")
+    segs_sorted = rep[o]
+    starts = np.searchsorted(band_of[o], np.arange(nb + 1))
+    # points grouped by band
+    pidx = np.nonzero(inr)[0]
+    po = pidx[np.argsort(pb[pidx], kind="stable")]
+    pstarts = np.searchsorted(pb[po], np.arange(nb + 1))
+    for b in range(nb):
+        ps = po[pstarts[b]:pstarts[b + 1]]
+        if ps.size == 0:
+            continue
+        ss = segs_sorted[starts[b]:starts[b + 1]]
+        if ss.size == 0:
+            continue
+        out[ps] = _points_in_ring_block(px[ps][:, None], py[ps][:, None],
+                                        x0[ss], y0[ss], x1[ss], y1[ss])
     return out
 
 

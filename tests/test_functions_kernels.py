@@ -1512,3 +1512,46 @@ def test_mode_resample_vectorized_matches_unique_loop():
                    dtype=np.int64)
     got = RS.resample(big, 1, 1, alg="mode", out_dtype=np.int64)
     assert int(np.asarray(got).ravel()[0]) == 2 ** 60  # tie -> smallest
+
+
+def test_points_in_ring_banded_matches_brute():
+    """The round-5c y-banded ray cast must be bit-identical to the full
+    points x segments block — every segment whose eps-padded y-span
+    contains a point's y lands in that point's band, so the subset test
+    is exact. Adversarial shapes: jagged stars, rectilinear staircases
+    (horizontal segments), near-flat slivers; boundary points included."""
+    import godal_spark.functions.geom as G
+
+    rng = np.random.default_rng(17)
+    for trial in range(12):
+        nv = int(rng.integers(260, 2000))
+        kind = trial % 3
+        if kind == 0:
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            ring = np.column_stack([np.cos(ang) * (1 + 0.5 * rng.random(nv)),
+                                    np.sin(ang) * (1 + 0.5 * rng.random(nv))])
+        elif kind == 1:
+            xs = np.arange(nv // 2)
+            ys = rng.integers(0, 5, nv // 2)
+            ring = np.empty((2 * (nv // 2), 2))
+            ring[0::2, 0] = xs
+            ring[0::2, 1] = ys
+            ring[1::2, 0] = xs + 1
+            ring[1::2, 1] = ys
+        else:
+            xs = np.linspace(0, 100, nv)
+            ring = np.column_stack([xs, 1e-9 * rng.standard_normal(nv)])
+        ring = np.vstack([ring, ring[:1]])
+        m = int(rng.integers(64, 2000))
+        px = rng.uniform(ring[:, 0].min() - 1, ring[:, 0].max() + 1, m)
+        py = rng.uniform(ring[:, 1].min() - 1, ring[:, 1].max() + 1, m)
+        px[:10] = ring[:10, 0]
+        py[:10] = ring[:10, 1]
+        px[10:20] = (ring[:10, 0] + ring[1:11, 0]) / 2
+        py[10:20] = (ring[:10, 1] + ring[1:11, 1]) / 2
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        brute = G._points_in_ring_block(px[:, None], py[:, None],
+                                        x0, y0, x1, y1)
+        banded = G._points_in_ring_banded(px, py, x0, y0, x1, y1)
+        assert np.array_equal(brute, banded), (trial, kind, nv, m)
