@@ -48,6 +48,13 @@ def _loadavg() -> float:
         return float(fh.read().split()[0])
 
 
+# sampled at import, BEFORE any Spark JVM starts: the per-query
+# load_before/load_after readings include the bench's own local[32]
+# activity, so only this value distinguishes an idle host from a
+# contended one when adjudicating the artifact.
+AMBIENT_LOAD = _loadavg()
+
+
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -234,7 +241,9 @@ def run_suite() -> dict:
         "cpus": CPUS,
         "throughput_images_per_sec": round(head["images_per_sec"], 2),
         "headline": head,
-        # self-adjudication record: per-query trial walls + host load
+        # self-adjudication record: per-query trial walls + host load;
+        # ambient_load is pre-Spark (per-query loads include our own)
+        "ambient_load": AMBIENT_LOAD,
         "query_trials": trials_rec,
     }
     return out
