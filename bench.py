@@ -199,12 +199,26 @@ def run_suite() -> dict:
     for name in BENCH_QUERIES:
         best = float("inf")
         rec = []
-        for _ in range(2):
+        walls = []
+        # 2 trials, plus up to 2 adaptive retries while the two BEST
+        # trials disagree by >1.8x: a foreign-tenant burst on this
+        # shared host lasts ~10 s and can land on BOTH base trials of
+        # one query (observed: dedup_minhash 6.2/22.4 s in one
+        # artifact, 7.2/2.0 s minutes later). Extra trials only run
+        # when noise is detected, so a quiet-host artifact costs
+        # exactly 2 trials per query; the reported wall is min().
+        def _unstable(ws):
+            lo, lo2 = sorted(ws)[:2]
+            # relative AND absolute gap: sub-second walls jitter >1.8x
+            # from scheduler noise alone and don't move the suite total
+            return lo2 - lo > 0.5 and lo2 / max(lo, 1e-9) > 1.8
+        while len(walls) < 2 or (_unstable(walls) and len(walls) < 4):
             la0 = _loadavg()
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             wall = time.time() - t0
+            walls.append(wall)
             rec.append({"wall_s": round(wall, 3),
                         "load_before": la0, "load_after": _loadavg()})
             best = min(best, wall)
