@@ -1555,3 +1555,24 @@ def test_points_in_ring_banded_matches_brute():
                                         x0, y0, x1, y1)
         banded = G._points_in_ring_banded(px, py, x0, y0, x1, y1)
         assert np.array_equal(brute, banded), (trial, kind, nv, m)
+
+
+def test_jpeg_decode_window_chunk_rebase(monkeypatch):
+    """Entropy segments larger than _WIN_CHUNK decode through the
+    chunked window-rebase path; the result must be bit-identical to the
+    single-chunk decode of the same stream (rebases land mid-segment,
+    so any off-by-one in the base/pos bookkeeping shows up as garbage
+    coefficients)."""
+    import godal_spark.functions.jpeg as J
+
+    rng = np.random.default_rng(11)
+    # high-entropy content, no restart interval -> ONE big segment
+    arr = rng.integers(0, 256, (160, 160, 3), dtype=np.uint8)
+    buf = J.encode_jpeg(arr, quality=95, subsampling="444")
+    ref = J.decode_jpeg_real(buf)
+    # force several rebases: chunk base advances must stay margin-safe
+    monkeypatch.setattr(J, "_WIN_CHUNK", 16384)
+    monkeypatch.setattr(J, "_WIN_MARGIN", 4096)
+    out = J.decode_jpeg_real(buf)
+    assert out.dtype == ref.dtype and out.shape == ref.shape
+    assert np.array_equal(out, ref)
