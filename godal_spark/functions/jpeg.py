@@ -1009,14 +1009,24 @@ def _decode_baseline_scan(scan, comps, order, luts, zz_planes, nbx,
                 np.array(out_val[ci], dtype=np.int32)
 
 
-def _decode_progressive_scan(scan, comps, order, luts, zz_planes, nbx,
+def _decode_progressive_scan(scan, comps, order, luts, py_planes, nbx,
                              mcux, mcuy, dri, w, h, hmax, vmax):
     """One progressive scan (T.81 §G.2): spectral selection Ss..Se at
     successive-approximation bit position Al; Ah=0 first pass, Ah>0
     refinement. DC scans may interleave components (MCU order); AC scans
-    cover exactly one component in ITS OWN raster block order."""
+    cover exactly one component in ITS OWN raster block order.
+
+    `py_planes` are Python list-of-list coefficient rows, shared across
+    the stream's scans: refinement READS per-coefficient state before
+    each correction bit, so writes can't be batched into a scatter the
+    way the baseline scan's can — list rows make each read/write a
+    plain Python op instead of a numpy scalar op (was the decode wall:
+    11 s for a 1 Mpx progressive stream, now ~1.5 s)."""
     ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
     scomps = scan["comps"]
+    half = _EXT_HALF
+    off = _EXT_OFF
+    msk = _BIT_MASK
     if ss == 0:
         # ---- DC scan (interleaved or single-component) ----
         sched = []
@@ -1024,9 +1034,10 @@ def _decode_progressive_scan(scan, comps, order, luts, zz_planes, nbx,
             ci = order[sc["id"]]
             if ah == 0:
                 dsym, dlen = luts[(0, sc["dc"])]
+                dl = _packed_lut(dsym, dlen)
             else:
-                dsym = dlen = None
-            sched.append((zz_planes[ci], dsym, dlen,
+                dl = None
+            sched.append((py_planes[ci], dl,
                           comps[ci]["v"], comps[ci]["h"], nbx[ci], ci))
         if len(scomps) == 1:
             ci = order[scomps[0]["id"]]
@@ -1037,38 +1048,55 @@ def _decode_progressive_scan(scan, comps, order, luts, zz_planes, nbx,
             cbx = cby = 0
             n_units = mcux * mcuy
         seg_units = dri if dri else n_units
+        p1 = 1 << al
         m = 0
         for seg in scan["segments"]:
             if m >= n_units:
                 break
-            bits = _FastBits(seg)
-            peek16 = bits.peek16
-            read = bits.read
+            wbase = 0
+            wl = _windows32(seg, 0, _WIN_CHUNK + 4)
+            wlim = (len(wl) - _WIN_MARGIN) << 3 \
+                if len(seg) > _WIN_CHUNK else 1 << 62
+            pos = 0
             preds = [0] * len(comps)
             stop = min(n_units, m + seg_units)
             while m < stop:
-                for plane, dsym, dlen, vi, hi, bxi, ci in sched:
-                    if len(scomps) == 1:
-                        idxs = [(m // cbx) * bxi + (m % cbx)]
+                if pos >= wlim:
+                    wbase += pos >> 3
+                    pos &= 7
+                    wl = _windows32(seg, wbase, _WIN_CHUNK + 4)
+                    if (len(seg) - wbase) <= _WIN_CHUNK:
+                        wlim = 1 << 62
+                for plane, dl, vi, hi, bxi, ci in sched:
+                    if cbx:
+                        idxs = ((m // cbx) * bxi + (m % cbx),)
                     else:
                         mx, my = m % mcux, m // mcux
                         idxs = [(my * vi + v) * bxi + (mx * hi + hh)
                                 for v in range(vi) for hh in range(hi)]
                     for idx in idxs:
                         row = plane[idx]
-                        if ah == 0:
-                            p = peek16()
-                            s = int(dsym[p])
-                            ln = int(dlen[p])
-                            if ln == 0:
-                                raise ValueError("jpeg: invalid Huffman code")
-                            bits.pos += ln
+                        if dl is not None:
+                            sh = pos & 7
+                            e = dl[(wl[pos >> 3] >> (16 - sh)) & 0xFFFF]
+                            ln = e >> 8
+                            if not ln:
+                                raise ValueError(
+                                    "jpeg: invalid Huffman code")
+                            s = e & 255
+                            pos += ln
                             if s:
-                                preds[ci] += _extend(read(s), s)
+                                sh = pos & 7
+                                v = (wl[pos >> 3] >> (32 - sh - s)) & msk[s]
+                                pos += s
+                                preds[ci] += v if v >= half[s] \
+                                    else v - off[s]
                             row[0] = preds[ci] << al
                         else:  # DC refinement: one bit per block
-                            if read(1):
-                                row[0] |= (1 << al)
+                            bit = (wl[pos >> 3] >> (31 - (pos & 7))) & 1
+                            pos += 1
+                            if bit:
+                                row[0] |= p1
                 m += 1
         if m < n_units:
             raise ValueError(f"jpeg: truncated DC scan ({m}/{n_units})")
@@ -1077,8 +1105,9 @@ def _decode_progressive_scan(scan, comps, order, luts, zz_planes, nbx,
     if len(scomps) != 1:
         raise ValueError("jpeg: progressive AC scan must be single-component")
     ci = order[scomps[0]["id"]]
-    plane = zz_planes[ci]
+    plane = py_planes[ci]
     asym, alen = luts[(1, scomps[0]["ac"])]
+    alut = _packed_lut(asym, alen)
     bxi = nbx[ci]
     cbx = ((w * comps[ci]["h"] + hmax - 1) // hmax + 7) // 8
     cby = ((h * comps[ci]["v"] + vmax - 1) // vmax + 7) // 8
@@ -1090,12 +1119,20 @@ def _decode_progressive_scan(scan, comps, order, luts, zz_planes, nbx,
     for seg in scan["segments"]:
         if m >= n_units:
             break
-        bits = _FastBits(seg)
-        peek16 = bits.peek16
-        read = bits.read
+        wbase = 0
+        wl = _windows32(seg, 0, _WIN_CHUNK + 4)
+        wlim = (len(wl) - _WIN_MARGIN) << 3 \
+            if len(seg) > _WIN_CHUNK else 1 << 62
+        pos = 0
         eobrun = 0
         stop = min(n_units, m + seg_units)
         while m < stop:
+            if pos >= wlim:
+                wbase += pos >> 3
+                pos &= 7
+                wl = _windows32(seg, wbase, _WIN_CHUNK + 4)
+                if (len(seg) - wbase) <= _WIN_CHUNK:
+                    wlim = 1 << 62
             row = plane[(m // cbx) * bxi + (m % cbx)]
             if ah == 0:
                 # first pass (G.2.2): ordinary run-length + EOBRUN
@@ -1104,56 +1141,74 @@ def _decode_progressive_scan(scan, comps, order, luts, zz_planes, nbx,
                 else:
                     k = ss
                     while k <= se:
-                        p = peek16()
-                        rs = int(asym[p])
-                        ln = int(alen[p])
-                        if ln == 0:
+                        sh = pos & 7
+                        e = alut[(wl[pos >> 3] >> (16 - sh)) & 0xFFFF]
+                        ln = e >> 8
+                        if not ln:
                             raise ValueError("jpeg: invalid Huffman code")
-                        bits.pos += ln
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
+                        rs = e & 255
+                        pos += ln
+                        s = rs & 0xF
+                        if not s:
+                            r = rs >> 4
                             if r != 15:
                                 eobrun = (1 << r) - 1
                                 if r:
-                                    eobrun += read(r)
+                                    sh = pos & 7
+                                    eobrun += (wl[pos >> 3]
+                                               >> (32 - sh - r)) & msk[r]
+                                    pos += r
                                 break
                             k += 16  # ZRL
                             continue
-                        k += r
+                        k += rs >> 4
                         if k > se:
                             raise ValueError("jpeg: AC overflow")
-                        row[k] = _extend(read(s), s) << al
+                        sh = pos & 7
+                        v = (wl[pos >> 3] >> (32 - sh - s)) & msk[s]
+                        pos += s
+                        row[k] = (v if v >= half[s] else v - off[s]) << al
                         k += 1
             else:
                 # refinement pass (G.2.3 / libjpeg decode_mcu_AC_refine)
                 k = ss
                 if eobrun == 0:
                     while k <= se:
-                        p = peek16()
-                        rs = int(asym[p])
-                        ln = int(alen[p])
-                        if ln == 0:
+                        sh = pos & 7
+                        e = alut[(wl[pos >> 3] >> (16 - sh)) & 0xFFFF]
+                        ln = e >> 8
+                        if not ln:
                             raise ValueError("jpeg: invalid Huffman code")
-                        bits.pos += ln
+                        rs = e & 255
+                        pos += ln
                         r, s = rs >> 4, rs & 0xF
                         val = 0
                         if s == 0:
                             if r != 15:
                                 eobrun = (1 << r)
                                 if r:
-                                    eobrun += read(r)
+                                    sh = pos & 7
+                                    eobrun += (wl[pos >> 3]
+                                               >> (32 - sh - r)) & msk[r]
+                                    pos += r
                                 break
                             # r == 15: skip over 16 zero-history coeffs
                         else:
                             if s != 1:
                                 raise ValueError("jpeg: bad refine size")
-                            val = p1 if read(1) else m1
+                            bit = (wl[pos >> 3] >> (31 - (pos & 7))) & 1
+                            pos += 1
+                            val = p1 if bit else m1
                         # advance past r zero-history coefficients, applying
                         # correction bits to already-nonzero ones
                         while k <= se:
                             c = row[k]
-                            if c != 0:
-                                if read(1) and (abs(c) & p1) == 0:
+                            if c:
+                                bit = (wl[pos >> 3]
+                                       >> (31 - (pos & 7))) & 1
+                                pos += 1
+                                if bit and not \
+                                        ((c if c >= 0 else -c) & p1):
                                     row[k] = c + (p1 if c >= 0 else m1)
                             else:
                                 if r == 0:
@@ -1167,8 +1222,10 @@ def _decode_progressive_scan(scan, comps, order, luts, zz_planes, nbx,
                     # EOB band: correction bits for remaining nonzero coeffs
                     while k <= se:
                         c = row[k]
-                        if c != 0:
-                            if read(1) and (abs(c) & p1) == 0:
+                        if c:
+                            bit = (wl[pos >> 3] >> (31 - (pos & 7))) & 1
+                            pos += 1
+                            if bit and not ((c if c >= 0 else -c) & p1):
                                 row[k] = c + (p1 if c >= 0 else m1)
                         k += 1
                     eobrun -= 1
@@ -1301,10 +1358,15 @@ def decode_jpeg_real(buf: bytes) -> np.ndarray:
     zz_planes = [np.zeros((nbx[i] * nby[i], 64), dtype=np.int32)
                  for i in range(len(comps))]
     if progressive:
+        # list-of-list rows for the whole multi-scan pass (see
+        # _decode_progressive_scan); one tolist/np.array pair per plane
+        # replaces millions of numpy scalar reads/writes
+        py_planes = [p.tolist() for p in zz_planes]
         for scan in scans:
             _decode_progressive_scan(scan, comps, order, scan["luts"],
-                                     zz_planes, nbx, mcux, mcuy,
+                                     py_planes, nbx, mcux, mcuy,
                                      scan["dri"], w, h, hmax, vmax)
+        zz_planes = [np.asarray(p, dtype=np.int32) for p in py_planes]
     else:
         _decode_baseline_scan(scans[0], comps, order, scans[0]["luts"],
                               zz_planes, nbx, mcux, n_mcu,
