@@ -798,35 +798,6 @@ def _build_lut(bits, symbols) -> tuple[np.ndarray, np.ndarray]:
     return sym, length
 
 
-class _FastBits:
-    """Byte-indexed bit reader over an UNSTUFFED entropy segment.
-    peek/read are O(1) int ops — no per-bit loop, no stuffing checks
-    (stuffing is stripped once, vectorized, in _split_scan)."""
-
-    __slots__ = ("b", "pos")
-
-    def __init__(self, b: bytes):
-        # zero padding past the end == the spec's pad-with-anything tail
-        self.b = b + b"\x00\x00\x00\x00"
-        self.pos = 0
-
-    def peek16(self) -> int:
-        p = self.pos
-        i = p >> 3
-        b = self.b
-        v = (b[i] << 24) | (b[i + 1] << 16) | (b[i + 2] << 8) | b[i + 3]
-        return (v >> (16 - (p & 7))) & 0xFFFF
-
-    def read(self, k: int) -> int:
-        # k <= 16 always (amplitude sizes <= 11)
-        p = self.pos
-        i = p >> 3
-        b = self.b
-        v = (b[i] << 24) | (b[i + 1] << 16) | (b[i + 2] << 8) | b[i + 3]
-        self.pos = p + k
-        return (v >> (32 - (p & 7) - k)) & ((1 << k) - 1)
-
-
 def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
     """Unstuff + split ONE scan's entropy-coded data at RST markers,
     vectorized. Returns (segments, end) where `end` is the absolute
@@ -858,12 +829,6 @@ def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
             seg = np.delete(seg, drop)
         segs.append(seg.tobytes())
     return segs, start + end
-
-
-def _extend(v: int, size: int) -> int:
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 _PACK_CACHE: dict = {}
@@ -917,7 +882,7 @@ def _decode_baseline_scan(scan, comps, order, luts, zz_planes, nbx,
     list LUTs, a precomputed 32-bit window list instead of per-peek
     byte composition, and coefficient writes batched into Python lists
     with ONE vectorized scatter per component at scan end (a numpy
-    scalar store is ~10x an append). ~3x over the _FastBits loop."""
+    scalar store is ~10x an append). ~3x over the round-2 byte-compose bit-reader loop."""
     sched = []
     out_idx: list[list] = [[] for _ in zz_planes]
     out_val: list[list] = [[] for _ in zz_planes]
