@@ -94,6 +94,15 @@ def main():
     probe("jpeg encode rgb", (256, 512),
           lambda n: rng.integers(0, 256, (n, n, 3), dtype=np.uint8),
           lambda a: J.encode_jpeg(a, quality=90), "4x")
+    probe("jpeg decode rgb", (256, 512),
+          lambda n: J.encode_jpeg(
+              rng.integers(0, 256, (n, n, 3), dtype=np.uint8), quality=90),
+          J.decode_jpeg_real, "4x")
+    probe("jpeg decode progressive", (256, 512),
+          lambda n: J.encode_jpeg(
+              rng.integers(0, 256, (n, n, 3), dtype=np.uint8), quality=90,
+              progressive=True),
+          J.decode_jpeg_real, "4x")
 
     print(f"{'kernel':26s} {'sizes':>12s} {'walls (ms)':>20s} ratio expect")
     for name, sizes, walls, expect in rows:
