@@ -127,11 +127,13 @@ def headline_pipeline(spark, n_images: int, n_footprints: int) -> dict:
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
     join_wall = float("inf")
     n_pairs = 0
+    join_trials = []
     for trial in range(trials + 1):
         # trial 0 is an UNTIMED warm pass: in the fresh-session bench the
         # join's whole-stage codegen + C2 JIT are young (measured ~1.2 s
         # first pass vs ~0.8 s steady state); a long-running job is at
         # steady state, so that's what the metric should capture
+        la0 = _loadavg()
         t0 = time.time()
         meta = spark.read.parquet(img_path).select("image_id", "w", "h", "gt")
         tiles = tiling.with_block_grid(meta, bw=bw, bh=bw)
@@ -143,24 +145,35 @@ def headline_pipeline(spark, n_images: int, n_footprints: int) -> dict:
         joined = pip_op.pip_join(tiles, fps, res=int(os.environ.get("BENCH_RES", "11")), broadcast_footprints=True)
         n_pairs = joined.groupBy().count().first()[0]
         if trial > 0:
-            join_wall = min(join_wall, time.time() - t0)
+            wall = time.time() - t0
+            join_wall = min(join_wall, wall)
+            join_trials.append({"wall_s": round(wall, 3),
+                                "load_before": la0,
+                                "load_after": _loadavg()})
 
     # --- metric 2: decode → tile payload explode (the Arrow-heavy stage)
+    decode_trials = []
     if os.environ.get("BENCH_SKIP_DECODE") or os.environ.get("BENCH_META_ONLY"):
         decode_wall = float("nan")
     else:
         decode_wall = float("inf")
         for _ in range(trials):
+            la1 = _loadavg()
             t1 = time.time()
             images = spark.read.parquet(img_path)
             tiling.explode_tiles(images, bw=32, bh=32) \
                 .write.format("noop").mode("overwrite").save()
-            decode_wall = min(decode_wall, time.time() - t1)
+            wall = time.time() - t1
+            decode_wall = min(decode_wall, wall)
+            decode_trials.append({"wall_s": round(wall, 3),
+                                  "load_before": la1,
+                                  "load_after": _loadavg()})
 
     return {"wall_s": join_wall, "images_per_sec": n_images / join_wall,
             "decode_wall_s": decode_wall,
             "decode_images_per_sec": n_images / decode_wall,
-            "n_images": n_images, "n_tile_fp_pairs": n_pairs}
+            "n_images": n_images, "n_tile_fp_pairs": n_pairs,
+            "join_trials": join_trials, "decode_trials": decode_trials}
 
 
 def run_suite() -> dict:
