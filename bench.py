@@ -272,8 +272,65 @@ def run_suite() -> dict:
         # ambient_load is pre-Spark (per-query loads include our own)
         "ambient_load": AMBIENT_LOAD,
         "query_trials": trials_rec,
+        # committed N->4N scaling evidence (reproduce with
+        # bench.py --scaling / --scaling-sieve / --scaling-warp)
+        "scaling_evidence": _scaling_evidence(),
     }
     return out
+
+
+def _scaling_evidence() -> list[dict]:
+    """Summarize the committed docs/*scaling*.json series so the suite
+    artifact is self-contained on the north rule's N->4N criterion.
+    Per job family (headline / sieve / warp): the newest PASSING series
+    and, if newer than it, the newest attempt (failing attempts are
+    committed too — the shared host decides which windows pass)."""
+    import glob
+    import re
+
+    docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+
+    def recency(path: str) -> tuple[int, str]:
+        """Round tag from the filename is the recency key (mtimes are
+        flattened by checkout): ..._r4c.json -> (4, 'c'); the two
+        untagged round-1/2 series predate the naming scheme."""
+        base = os.path.basename(path)
+        if base == "scaling_final.json":
+            return (1, "")
+        if base == "scaling_round2.json":
+            return (2, "")
+        m = re.search(r"_r(\d+)([a-z]?)\.json$", base)
+        return (int(m.group(1)), m.group(2)) if m else (0, "")
+
+    fams: dict[str, list[tuple[str, dict]]] = {}
+    for f in sorted(glob.glob(os.path.join(docs, "*scaling*.json")),
+                    key=recency):
+        try:
+            with open(f) as fh:
+                d = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if "value" not in d:
+            continue
+        base = os.path.basename(f)
+        fam = base.split("_scaling")[0] if "_scaling" in base else "headline"
+        if fam in ("scaling", "headline"):
+            fam = "headline"
+        fams.setdefault(fam, []).append((base, d))
+    rows = []
+    for fam, series in sorted(fams.items()):
+        latest = series[-1]
+        passing = [s for s in series
+                   if s[1].get("pass_north_rule", s[1]["value"] >= 0.8)]
+        pick = [passing[-1]] if passing else []
+        if not pick or pick[0][0] != latest[0]:
+            pick.append(latest)
+        for base, d in pick:
+            rows.append({"family": fam, "file": "docs/" + base,
+                         "efficiency": d["value"],
+                         "pass": bool(d.get("pass_north_rule",
+                                            d["value"] >= 0.8))})
+    return rows
 
 
 def run_scaling(trials: int = 3) -> None:
