@@ -293,15 +293,22 @@ def _enc_arrays(enc: dict, n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _encode_scan_vec(planes, samp, nbx, mcux, mcuy,
-                     dc_enc: dict, ac_enc: dict) -> bytes:
+                     dc_enc: dict, ac_enc: dict, ri: int = 0) -> bytes:
     """Vectorized baseline/extended-sequential scan entropy coder,
-    byte-identical to the _encode_block loop it replaces on the no-
-    restart path (differential-tested): builds one flat field table —
+    byte-identical to the _encode_block loop it replaces (differential-
+    tested, restart intervals included): builds one flat field table —
     (code, bit-length) per DC code/amp, ZRL, AC code/amp, EOB — with
     (block-slot, coeff, sub) sort keys, lexsorts it into scan order,
     and packs bits via repeat/cumsum + np.packbits; 0xFF stuffing is
     one np.insert. The per-block Python walk (put() per symbol) was
-    ~90% of encode wall (round-5c profile)."""
+    ~90% of encode wall (round-5c profile).
+
+    ri > 0 (DRI restart interval, in MCUs): DC prediction chains reset
+    at every segment start, each segment is independently 1-padded to
+    its byte boundary, and RST(0..7 cycling) markers — raw, never
+    stuffed — separate consecutive segments. At engine scale restart
+    segments are what make one scan splittable across workers, so this
+    path must be as fast as the plain one."""
     ncomp = len(planes)
     bper = [samp[ci][0] * samp[ci][1] for ci in range(ncomp)]
     B = sum(bper)
@@ -331,11 +338,15 @@ def _encode_scan_vec(planes, samp, nbx, mcux, mcuy,
         slot = (np.arange(nblk) // bper[ci]) * B + offs[ci] \
             + np.arange(nblk) % bper[ci]
 
-        # DC: prediction chain in MCU order
+        # DC: prediction chain in MCU order (resets at restart segments)
         dc = Zo[:, 0]
         diff = np.empty_like(dc)
         diff[0] = dc[0]
         diff[1:] = dc[1:] - dc[:-1]
+        if ri:
+            segb = (np.arange(nblk) // bper[ci]) // ri
+            resets = np.nonzero(np.r_[False, segb[1:] != segb[:-1]])[0]
+            diff[resets] = dc[resets]
         size = np.searchsorted(_POW2, np.abs(diff), side="right")
         amp = np.where(diff < 0, diff + (1 << size) - 1, diff)
         z = np.zeros(nblk, dtype=np.int64)
@@ -386,24 +397,59 @@ def _encode_scan_vec(planes, samp, nbx, mcux, mcuy,
 
     codes = np.concatenate(f_code)
     lens = np.concatenate(f_len)
-    o = np.lexsort((np.concatenate(f_sub), np.concatenate(f_pos),
-                    np.concatenate(f_slot)))
-    codes, lens = codes[o], lens[o]
+    slots = np.concatenate(f_slot)
+    o = np.lexsort((np.concatenate(f_sub), np.concatenate(f_pos), slots))
+    codes, lens, slots = codes[o], lens[o], slots[o]
 
-    # pack: variable-width MSB-first fields -> bit array -> bytes
-    offsets = np.cumsum(lens) - lens
-    total = int(offsets[-1] + lens[-1]) if lens.size else 0
+    if not ri:
+        # pack: variable-width MSB-first fields -> bit array -> bytes
+        offsets = np.cumsum(lens) - lens
+        total = int(offsets[-1] + lens[-1]) if lens.size else 0
+        rep = np.repeat(np.arange(lens.size), lens)
+        j = np.arange(total, dtype=np.int64) - offsets[rep]
+        bits = ((codes[rep] >> (lens[rep] - 1 - j)) & 1).astype(np.uint8)
+        pad = (-total) % 8
+        if pad:
+            bits = np.concatenate([bits, np.ones(pad, np.uint8)])  # flush 1s
+        body = np.packbits(bits)
+        stuff = np.nonzero(body == 0xFF)[0]
+        if stuff.size:
+            body = np.insert(body, stuff + 1, 0)
+        return body.tobytes()
+
+    # Restart path: same flat field table, but every ri-MCU segment is
+    # bit-packed against its own byte-aligned base (pad bits are 1s,
+    # exactly the scalar flush), then stuffed globally and stitched
+    # with RSTn markers at the post-stuff segment boundaries.
+    seg_f = (slots // B) // ri                       # nondecreasing
+    starts = np.nonzero(np.r_[True, seg_f[1:] != seg_f[:-1]])[0]
+    bitsum = np.add.reduceat(lens, starts)           # bits per segment
+    seg_sizes = bitsum + ((-bitsum) % 8)             # padded to bytes
+    seg_base = np.cumsum(seg_sizes) - seg_sizes      # start bit per seg
+    gcs = np.cumsum(lens) - lens
+    segidx = np.cumsum(np.r_[0, (seg_f[1:] != seg_f[:-1]).astype(np.int64)])
+    off = seg_base[segidx] + (gcs - gcs[starts][segidx])
+    total = int(seg_sizes.sum())
+    bits = np.ones(total, np.uint8)                  # pad bits = 1s
     rep = np.repeat(np.arange(lens.size), lens)
-    j = np.arange(total, dtype=np.int64) - offsets[rep]
-    bits = ((codes[rep] >> (lens[rep] - 1 - j)) & 1).astype(np.uint8)
-    pad = (-total) % 8
-    if pad:
-        bits = np.concatenate([bits, np.ones(pad, np.uint8)])  # flush 1s
+    j = np.arange(int(lens.sum()), dtype=np.int64) - gcs[rep]
+    bits[off[rep] + j] = (codes[rep] >> (lens[rep] - 1 - j)) & 1
     body = np.packbits(bits)
     stuff = np.nonzero(body == 0xFF)[0]
     if stuff.size:
         body = np.insert(body, stuff + 1, 0)
-    return body.tobytes()
+    nseg = starts.size
+    if nseg == 1:
+        return body.tobytes()
+    ends = (seg_base + seg_sizes) // 8               # pre-stuff byte ends
+    ends = ends + np.searchsorted(stuff, ends)       # shift past 0x00s
+    parts = np.split(body, ends[:-1])
+    out = bytearray()
+    for k in range(nseg - 1):
+        out += parts[k].tobytes()
+        out += bytes((0xFF, 0xD0 + (k & 7)))
+    out += parts[-1].tobytes()
+    return bytes(out)
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
@@ -535,15 +581,22 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
-    # one interleaved scan; MCU = hi x vi blocks per component.
-    # No-restart scans take the vectorized coder (byte-identical, ~2.5x);
-    # restart intervals keep the scalar walk (segment resets + RSTn
-    # markers interleave with the entropy stream).
-    if not ri:
-        out += _encode_scan_vec(planes, samp, nbx, mcux, mcuy,
-                                dc_enc, ac_enc)
-        out += b"\xFF\xD9"
-        return bytes(out)
+    # one interleaved scan; MCU = hi x vi blocks per component. Both
+    # the plain and the restart-interval stream take the vectorized
+    # coder (byte-identical to the scalar walk — differential-tested
+    # against _encode_scan_scalar).
+    out += _encode_scan_vec(planes, samp, nbx, mcux, mcuy,
+                            dc_enc, ac_enc, ri=ri)
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+def _encode_scan_scalar(planes, samp, nbx, mcux, mcuy,
+                        dc_enc: dict, ac_enc: dict, ri: int = 0) -> bytes:
+    """Reference per-block scalar scan coder (the pre-vectorization
+    walk) — retained ONLY as the differential-test oracle for
+    _encode_scan_vec; no production path calls it."""
+    ncomp = len(planes)
     bw = _BitWriter()
     preds = [0] * ncomp
     rst_n = 0
@@ -561,9 +614,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
                     preds[ci] = _encode_block(
                         bw, planes[ci][idx], preds[ci], dc_enc, ac_enc)
     bw.flush()
-    out += bw.buf
-    out += b"\xFF\xD9"  # EOI
-    return bytes(out)
+    return bytes(bw.buf)
 
 
 def _sos_header(scomps: list[tuple[int, int, int]], ss: int, se: int,

@@ -1405,27 +1405,16 @@ def test_crs_polar_laea_exact_snyder():
 
 
 def test_jpeg_vectorized_scan_matches_scalar():
-    """The round-5c vectorized entropy coder must produce byte-identical
-    scans to the per-block _encode_block walk (which remains the
-    restart-interval path) across sampling modes, 8- and 12-bit
-    alphabets, and degenerate inputs — the speedup may not change the
-    stream."""
+    """The vectorized entropy coder must produce byte-identical scans to
+    the per-block _encode_block walk (retained in jpeg.py as
+    _encode_scan_scalar, the differential oracle) across sampling
+    modes, 8- and 12-bit alphabets, and degenerate inputs — the
+    speedup may not change the stream."""
     import godal_spark.functions.jpeg as J
 
     def scan_scalar(planes, samp, nbx, mcux, mcuy, dc_enc, ac_enc):
-        bw = J._BitWriter()
-        preds = [0] * len(planes)
-        for m in range(mcuy * mcux):
-            mx, my = m % mcux, m // mcux
-            for ci in range(len(planes)):
-                hi, vi = samp[ci]
-                for v in range(vi):
-                    for hh in range(hi):
-                        idx = (my * vi + v) * nbx[ci] + (mx * hi + hh)
-                        preds[ci] = J._encode_block(
-                            bw, planes[ci][idx], preds[ci], dc_enc, ac_enc)
-        bw.flush()
-        return bytes(bw.buf)
+        return J._encode_scan_scalar(planes, samp, nbx, mcux, mcuy,
+                                     dc_enc, ac_enc)
 
     def build_planes(arr, subsampling, quality, precision=8):
         half = float(1 << (precision - 1))
@@ -1476,6 +1465,33 @@ def test_jpeg_vectorized_scan_matches_scalar():
         a = scan_scalar(planes, samp, nbx, mcux, mcuy, dce, ace)
         b = J._encode_scan_vec(planes, samp, nbx, mcux, mcuy, dce, ace)
         assert a == b, (i, arr.shape, sub, q, prec)
+
+    # restart intervals: segment DC resets, per-segment byte padding,
+    # RSTn cycling, >8 segments, ri larger than the MCU count, 12-bit
+    # alphabets — all must be byte-identical to the scalar walk too
+    rng2 = np.random.default_rng(23)
+    ri_cases = [(rng2.integers(0, 256, (64, 56, 3)).astype(np.uint8),
+                 "420", 85, 8, 1),
+                (rng2.integers(0, 256, (64, 56, 3)).astype(np.uint8),
+                 "420", 85, 8, 3),
+                (rng2.integers(0, 256, (96, 96, 3)).astype(np.uint8),
+                 "444", 50, 8, 2),     # 72 segments: RSTn wraps 9x
+                (rng2.integers(0, 256, (41, 33)).astype(np.uint8),
+                 "444", 90, 8, 7),
+                (np.zeros((48, 48, 3), np.uint8), "422", 90, 8, 2),
+                (rng2.integers(0, 256, (24, 24)).astype(np.uint8),
+                 "444", 90, 8, 1000),  # ri > #MCUs: single segment
+                (rng2.integers(0, 4096, (48, 40)).astype(np.uint16),
+                 "444", 90, 12, 4)]
+    for i, (arr, sub, q, prec, ri) in enumerate(ri_cases):
+        planes, samp, nbx, mcux, mcuy = build_planes(arr, sub, q, prec)
+        dce, ace = ((J._DC12_ENC, J._AC12_ENC) if prec == 12
+                    else (J._DC_ENC, J._AC_ENC))
+        a = J._encode_scan_scalar(planes, samp, nbx, mcux, mcuy,
+                                  dce, ace, ri=ri)
+        b = J._encode_scan_vec(planes, samp, nbx, mcux, mcuy,
+                               dce, ace, ri=ri)
+        assert a == b, ("ri", i, arr.shape, sub, q, prec, ri)
 
 
 def test_mode_resample_vectorized_matches_unique_loop():
