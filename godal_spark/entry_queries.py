@@ -2820,6 +2820,153 @@ ORDER BY t.lang
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/text.py decontaminate): the
+    GPT-3 appendix-C n-gram overlap procedure. A deterministic
+    'benchmark' is derived from the corpus itself — every 37th document
+    (doc_id % 37 == 3) contributes its first 12 normalized tokens — so
+    contamination provably exists and BOTH engines can construct the
+    identical eval set. The Spark side hashes grams (xxhash64 broadcast
+    set); the oracle recomputes overlap from the gram STRINGS in DuckDB
+    list SQL, so hash-vs-string agreement is itself part of the check."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.operators import text as TX
+    from godal_spark.operators.text import _norm_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = (docs.filter(F.col("doc_id") % 37 == 3)
+             .select(F.concat_ws(
+                 " ", F.slice(_norm_tokens(F.col("text")), 1, 12))
+                 .alias("text")))
+    r = TX.decontaminate(docs, bench, n=8)
+    return (r.groupBy("lang")
+            .agg(F.sum("n_gram_hits").cast("bigint").alias("sum_hits"),
+                 F.sum("n_distinct_hits").cast("bigint")
+                 .alias("sum_distinct_hits"),
+                 F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+                 .cast("bigint").alias("n_contaminated"),
+                 F.count("*").alias("n_docs"))
+            .orderBy("lang"))
+
+
+SQL_DECONTAMINATE = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bench AS (
+  SELECT array_to_string(toks[1:12], ' ') AS btext
+  FROM t WHERE doc_id % 37 = 3
+),
+btoks AS (
+  SELECT list_filter(string_split_regex(lower(btext), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM bench
+),
+bgrams AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 6),
+                         i -> array_to_string(toks[i:i+7], ' '))) AS g
+  FROM btoks WHERE len(toks) >= 8
+),
+dgrams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+                        i -> array_to_string(toks[i:i+7], ' '))) AS g
+  FROM t WHERE len(toks) >= 8
+),
+hits AS (
+  SELECT doc_id, count(*) AS nh, count(DISTINCT g) AS nd
+  FROM dgrams JOIN bgrams USING (g) GROUP BY 1
+)
+SELECT t.lang,
+       sum(coalesce(hits.nh, 0))::BIGINT AS sum_hits,
+       sum(coalesce(hits.nd, 0))::BIGINT AS sum_distinct_hits,
+       sum(CASE WHEN coalesce(hits.nd, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_contaminated,
+       count(*) AS n_docs
+FROM t LEFT JOIN hits USING (doc_id)
+GROUP BY t.lang
+ORDER BY t.lang
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + scrubbing (operators/text.py pii_stats): every
+    document gets a deterministic injected email / IPv4 / phone span
+    (constructed from doc_id with the SAME string expression on both
+    sides), then the engine counts and masks them with JVM regexp
+    built-ins. n_residual proves the scrub converged (no pattern
+    matches its own placeholder); the oracle recomputes counts and the
+    residual with RE2 in DuckDB — the patterns are restricted to the
+    Java-regex/RE2 common subset, and that restriction is what this
+    entry locks in."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.operators import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10."),
+                 (F.col("doc_id") % 200).cast("string"),
+                 F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+                 F.lit(" or +1 555 010 "),
+                 (F.lit(1000) + F.col("doc_id") % 9000).cast("string")))
+    r = TX.pii_stats(injected)
+    return (r.groupBy("lang")
+            .agg(F.sum("n_email").cast("bigint").alias("sum_emails"),
+                 F.sum("n_ipv4").cast("bigint").alias("sum_ipv4"),
+                 F.sum("n_phone").cast("bigint").alias("sum_phones"),
+                 F.sum("n_residual").cast("bigint").alias("sum_residual"),
+                 F.sum(F.length("text_scrubbed")).cast("bigint")
+                 .alias("sum_scrubbed_len"),
+                 F.count("*").alias("n_docs"))
+            .orderBy("lang"))
+
+
+SQL_PII_SCRUB = r"""
+WITH inj AS (
+  SELECT lang,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+              || ' or +1 555 010 ' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+           AS text
+  FROM documents
+),
+pat AS (
+  SELECT '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS email,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b' AS ipv4,
+         '\+[0-9][0-9 ()-]{6,18}[0-9]' AS phone
+),
+scrubbed AS (
+  SELECT lang,
+         len(regexp_extract_all(text, email)) AS n_email,
+         len(regexp_extract_all(text, ipv4)) AS n_ipv4,
+         len(regexp_extract_all(text, phone)) AS n_phone,
+         regexp_replace(regexp_replace(regexp_replace(
+             text, email, '<EMAIL>', 'g'),
+             ipv4, '<IPV4>', 'g'),
+             phone, '<PHONE>', 'g') AS ts
+  FROM inj, pat
+)
+SELECT lang,
+       sum(n_email)::BIGINT AS sum_emails,
+       sum(n_ipv4)::BIGINT AS sum_ipv4,
+       sum(n_phone)::BIGINT AS sum_phones,
+       sum(len(regexp_extract_all(ts, email))
+           + len(regexp_extract_all(ts, ipv4))
+           + len(regexp_extract_all(ts, phone)))::BIGINT AS sum_residual,
+       sum(len(ts))::BIGINT AS sum_scrubbed_len,
+       count(*) AS n_docs
+FROM scrubbed, pat
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2898,6 +3045,8 @@ QUERIES = {
     "tiff_ingest": q_tiff_ingest,
     "cog_jpeg": q_cog_jpeg,
     "repetition": q_repetition,
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
     "video_avi": q_video_avi,
 }
 
@@ -2970,5 +3119,7 @@ ORACLES = {
     "tiff_ingest": SQL_TIFF_INGEST,
     "cog_jpeg": SQL_COG_JPEG,
     "repetition": SQL_REPETITION,
+    "decontaminate": SQL_DECONTAMINATE,
+    "pii_scrub": SQL_PII_SCRUB,
     "video_avi": SQL_VIDEO_AVI,
 }

@@ -9,6 +9,11 @@ All JVM-side built-ins except language-ID's score matrix (Arrow batch).
   * with_fingerprint     — 64-bit rolling-hash document fingerprint
   * token_count_bpe_ish  — GPT-2-style regex pretokenizer count (the
     standard `'s|'t|...|\\s+` pattern) as a proxy for BPE token counts
+  * repetition_stats     — Gopher-style n-gram repetition fractions
+  * decontaminate        — GPT-3-style benchmark n-gram decontamination
+    (broadcast benchmark gram set, map-side join)
+  * pii_stats            — email/IPv4/phone detection + placeholder
+    scrubbing (Java-regex/RE2 common-subset patterns)
 """
 
 from __future__ import annotations
@@ -153,4 +158,102 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     out = (docs.join(g2, id_col, "left").join(g3, id_col, "left"))
     for c in ("top2gram_frac", "dup2gram_frac", "top3gram_frac"):
         out = out.withColumn(c, F.round(F.coalesce(F.col(c), F.lit(0.0)), 6))
+    return out
+
+
+def _norm_tokens(col) -> "F.Column":
+    """ASCII-alnum normalization shared by decontamination: lowercase,
+    split on runs of anything outside [a-z0-9], drop empties. The class
+    is ASCII-only on purpose — DuckDB's string_split_regex applies the
+    identical class, so the oracle tokenizes byte-for-byte the same."""
+    toks = F.split(F.lower(col), "[^a-z0-9]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
+                  n: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination via n-gram overlap (the GPT-3 appendix-C
+    / PaLM procedure): a training document is contaminated when any
+    normalized token n-gram also occurs in the evaluation/benchmark
+    corpus. Returns docs + `n_gram_hits` (doc n-gram instances that hit
+    the benchmark set), `n_distinct_hits`, and `contaminated`.
+
+    Scale shape: the benchmark gram set is DISTINCT'd and broadcast —
+    eval suites are MBs against a 100-TB corpus, so the expensive side
+    is a map-side hash join on the exploded doc grams (no shuffle),
+    followed by one keyed aggregation. Grams are compared as xxhash64
+    of the joined token string: the broadcast set carries 8 bytes per
+    gram instead of the text.
+    """
+
+    def grams(df, col):
+        d = df.withColumn("__toks", _norm_tokens(F.col(col)))
+        sz = F.size("__toks")
+        g = F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(0), sz - n),
+                lambda i: F.xxhash64(F.concat_ws(
+                    " ", *[F.element_at("__toks", i + k + 1)
+                           for k in range(n)])))
+        ).otherwise(F.array().cast("array<bigint>"))
+        return d.select(F.explode(g).alias("__gh"), *(
+            [F.col(id_col)] if df is docs else []))
+
+    bench_grams = grams(benchmark, bench_text_col).distinct()
+    doc_grams = grams(docs, text_col)
+    hits = (doc_grams
+            .join(F.broadcast(bench_grams), "__gh")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_gram_hits"),
+                 F.countDistinct("__gh").alias("n_distinct_hits")))
+    out = docs.join(hits, id_col, "left")
+    return (out
+            .withColumn("n_gram_hits",
+                        F.coalesce("n_gram_hits", F.lit(0)).cast("bigint"))
+            .withColumn("n_distinct_hits",
+                        F.coalesce("n_distinct_hits",
+                                   F.lit(0)).cast("bigint"))
+            .withColumn("contaminated", F.col("n_distinct_hits") > 0))
+
+
+PII_PATTERNS = {
+    # Patterns are deliberately restricted to constructs whose match
+    # semantics are identical between Java regex (Spark) and RE2
+    # (DuckDB): character classes, bounded repetition, \b on ASCII —
+    # no alternation ambiguity, no backreferences, no lookaround.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9 ()-]{6,18}[0-9]",
+}
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text",
+              scrub: bool = True) -> DataFrame:
+    """PII detection + scrubbing for training corpora: counts emails,
+    IPv4 addresses, and international-format phone numbers per document
+    and (with scrub=True) adds `text_scrubbed` with each span replaced
+    by a typed placeholder. Order matters: emails are scrubbed before
+    IPv4/phones so a user@host digit run can't double-count; the
+    placeholders contain no digits or '@', so later passes never match
+    inside earlier replacements. All JVM built-ins (regexp_count /
+    regexp_replace) — whole-stage codegen, no Python."""
+    out = docs
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint"))
+    if scrub:
+        scrubbed = F.col(text_col)
+        for name, pat in PII_PATTERNS.items():
+            scrubbed = F.regexp_replace(scrubbed, pat,
+                                        f"<{name.upper()}>")
+        out = out.withColumn("text_scrubbed", scrubbed)
+        residual = F.lit(0).cast("bigint")
+        for name, pat in PII_PATTERNS.items():
+            residual = residual + F.regexp_count(F.col("text_scrubbed"),
+                                                 F.lit(pat))
+        out = out.withColumn("n_residual", residual.cast("bigint"))
     return out

@@ -555,3 +555,58 @@ def test_repetition_stats_hand_derived(spark):
     assert out[2] == (round(1 / 3, 6), 0.0, 0.5)
     assert out[3] == (0.0, 0.0, 0.0)
     assert out[4] == (1.0, 1.0, 1.0)
+
+
+def test_decontaminate_planted(spark):
+    """GPT-3-style n-gram decontamination: a doc sharing an 8-gram with
+    the benchmark is flagged with exact hit counts; near-misses (7
+    shared tokens) and disjoint docs are not. The benchmark gram set
+    must be broadcast (map-side join — eval suites are MBs against a
+    100-TB corpus)."""
+    from godal_spark.operators import text as TX
+
+    bench = spark.createDataFrame(
+        [("The quick brown fox jumps over the lazy dog",)], "text string")
+    docs = spark.createDataFrame([
+        # contains both benchmark 8-grams (9 bench tokens -> 2 grams)
+        (1, "intro; the QUICK brown fox jumps over the lazy dog outro"),
+        # only 7 consecutive shared tokens -> no 8-gram hit
+        (2, "quick brown fox jumps over the lazy cat"),
+        (3, "entirely different content with nothing shared at all ok"),
+        # the same 8-gram TWICE -> 3 instance hits, 2 distinct
+        (4, "the quick brown fox jumps over the lazy dog and again "
+            "the quick brown fox jumps over the lazy dog"),
+    ], "doc_id long, text string")
+    r = TX.decontaminate(docs, bench, n=8)
+    got = {x.doc_id: (x.n_gram_hits, x.n_distinct_hits, x.contaminated)
+           for x in r.collect()}
+    assert got[1] == (2, 2, True)
+    assert got[2] == (0, 0, False)
+    assert got[3] == (0, 0, False)
+    assert got[4] == (4, 2, True)
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_pii_stats_pinned(spark):
+    """PII scrub against pinned spans: counts, placeholder masking,
+    zero residual matches, and non-PII text untouched. Patterns are
+    the Java-regex/RE2 common subset (the DuckDB oracle depends on
+    that)."""
+    from godal_spark.operators import text as TX
+
+    docs = spark.createDataFrame([
+        (1, "write a.b+c_d%e@sub.domain.org or 192.168.001.12, "
+            "tel +33 (0)1-23-45-67-89 done"),
+        (2, "no pii 1.2.3 here (three octets only) v1.2.3.4.5 ok"),
+        (3, "double x@y.io y@z.ai 8.8.8.8 9.9.9.9 +12025550123 +44 20 7946 0958"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.pii_stats(docs).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    assert out[1].text_scrubbed == \
+        "write <EMAIL> or <IPV4>, tel <PHONE> done"
+    # 1.2.3 has three octets; 1.2.3.4.5 still matches a 4-octet prefix
+    # (GDAL-style \b boundaries don't see the fifth octet's dot)
+    assert (out[2].n_email, out[2].n_phone) == (0, 0)
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (2, 2, 2)
+    assert sum(r.n_residual for r in out.values()) == 0
