@@ -55,6 +55,22 @@ def _loadavg() -> float:
 AMBIENT_LOAD = _loadavg()
 
 
+def _fault_probe_ms() -> float:
+    """Cold-page-fault speed: wall ms to first-touch one fresh 80 MB
+    numpy allocation. Healthy hosts score ~10-40 ms; a hypervisor
+    ballooning/host-swap episode scores SECONDS while loadavg stays
+    near zero — loadavg alone cannot adjudicate that failure mode, so
+    the artifact records both (observed on this shared host: 6200 ms
+    at loadavg 1.1)."""
+    import numpy as _np
+    t0 = time.perf_counter()
+    _np.arange(10_000_000, dtype=_np.int64)
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
+AMBIENT_FAULT_MS = _fault_probe_ms()
+
+
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -271,6 +287,8 @@ def run_suite() -> dict:
         # self-adjudication record: per-query trial walls + host load;
         # ambient_load is pre-Spark (per-query loads include our own)
         "ambient_load": AMBIENT_LOAD,
+        "ambient_fault_ms": AMBIENT_FAULT_MS,
+        "fault_ms_after": _fault_probe_ms(),
         "query_trials": trials_rec,
         # committed N->4N scaling evidence (reproduce with
         # bench.py --scaling / --scaling-sieve / --scaling-warp)
