@@ -292,6 +292,25 @@ def _enc_arrays(enc: dict, n: int) -> tuple[np.ndarray, np.ndarray]:
     return codes, lens
 
 
+def _pack_fields(codes: np.ndarray, lens: np.ndarray) -> bytes:
+    """Shared scan-byte packer: variable-width MSB-first fields (already
+    in stream order) -> bit array (1-padded to the byte boundary, the
+    scalar flush) -> bytes with 0xFF00 stuffing as one np.insert."""
+    offsets = np.cumsum(lens) - lens
+    total = int(offsets[-1] + lens[-1]) if lens.size else 0
+    rep = np.repeat(np.arange(lens.size), lens)
+    j = np.arange(total, dtype=np.int64) - offsets[rep]
+    bits = ((codes[rep] >> (lens[rep] - 1 - j)) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.uint8)])  # flush 1s
+    body = np.packbits(bits)
+    stuff = np.nonzero(body == 0xFF)[0]
+    if stuff.size:
+        body = np.insert(body, stuff + 1, 0)
+    return body.tobytes()
+
+
 def _encode_scan_vec(planes, samp, nbx, mcux, mcuy,
                      dc_enc: dict, ac_enc: dict, ri: int = 0) -> bytes:
     """Vectorized baseline/extended-sequential scan entropy coder,
@@ -402,20 +421,7 @@ def _encode_scan_vec(planes, samp, nbx, mcux, mcuy,
     codes, lens, slots = codes[o], lens[o], slots[o]
 
     if not ri:
-        # pack: variable-width MSB-first fields -> bit array -> bytes
-        offsets = np.cumsum(lens) - lens
-        total = int(offsets[-1] + lens[-1]) if lens.size else 0
-        rep = np.repeat(np.arange(lens.size), lens)
-        j = np.arange(total, dtype=np.int64) - offsets[rep]
-        bits = ((codes[rep] >> (lens[rep] - 1 - j)) & 1).astype(np.uint8)
-        pad = (-total) % 8
-        if pad:
-            bits = np.concatenate([bits, np.ones(pad, np.uint8)])  # flush 1s
-        body = np.packbits(bits)
-        stuff = np.nonzero(body == 0xFF)[0]
-        if stuff.size:
-            body = np.insert(body, stuff + 1, 0)
-        return body.tobytes()
+        return _pack_fields(codes, lens)
 
     # Restart path: same flat field table, but every ri-MCU segment is
     # bit-packed against its own byte-aligned base (pad bits are 1s,
@@ -626,12 +632,11 @@ def _sos_header(scomps: list[tuple[int, int, int]], ss: int, se: int,
     return p + bytes([ss, se, (ah << 4) | al])
 
 
-def _emit_progressive_scans(out: bytearray, planes, samp, nbx,
-                            mcux, mcuy, h, w, hmax, vmax) -> None:
-    """Default progressive scan script (T.81 Annex G encoder): DC first
-    (interleaved, Al=1) → per-component AC bands 1-5 and 6-63 at Al=1 →
-    DC refinement (Ah=1, Al=0) → per-component AC refinements. Coded
-    coefficients are exactly the baseline-quantized planes."""
+def _emit_progressive_scans_scalar(out: bytearray, planes, samp, nbx,
+                                   mcux, mcuy, h, w, hmax, vmax) -> None:
+    """Reference per-block progressive emitter (the pre-vectorization
+    walk) — retained ONLY as the differential-test oracle for
+    _emit_progressive_scans; no production path calls it."""
     ncomp = len(planes)
 
     def comp_blocks(ci):
@@ -743,6 +748,10 @@ def _enc_ac_first(bw: _BitWriter, plane, idxs, ss: int, se: int, al: int,
             run = 0
         if last < se - ss:
             eobrun += 1
+            if eobrun == 0x7FFF:  # cap check was missing on this path:
+                flush_eob()       # a 32768th increment would overflow
+                                  # the 14-bit EOBRUN alphabet (r=15
+                                  # collides with ZRL) — invalid stream
     flush_eob()
 
 
@@ -811,6 +820,389 @@ def _enc_ac_refine(bw: _BitWriter, plane, idxs, ss: int, se: int, al: int,
             if eobrun == 0x7FFF:
                 flush_eob()
     flush_eob()
+
+
+def _interleave_slots(planes, samp, nbx, mcux, mcuy):
+    """Per component: (dc values in MCU order, interleaved slot keys)."""
+    ncomp = len(planes)
+    bper = [samp[ci][0] * samp[ci][1] for ci in range(ncomp)]
+    B = sum(bper)
+    offs = np.cumsum([0] + bper)
+    mygrid = np.repeat(np.arange(mcuy, dtype=np.int64), mcux)
+    mxgrid = np.tile(np.arange(mcux, dtype=np.int64), mcuy)
+    out = []
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        rows = mygrid[:, None] * vi + np.repeat(np.arange(vi), hi)[None, :]
+        cols = mxgrid[:, None] * hi + np.tile(np.arange(hi), vi)[None, :]
+        order = (rows * nbx[ci] + cols).ravel()
+        dc = np.asarray(planes[ci], dtype=np.int64)[order, 0]
+        nblk = dc.shape[0]
+        slot = (np.arange(nblk) // bper[ci]) * B + offs[ci] \
+            + np.arange(nblk) % bper[ci]
+        out.append((dc, slot))
+    return out
+
+
+def _enc_dc_first_vec(planes, samp, nbx, mcux, mcuy, dc_enc) -> bytes:
+    """Vectorized progressive DC-first scan (interleaved, point
+    transform Al applied by the caller as dc >> Al arithmetic shift):
+    per-component differential chains in MCU order, lexsorted into the
+    interleaved slot order."""
+    dc_codes, dc_lens = _enc_arrays(dc_enc, 16)
+    f_code, f_len, f_slot, f_sub = [], [], [], []
+    for dc, slot in _interleave_slots(planes, samp, nbx, mcux, mcuy):
+        val = dc >> 1  # Al=1 point transform (arithmetic, like Python)
+        diff = np.empty_like(val)
+        diff[0] = val[0]
+        diff[1:] = val[1:] - val[:-1]
+        size = np.searchsorted(_POW2, np.abs(diff), side="right")
+        amp = np.where(diff < 0, diff + (1 << size) - 1, diff)
+        n = val.shape[0]
+        f_code += [dc_codes[size], amp]
+        f_len += [dc_lens[size], size]
+        f_slot += [slot, slot]
+        f_sub += [np.zeros(n, np.int64), np.ones(n, np.int64)]
+    codes = np.concatenate(f_code)
+    lens = np.concatenate(f_len)
+    o = np.lexsort((np.concatenate(f_sub), np.concatenate(f_slot)))
+    return _pack_fields(codes[o], lens[o])
+
+
+def _enc_dc_refine_vec(planes, samp, nbx, mcux, mcuy) -> bytes:
+    """Vectorized progressive DC refinement: one raw LSB per block in
+    interleaved MCU order (no entropy coding at Ah=1/Al=0)."""
+    f_bit, f_slot = [], []
+    for dc, slot in _interleave_slots(planes, samp, nbx, mcux, mcuy):
+        f_bit.append(dc & 1)
+        f_slot.append(slot)
+    bits = np.concatenate(f_bit)
+    o = np.argsort(np.concatenate(f_slot), kind="stable")
+    return _pack_fields(bits[o], np.ones(bits.size, np.int64))
+
+
+def _eobrun_fields(contrib, event_blocks, nb):
+    """Shared EOBRUN bookkeeping for the progressive AC scans: given a
+    0/1 per-block end-contribution array and the sorted unique blocks
+    that carry emissions (flush points), return the EOBRUN field rows
+    (value, block, kind) where kind 0 = boundary flush (sorts before
+    that block's fields) and kind 1 = 0x7FFF cap flush (fires at the
+    contributing block's END). Returns (values, blocks, kinds)."""
+    P = np.cumsum(contrib)                       # through block i
+    Pm1 = np.concatenate([[0], P])               # through block i-1
+    bnd = np.concatenate([event_blocks, [nb]])   # flush boundaries
+    Cb = Pm1[bnd]
+    Cprev = np.concatenate([[0], Cb[:-1]])
+    R = Cb - Cprev
+    q = R // 0x7FFF
+    rem = R % 0x7FFF
+    vals, blks, kinds = [], [], []
+    ncaps = int(q.sum())
+    if ncaps:                                    # exotic: ≥32767-block gaps
+        rep = np.repeat(np.arange(q.size), q)
+        base = np.cumsum(q) - q
+        k = np.arange(ncaps, dtype=np.int64) - base[rep] + 1
+        targets = Cprev[rep] + k * 0x7FFF
+        capblk = np.searchsorted(P, targets, side="left")
+        vals.append(np.full(ncaps, 0x7FFF, np.int64))
+        blks.append(capblk.astype(np.int64))
+        kinds.append(np.ones(ncaps, np.int64))
+    m = rem > 0
+    if m.any():
+        vals.append(rem[m])
+        blks.append(bnd[m].astype(np.int64))
+        kinds.append(np.zeros(int(m.sum()), np.int64))
+    if not vals:
+        return (np.zeros(0, np.int64),) * 3
+    return (np.concatenate(vals), np.concatenate(blks),
+            np.concatenate(kinds))
+
+
+def _enc_ac_first_vec(plane, idxs, ss, se, al, ac_enc) -> bytes:
+    """Vectorized progressive AC-first scan (T.81 G.1.2.2),
+    byte-identical to _enc_ac_first: baseline-style run/ZRL/amp field
+    table per nonzero coefficient of the point-transformed band, plus
+    EOBRUN flush fields placed before each emitting block (boundary)
+    or at the capping block's end (0x7FFF)."""
+    A = np.asarray(plane, dtype=np.int64)[np.asarray(idxs, np.int64)]
+    A = A[:, ss:se + 1]
+    shifted = np.sign(A) * (np.abs(A) >> al)
+    nb, W = shifted.shape
+    ac_codes, ac_lens = _enc_arrays(ac_enc, 256)
+
+    f_code, f_len, f_blk, f_pos, f_sub = [], [], [], [], []
+
+    def emit(code, ln, blk, pos, sub):
+        f_code.append(np.asarray(code, np.int64))
+        f_len.append(np.asarray(ln, np.int64))
+        f_blk.append(np.asarray(blk, np.int64))
+        f_pos.append(np.asarray(pos, np.int64))
+        f_sub.append(np.asarray(sub, np.int64))
+
+    bid, pos = np.nonzero(shifted != 0)
+    if bid.size:
+        firstnz = np.ones(bid.size, dtype=bool)
+        firstnz[1:] = bid[1:] != bid[:-1]
+        prevpos = np.empty_like(pos)
+        prevpos[1:] = pos[:-1]
+        prevpos[firstnz] = -1
+        run = pos - prevpos - 1
+        nzrl = run >> 4
+        vals = shifted[bid, pos]
+        vsize = np.searchsorted(_POW2, np.abs(vals), side="right")
+        vamp = np.where(vals < 0, vals + (1 << vsize) - 1, vals)
+        sym = ((run & 15) << 4) | vsize
+        tot = int(nzrl.sum())
+        if tot:
+            rep = np.repeat(np.arange(nzrl.size), nzrl)
+            base = np.cumsum(nzrl) - nzrl
+            k = np.arange(tot, dtype=np.int64) - base[rep]
+            emit(np.full(tot, ac_codes[0xF0]), np.full(tot, ac_lens[0xF0]),
+                 bid[rep], pos[rep], k)
+        emit(ac_codes[sym], ac_lens[sym], bid, pos,
+             np.full(bid.size, 16, np.int64))
+        emit(vamp, vsize, bid, pos, np.full(bid.size, 17, np.int64))
+
+    has = np.zeros(nb, dtype=bool)
+    lastnz = np.full(nb, -1, np.int64)
+    if bid.size:
+        has[bid] = True
+        lastnz[bid] = pos          # ascending per block: last write wins
+    contrib = (~has | (lastnz < W - 1)).astype(np.int64)
+    ev, eb, ek = _eobrun_fields(contrib, np.nonzero(has)[0], nb)
+    if ev.size:
+        r = np.searchsorted(_POW2, ev, side="right") - 1
+        # boundary flushes sort before the block's fields (pos -1);
+        # cap flushes fire after the block's trailing contribution
+        fpos = np.where(ek == 1, W + 2, -1)
+        emit(ac_codes[r << 4], ac_lens[r << 4], eb, fpos,
+             np.zeros(ev.size, np.int64))
+        emit(ev - (1 << r), r, eb, fpos, np.ones(ev.size, np.int64))
+
+    if not f_code:
+        return b""
+    codes = np.concatenate(f_code)
+    lens = np.concatenate(f_len)
+    o = np.lexsort((np.concatenate(f_sub), np.concatenate(f_pos),
+                    np.concatenate(f_blk)))
+    return _pack_fields(codes[o], lens[o])
+
+
+def _enc_ac_refine_vec(plane, idxs, ss, se, al, ac_enc) -> bytes:
+    """Vectorized progressive AC refinement (T.81 G.1.2.3),
+    byte-identical to _enc_ac_refine. The stream interleaves three
+    field kinds whose ORDER is data-dependent but statically known at
+    encode time (unlike decode, there is no feedback loop):
+
+      * events — newly-nonzero (|v|>>Al == 1) codes (run<<4|1)+sign and
+        ZRL codes where a ≥16-zero run is pending at a nonzero coeff
+        with index ≤ the block's last newly-nonzero;
+      * attached correction bits — already-nonzero coeffs buffer their
+        LSB, flushed after the NEXT event in the same block;
+      * EOBRUN flushes with pending correction bits from block tails.
+
+    Events get per-block ordinals; every field sorts on
+    (block, 2*event_ordinal ± phase, sub) where boundary flushes take
+    2*first_event-1 and block-end cap flushes take 2*n_events."""
+    A = np.asarray(plane, dtype=np.int64)[np.asarray(idxs, np.int64)]
+    A = A[:, ss:se + 1]
+    t = np.abs(A) >> al
+    nb, W = t.shape
+    ac_codes, ac_lens = _enc_arrays(ac_enc, 256)
+    newly = t == 1
+    corr = t > 1
+
+    arW = np.arange(W, dtype=np.int64)
+    idxn = np.where(newly, arW[None, :], -1)
+    eob = idxn.max(axis=1) if W else np.full(nb, -1, np.int64)  # -1 if none
+    # zeros before position i, per block (zb[:, i] = zeros at < i)
+    zb = np.zeros((nb, W + 1), np.int64)
+    zb[:, 1:] = np.cumsum(t == 0, axis=1)
+    # last newly strictly before i
+    pn = np.maximum.accumulate(idxn, axis=1)
+    pnb = np.full((nb, W), -1, np.int64)
+    pnb[:, 1:] = pn[:, :-1]
+    # zeros inside the current newly-segment, before i
+    zseg = zb[:, :W] - np.take_along_axis(zb, pnb + 1, axis=1)
+
+    # --- events -----------------------------------------------------
+    # ZRL events: at nonzero coeffs with pos <= eob, the cumulative
+    # in-segment ZRL count is floor(zseg/16); new events at a coeff =
+    # its cumulative minus the previous nonzero coeff's (same segment).
+    cb, cp = np.nonzero(newly | corr)
+    ev_blk, ev_key, ev_isn, ev_run, ev_sign = (np.zeros(0, np.int64),) * 5
+    if cb.size:
+        gate = cp <= eob[cb]
+        zrlc = np.where(gate, zseg[cb, cp] >> 4, 0)
+        seg = pnb[cb, cp]
+        gfirst = np.ones(cb.size, dtype=bool)
+        gfirst[1:] = (cb[1:] != cb[:-1]) | (seg[1:] != seg[:-1])
+        prev = np.empty_like(zrlc)
+        prev[1:] = zrlc[:-1]
+        prev[gfirst] = 0
+        nzr = zrlc - prev
+        ztot = int(nzr.sum())
+        parts_blk, parts_key, parts_isn = [], [], []
+        parts_run, parts_sign = [], []
+        if ztot:
+            rep = np.repeat(np.arange(nzr.size), nzr)
+            base = np.cumsum(nzr) - nzr
+            k = np.arange(ztot, dtype=np.int64) - base[rep]
+            parts_blk.append(cb[rep])
+            parts_key.append(cp[rep] * 8 + k)      # k <= 3 for W <= 63
+            parts_isn.append(np.zeros(ztot, np.int64))
+            parts_run.append(np.zeros(ztot, np.int64))
+            parts_sign.append(np.zeros(ztot, np.int64))
+        nsel = newly[cb, cp]
+        nblk2, npos2 = cb[nsel], cp[nsel]
+        parts_blk.append(nblk2)
+        parts_key.append(npos2 * 8 + 7)
+        parts_isn.append(np.ones(nblk2.size, np.int64))
+        parts_run.append(zseg[nblk2, npos2] & 15)
+        parts_sign.append((A[nblk2, npos2] > 0).astype(np.int64))
+        ev_blk = np.concatenate(parts_blk)
+        ev_key = np.concatenate(parts_key)
+        ev_isn = np.concatenate(parts_isn)
+        ev_run = np.concatenate(parts_run)
+        ev_sign = np.concatenate(parts_sign)
+        o = np.lexsort((ev_key, ev_blk))
+        ev_blk, ev_key, ev_isn = ev_blk[o], ev_key[o], ev_isn[o]
+        ev_run, ev_sign = ev_run[o], ev_sign[o]
+    nev = ev_blk.size
+    # per-block event ordinals + per-block counts/offsets
+    ev_count = np.bincount(ev_blk, minlength=nb + 1) if nev else \
+        np.zeros(nb + 1, np.int64)
+    ev_off = np.concatenate([[0], np.cumsum(ev_count)])
+    ev_ord = np.arange(nev, dtype=np.int64) - ev_off[ev_blk]
+
+    f_code, f_len, f_blk, f_eord, f_sub = [], [], [], [], []
+
+    def emit(code, ln, blk, eord, sub):
+        f_code.append(np.asarray(code, np.int64))
+        f_len.append(np.asarray(ln, np.int64))
+        f_blk.append(np.asarray(blk, np.int64))
+        f_eord.append(np.asarray(eord, np.int64))
+        f_sub.append(np.asarray(sub, np.int64))
+
+    if nev:
+        code = np.where(ev_isn == 1,
+                        ac_codes[(ev_run << 4) | 1], ac_codes[0xF0])
+        ln = np.where(ev_isn == 1,
+                      ac_lens[(ev_run << 4) | 1], ac_lens[0xF0])
+        emit(code, ln, ev_blk, 2 * ev_ord, np.zeros(nev, np.int64))
+        m = ev_isn == 1
+        if m.any():
+            emit(ev_sign[m], np.ones(int(m.sum()), np.int64),
+                 ev_blk[m], 2 * ev_ord[m], np.ones(int(m.sum()), np.int64))
+
+    # --- attached correction bits ------------------------------------
+    qb, qp = np.nonzero(corr)
+    if qb.size:
+        bits = t[qb, qp] & 1
+        # first event in the block with pos > q  <=>  ev_key >= (q+1)*8
+        srt_key = ev_blk * (W + 2) * 8 + ev_key if nev else \
+            np.zeros(0, np.int64)
+        want = qb * (W + 2) * 8 + (qp + 1) * 8
+        at = np.searchsorted(srt_key, want, side="left")
+        attached = (at < nev) & (ev_blk[np.minimum(at, max(nev - 1, 0))]
+                                 == qb) if nev else np.zeros(qb.size, bool)
+        aidx = at[attached]
+        # sub ordinal within the attachment group, in position order
+        # (qb, qp) are lexicographically sorted already; group by aidx
+        if aidx.size:
+            gfirst = np.ones(aidx.size, dtype=bool)
+            gfirst[1:] = aidx[1:] != aidx[:-1]
+            gstart = np.maximum.accumulate(
+                np.where(gfirst, np.arange(aidx.size, dtype=np.int64), 0))
+            ordinal = np.arange(aidx.size, dtype=np.int64) - gstart
+            emit(bits[attached], np.ones(aidx.size, np.int64),
+                 ev_blk[aidx], 2 * ev_ord[aidx], 2 + ordinal)
+        pend_mask = ~attached
+    else:
+        pend_mask = np.zeros(0, dtype=bool)
+
+    # --- EOBRUN flushes + pending bits --------------------------------
+    contrib = (eob < W - 1).astype(np.int64)
+    ev_blocks = np.nonzero(ev_count[:nb] > 0)[0]
+    fv, fb, fk = _eobrun_fields(contrib, ev_blocks, nb)
+    if fv.size:
+        # flush ordering keys in emission (block) order: boundary at
+        # block b covers tail bits of blocks < b; a cap at block x
+        # covers blocks <= x. Encode as half-open block coordinates.
+        fcoord = np.where(fk == 1, fb * 2 + 1, fb * 2 - 1)
+        fo = np.argsort(fcoord, kind="stable")
+        fv, fb, fk, fcoord = fv[fo], fb[fo], fk[fo], fcoord[fo]
+        feord = np.where(fk == 1, 2 * ev_count[np.minimum(fb, nb - 1)],
+                         2 * np.zeros(fv.size, np.int64) - 1)
+        # boundary flush sorts before the block's first event: ordinal
+        # -1 works because event ordinals start at 0; the final flush
+        # (block == nb) also uses -1 on an empty block
+        r = np.searchsorted(_POW2, fv, side="right") - 1
+        emit(ac_codes[r << 4], ac_lens[r << 4], fb, feord,
+             np.zeros(fv.size, np.int64))
+        emit(fv - (1 << r), r, fb, feord, np.ones(fv.size, np.int64))
+        # pending bits: tail correction bits (pos > eob) flushed by the
+        # first flush whose coverage includes their block
+        if qb.size and pend_mask.any():
+            pb, pp = qb[pend_mask], qp[pend_mask]
+            pbits = t[pb, pp] & 1
+            fl = np.searchsorted(fcoord, pb * 2, side="left")
+            # every pending bit MUST find a flush (the scan-end flush
+            # covers everything): fl < fv.size by construction
+            gfirst = np.ones(fl.size, dtype=bool)
+            gfirst[1:] = fl[1:] != fl[:-1]
+            gstart = np.maximum.accumulate(
+                np.where(gfirst, np.arange(fl.size, dtype=np.int64), 0))
+            ordinal = np.arange(fl.size, dtype=np.int64) - gstart
+            emit(pbits, np.ones(fl.size, np.int64), fb[fl], feord[fl],
+                 2 + ordinal)
+
+    if not f_code:
+        return b""
+    codes = np.concatenate(f_code)
+    lens = np.concatenate(f_len)
+    o = np.lexsort((np.concatenate(f_sub), np.concatenate(f_eord),
+                    np.concatenate(f_blk)))
+    return _pack_fields(codes[o], lens[o])
+
+
+def _emit_progressive_scans(out: bytearray, planes, samp, nbx,
+                            mcux, mcuy, h, w, hmax, vmax) -> None:
+    """Default progressive scan script (T.81 Annex G encoder): DC first
+    (interleaved, Al=1) → per-component AC bands 1-5 and 6-63 at Al=1 →
+    DC refinement (Ah=1, Al=0) → per-component AC refinements. Coded
+    coefficients are exactly the baseline-quantized planes. All four
+    scan kinds are vectorized (byte-identical to the scalar walk in
+    _emit_progressive_scans_scalar, the differential-test oracle)."""
+    ncomp = len(planes)
+
+    def comp_blocks(ci):
+        hi, vi = samp[ci]
+        cbx = ((w * hi + hmax - 1) // hmax + 7) // 8
+        cby = ((h * vi + vmax - 1) // vmax + 7) // 8
+        return [by * nbx[ci] + bx for by in range(cby) for bx in range(cbx)]
+
+    out += _seg(0xDA, _sos_header(
+        [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)], 0, 0, 0, 1))
+    out += _enc_dc_first_vec(planes, samp, nbx, mcux, mcuy, _DC_ENC)
+
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += _seg(0xDA, _sos_header(
+                [(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, 0, 1))
+            out += _enc_ac_first_vec(planes[ci], comp_blocks(ci),
+                                     ss, se, 1, _AC_ENC)
+
+    out += _seg(0xDA, _sos_header(
+        [(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 1, 0))
+    out += _enc_dc_refine_vec(planes, samp, nbx, mcux, mcuy)
+
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += _seg(0xDA, _sos_header(
+                [(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, 1, 0))
+            out += _enc_ac_refine_vec(planes[ci], comp_blocks(ci),
+                                      ss, se, 0, _AC_ENC)
 
 
 # ---------------------------------------------------------------------------

@@ -1592,3 +1592,52 @@ def test_jpeg_decode_window_chunk_rebase(monkeypatch):
     out = J.decode_jpeg_real(buf)
     assert out.dtype == ref.dtype and out.shape == ref.shape
     assert np.array_equal(out, ref)
+
+
+def test_jpeg_progressive_vectorized_matches_scalar():
+    """The vectorized progressive emitters (DC first/refine, AC
+    first/refine with EOBRUN + buffered correction bits) must produce
+    byte-identical streams to the per-block walk retained as
+    _emit_progressive_scans_scalar — including the >32767-block EOBRUN
+    cap (both the empty-block and the trailing-zero increment paths)
+    and single-channel / chroma-subsampled layouts."""
+    import godal_spark.functions.jpeg as J
+
+    def prog(arr, q, sub, scalar):
+        orig = J._emit_progressive_scans
+        if scalar:
+            J._emit_progressive_scans = J._emit_progressive_scans_scalar
+        try:
+            return J.encode_jpeg(arr, quality=q, subsampling=sub,
+                                 progressive=True)
+        finally:
+            J._emit_progressive_scans = orig
+
+    rng = np.random.default_rng(31)
+    yy, xx = np.mgrid[0:72, 0:56]
+    grad = ((yy * 2 + xx) % 251).astype(np.uint8)
+    cases = [
+        (rng.integers(0, 256, (48, 40, 3), np.uint8).astype(np.uint8),
+         85, "420"),
+        (rng.integers(0, 256, (41, 33), np.uint8).astype(np.uint8),
+         50, "444"),
+        (np.stack([grad, 255 - grad, grad // 3], -1), 92, "422"),
+        (np.zeros((32, 24, 3), np.uint8), 90, "440"),
+        (np.full((24, 24), 130, np.uint8), 10, "444"),
+    ]
+    for i, (arr, q, sub) in enumerate(cases):
+        a = prog(arr, q, sub, True)
+        b = prog(arr, q, sub, False)
+        assert a == b, (i, arr.shape, q, sub, len(a), len(b))
+        dec = J.decode_jpeg_real(b)
+        assert dec.shape[:2] == arr.shape[:2]
+
+    # EOBRUN cap paths: 41,625 AC-empty blocks (caps on the empty-block
+    # increment) and a content block after a >32767-block gap (cap +
+    # boundary flush in one scan)
+    big = np.full((1480, 1800), 77, np.uint8)
+    assert prog(big, 90, "444", True) == prog(big, 90, "444", False)
+    big2 = np.full((1480, 1800), 140, np.uint8)
+    big2[-8:, -8:] = (np.arange(64, dtype=np.uint8) * 4).reshape(8, 8)
+    a2 = prog(big2, 90, "444", True)
+    assert a2 == prog(big2, 90, "444", False)
