@@ -2967,6 +2967,326 @@ ORDER BY lang
 """
 
 
+def q_buildvrt(spark, sf_dir):
+    """BuildVRT (dataset.build_vrt, reference godal.go:3962-3995): a
+    virtual mosaic = union of tile sets where LATER sources win on
+    (band, level, block) collisions via a row_number window — no data
+    copy. Two overlapping deterministic tile sets are derived from
+    orders (base) and lineitem (partial overlay); the oracle recomputes
+    the priority rule as a FULL OUTER JOIN + COALESCE in DuckDB."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src0 = (o.selectExpr("o_orderkey % 23 AS block_x",
+                         "cast((o_orderkey / 23) as bigint) % 17 AS block_y",
+                         "1 AS band", "0 AS level", "o_totalprice AS v")
+            .groupBy("block_x", "block_y", "band", "level")
+            .agg(F.max("v").alias("px")))
+    src1 = (li.filter("l_suppkey % 3 = 0")
+            .selectExpr("l_orderkey % 23 AS block_x",
+                        "l_partkey % 17 AS block_y",
+                        "1 AS band", "0 AS level", "l_extendedprice AS v")
+            .groupBy("block_x", "block_y", "band", "level")
+            .agg(F.max("v").alias("px")))
+    from godal_spark import dataset as DS
+
+    v = DS.build_vrt([src0, src1])
+    return v.agg(F.count("*").cast("bigint").alias("n_blocks"),
+                 F.round(F.sum("px"), 2).alias("sum_px"),
+                 F.sum(F.col("block_x") * 31 + F.col("block_y"))
+                 .cast("bigint").alias("key_checksum"))
+
+
+SQL_BUILDVRT = """
+WITH src0 AS (
+  SELECT o_orderkey % 23 AS block_x,
+         CAST(o_orderkey / 23 AS BIGINT) % 17 AS block_y,
+         max(o_totalprice) AS px
+  FROM orders GROUP BY 1, 2
+),
+src1 AS (
+  SELECT l_orderkey % 23 AS block_x, l_partkey % 17 AS block_y,
+         max(l_extendedprice) AS px
+  FROM lineitem WHERE l_suppkey % 3 = 0 GROUP BY 1, 2
+),
+vrt AS (
+  SELECT coalesce(src1.block_x, src0.block_x) AS block_x,
+         coalesce(src1.block_y, src0.block_y) AS block_y,
+         coalesce(src1.px, src0.px) AS px
+  FROM src0 FULL OUTER JOIN src1 USING (block_x, block_y)
+)
+SELECT count(*)::BIGINT AS n_blocks, round(sum(px), 2) AS sum_px,
+       sum(block_x * 31 + block_y)::BIGINT AS key_checksum
+FROM vrt
+"""
+
+
+def q_geom_boolean(spark, sf_dir):
+    """Geometry booleans (functions/geom.py intersection/union/
+    difference — the general concave+holes overlay): three constructed
+    pairs whose exact areas are hand-derivable (rectilinear shapes:
+    square-with-hole vs overlapping rect; L-shape vs square; operand
+    fully inside the other's hole). The oracle is the constant table of
+    those closed-form areas — the sieve/viewshed precedent for kernels
+    SQL cannot express."""
+    _ensure_workers_can_import(spark)
+    cases = [
+        ("hole_rect",
+         "POLYGON ((0 0,10 0,10 10,0 10,0 0),(4 4,4 6,6 6,6 4,4 4))",
+         "POLYGON ((8 -5,14 -5,14 15,8 15,8 -5))"),
+        ("l_square",
+         "POLYGON ((0 0,6 0,6 2,2 2,2 6,0 6,0 0))",
+         "POLYGON ((1 1,5 1,5 5,1 5,1 1))"),
+        ("in_hole",
+         "POLYGON ((0 0,8 0,8 8,0 8,0 0),(2 2,2 6,6 6,6 2,2 2))",
+         "POLYGON ((3 3,5 3,5 5,3 5,3 3))"),
+    ]
+    rows = [(c, wa, wb, op) for c, wa, wb in cases
+            for op in ("intersection", "union", "difference")]
+    df = spark.createDataFrame(
+        rows, "case_id string, wkt_a string, wkt_b string, op string")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from godal_spark.functions import geom as G
+        for pdf in batches:
+            out = {"case_id": [], "op": [], "area": []}
+            for r in pdf.itertuples(index=False):
+                a, b = G.from_wkt(r.wkt_a), G.from_wkt(r.wkt_b)
+                g = getattr(G, r.op)(a, b)
+                out["case_id"].append(r.case_id)
+                out["op"].append(r.op)
+                out["area"].append(round(g.area(), 6))
+            yield pd.DataFrame(out)
+
+    return df.repartition(3, "case_id").mapInPandas(
+        compute, schema="case_id string, op string, area double")
+
+
+SQL_GEOM_BOOLEAN = """
+SELECT * FROM (VALUES
+  ('hole_rect', 'intersection', 20.0),
+  ('hole_rect', 'union',       196.0),
+  ('hole_rect', 'difference',   76.0),
+  ('l_square',  'intersection',  7.0),
+  ('l_square',  'union',        29.0),
+  ('l_square',  'difference',   13.0),
+  ('in_hole',   'intersection',  0.0),
+  ('in_hole',   'union',        52.0),
+  ('in_hole',   'difference',   48.0)
+) AS t(case_id, op, area)
+"""
+
+
+def q_vector_roundtrip(spark, sf_dir):
+    """VectorTranslate round-trip (operators/vector.vector_translate,
+    reference godal.go:3997-4044): nation footprints written as
+    WKT-encoded CSV, read back with Spark's csv reader, geometries
+    re-parsed from WKT and re-measured — per-foo-class feature counts
+    and exact box areas must survive the format hop. The oracle
+    recomputes areas straight from the nation-derived box formula."""
+    _ensure_workers_can_import(spark)
+    import os
+    import tempfile
+
+    from godal_spark.operators import vector as V
+
+    fps = _nation_footprints(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(),
+                       f"godal_vt_{os.getpid()}")
+    V.vector_translate(fps, out, fmt="csv")
+    back = spark.read.option("header", True).csv(out)
+
+    def areas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from godal_spark.functions import geom as G
+        for pdf in batches:
+            o = {"foo": [], "area": []}
+            for r in pdf.itertuples(index=False):
+                o["foo"].append(r.foo)
+                o["area"].append(G.from_wkt(r.geometry).area())
+            yield pd.DataFrame(o)
+
+    per = back.mapInPandas(areas, schema="foo string, area double")
+    return (per.groupBy("foo")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("area"), 4).alias("sum_area"))
+            .orderBy("foo"))
+
+
+SQL_VECTOR_ROUNDTRIP = """
+WITH fp AS (
+  SELECT CASE WHEN n_nationkey % 2 = 0 THEN 'bar' ELSE 'baz' END AS foo,
+         60.0 * 28.0 AS area
+  FROM nation
+)
+SELECT foo, count(*)::BIGINT AS n, round(sum(area), 4) AS sum_area
+FROM fp GROUP BY foo ORDER BY foo
+"""
+
+
+def q_scale_offset_stats(spark, sf_dir):
+    """Band Scale/Offset (dataset.set_scale_offset/apply_scale_offset,
+    reference godal.go:216-232, golden godal_test.go:569-589): six raw8
+    ramp images opened through the catalog facade, per-band scale and
+    offset attached, physical values = raw * scale + offset. The oracle
+    regenerates the ramp AND the scale formula in SQL — a real
+    recomputation, not a constant table."""
+    _ensure_workers_can_import(spark)
+    from godal_spark import datagen, dataset as DS
+
+    rows = []
+    for i in range(6):
+        arr = ((np.arange(17 * 24) * (i + 3)) % 251) \
+            .astype(np.uint8).reshape(17, 24)
+        rows.append(datagen.image_row(f"im{i}", arr, "raw8"))
+    cat = DS.RasterCatalog(spark, datagen.images_df(spark, rows), block=16)
+    out = []
+    for i in range(6):
+        ds = cat.open(f"im{i}")
+        ds.set_scale_offset(0, 0.5 + i * 0.25, -3.0 + i)
+        if i == 5:            # Clear resets to the 1.0/0.0 identity
+            ds.clear_scale_offset(0)
+        phys = ds.apply_scale_offset(0)
+        out.append((f"im{i}", round(float(phys.mean()), 4),
+                    round(float(phys.min()), 4),
+                    round(float(phys.max()), 4)))
+    return spark.createDataFrame(
+        out, "image_id string, mean double, mn double, mx double")
+
+
+SQL_SCALE_OFFSET_STATS = """
+WITH i AS (SELECT unnest(range(0, 6)) AS i),
+px AS (SELECT i, unnest(range(0, 408)) AS k FROM i),
+v AS (
+  SELECT i,
+         CAST((k * (i + 3)) % 251 AS DOUBLE)
+           * (CASE WHEN i = 5 THEN 1.0 ELSE 0.5 + i * 0.25 END)
+           + (CASE WHEN i = 5 THEN 0.0 ELSE -3.0 + i END) AS p
+  FROM px
+)
+SELECT 'im' || CAST(i AS VARCHAR) AS image_id,
+       round(avg(p), 4) AS mean, round(min(p), 4) AS mn,
+       round(max(p), 4) AS mx
+FROM v GROUP BY i
+"""
+
+
+def q_crs_bounds(spark, sf_dir):
+    """reprojectBounds (functions/crs.reproject_bounds, reference
+    srs.go:74-106): corner-only bounds reprojection — exactly the 4
+    corners, min/max, NO densification (the reference quirk). 25
+    nation-derived lon/lat boxes to EPSG:3857; the oracle recomputes
+    the spherical-Mercator forward formulas directly in SQL
+    (x = R*radians(lon), y = R*ln(tan(pi/4 + lat/2)); rounding at 2
+    decimals absorbs last-ULP libm differences)."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.functions import crs as C
+
+    keys = [r.n_nationkey for r in spark.read.parquet(
+        f"{sf_dir}/nation.parquet").select("n_nationkey").collect()]
+    out = []
+    for n in sorted(keys):
+        minx = -170.0 + (n * 13) % 330
+        miny = -80.0 + (n * 7) % 155
+        box = (minx, miny, minx + 5.0, miny + 3.0)
+        bx = C.reproject_bounds(box, "EPSG:4326", "EPSG:3857")
+        # + 0.0 folds IEEE -0.0 to +0.0 (ln(tan(pi/4)) at lat 0 can
+        # land on either side of zero depending on the libm)
+        out.append((n, round(bx[0], 2) + 0.0, round(bx[1], 2) + 0.0,
+                    round(bx[2], 2) + 0.0, round(bx[3], 2) + 0.0))
+    return spark.createDataFrame(
+        out, "n_nationkey long, minx double, miny double, "
+             "maxx double, maxy double")
+
+
+SQL_CRS_BOUNDS = """
+WITH b AS (
+  SELECT n_nationkey,
+         -170.0 + (n_nationkey * 13) % 330 AS lon0,
+         -80.0 + (n_nationkey * 7) % 155 AS lat0
+  FROM nation
+)
+SELECT n_nationkey,
+       round(6378137.0 * radians(lon0), 2) + 0 AS minx,
+       round(6378137.0 * ln(tan(pi() / 4 + radians(lat0) / 2)), 2) + 0
+         AS miny,
+       round(6378137.0 * radians(lon0 + 5.0), 2) + 0 AS maxx,
+       round(6378137.0 * ln(tan(pi() / 4 + radians(lat0 + 3.0) / 2)), 2) + 0
+         AS maxy
+FROM b
+"""
+
+
+def q_gcps_affine(spark, sf_dir):
+    """GCPsToGeoTransform (functions/crs.fit_gcps, reference
+    godal.go:4404-4458, golden godal_test.go:5191-5241): least-squares
+    affine from ground control points. Each case's GCP grid is
+    generated from a known affine, so the exactly-consistent system
+    recovers that affine to machine precision — the oracle is the
+    constant table of the generating coefficients."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.functions import crs as C
+
+    affines = [("ident_ish", [10.0, 0.5, 0.1, 20.0, -0.2, 0.8]),
+               ("rotated", [-3.5, 0.0, 2.0, 7.25, -1.5, 0.0]),
+               ("scaled", [100.0, 30.0, 0.0, -50.0, 0.0, -30.0])]
+    out = []
+    for name, gt in affines:
+        gcps = []
+        for p in (0.0, 5.0, 11.0):
+            for l in (0.0, 7.0, 13.0):
+                gcps.append((p, l, gt[0] + gt[1] * p + gt[2] * l,
+                             gt[3] + gt[4] * p + gt[5] * l))
+        c = C.fit_gcps(gcps)
+        out.append((name, *[round(x, 6) + 0.0 for x in c]))
+    return spark.createDataFrame(
+        out, "case_id string, c0 double, c1 double, c2 double, "
+             "c3 double, c4 double, c5 double")
+
+
+SQL_GCPS_AFFINE = """
+SELECT * FROM (VALUES
+  ('ident_ish', 10.0, 0.5, 0.1, 20.0, -0.2, 0.8),
+  ('rotated', -3.5, 0.0, 2.0, 7.25, -1.5, 0.0),
+  ('scaled', 100.0, 30.0, 0.0, -50.0, 0.0, -30.0)
+) AS t(case_id, c0, c1, c2, c3, c4, c5)
+"""
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew salting (plans/skew.salted_join): lineitem joined to a
+    3-row dimension on l_returnflag — maximal key skew, the shape that
+    motivates salting at 100 TB — through the S=8 salted join, then a
+    keyed aggregation. The oracle is the plain unsalted join in DuckDB:
+    salted == unsalted is the operator's entire contract, checked
+    inside the driver gate (not just pytest)."""
+    from godal_spark.plans import skew
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_returnflag", "l_quantity")
+    dim = (li.select("l_returnflag").distinct()
+           .withColumn("wt", (F.ascii(F.substring("l_returnflag", 1, 1))
+                              - F.lit(60)).cast("double")))
+    j = skew.salted_join(li, dim, on="l_returnflag", salt=8)
+    return (j.groupBy("l_returnflag")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum(F.col("l_quantity") * F.col("wt")), 2)
+                 .alias("wsum"))
+            .orderBy("l_returnflag"))
+
+
+SQL_SALTED_AGG = """
+WITH dim AS (
+  SELECT DISTINCT l_returnflag,
+         CAST(ascii(substr(l_returnflag, 1, 1)) - 60 AS DOUBLE) AS wt
+  FROM lineitem
+)
+SELECT li.l_returnflag, count(*)::BIGINT AS n,
+       round(sum(li.l_quantity * dim.wt), 2) AS wsum
+FROM lineitem li JOIN dim USING (l_returnflag)
+GROUP BY li.l_returnflag
+ORDER BY li.l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3047,6 +3367,13 @@ QUERIES = {
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
+    "buildvrt": q_buildvrt,
+    "geom_boolean": q_geom_boolean,
+    "vector_roundtrip": q_vector_roundtrip,
+    "scale_offset_stats": q_scale_offset_stats,
+    "crs_bounds": q_crs_bounds,
+    "gcps_affine": q_gcps_affine,
+    "salted_agg": q_salted_agg,
     "video_avi": q_video_avi,
 }
 
@@ -3121,5 +3448,12 @@ ORACLES = {
     "repetition": SQL_REPETITION,
     "decontaminate": SQL_DECONTAMINATE,
     "pii_scrub": SQL_PII_SCRUB,
+    "buildvrt": SQL_BUILDVRT,
+    "geom_boolean": SQL_GEOM_BOOLEAN,
+    "vector_roundtrip": SQL_VECTOR_ROUNDTRIP,
+    "scale_offset_stats": SQL_SCALE_OFFSET_STATS,
+    "crs_bounds": SQL_CRS_BOUNDS,
+    "gcps_affine": SQL_GCPS_AFFINE,
+    "salted_agg": SQL_SALTED_AGG,
     "video_avi": SQL_VIDEO_AVI,
 }
