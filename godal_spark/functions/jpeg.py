@@ -474,7 +474,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
     precision=12 encodes extended sequential 12-bit DCT (T.81 sample
     precision 12: uint16 input < 4096, level shift 2048, the wider
     DC-category-15 / AC-size-14 Huffman alphabets) — the aerial /
-    satellite-imagery tier; baseline scans only (no progressive).
+    satellite-imagery tier; combines with progressive=True (SOF2
+    at 12-bit precision, T.81 Table B.2) using the same wider alphabets.
 
     subsampling: "444" (default), "420" (2x2 chroma decimation — what
     virtually all real-world encoders emit), "422", "440"; ignored for
@@ -494,8 +495,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
         if arr.dtype != np.uint8:
             raise ValueError("jpeg: only uint8 input at precision 8")
     elif precision == 12:
-        if progressive:
-            raise NotImplementedError("jpeg: progressive 12-bit scans")
         if arr.dtype != np.uint16:
             raise ValueError("jpeg: 12-bit input must be uint16 (< 4096)")
         if arr.size and int(arr.max()) > 4095:
@@ -576,7 +575,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *,
 
     if progressive:
         _emit_progressive_scans(out, planes, samp, nbx, mcux, mcuy,
-                                h, w, hmax, vmax)
+                                h, w, hmax, vmax, dc_enc, ac_enc)
         out += b"\xFF\xD9"
         return bytes(out)
 
@@ -633,10 +632,13 @@ def _sos_header(scomps: list[tuple[int, int, int]], ss: int, se: int,
 
 
 def _emit_progressive_scans_scalar(out: bytearray, planes, samp, nbx,
-                                   mcux, mcuy, h, w, hmax, vmax) -> None:
+                                   mcux, mcuy, h, w, hmax, vmax,
+                                   dc_enc=None, ac_enc=None) -> None:
     """Reference per-block progressive emitter (the pre-vectorization
     walk) — retained ONLY as the differential-test oracle for
     _emit_progressive_scans; no production path calls it."""
+    dc_enc = dc_enc or _DC_ENC
+    ac_enc = ac_enc or _AC_ENC
     ncomp = len(planes)
 
     def comp_blocks(ci):
@@ -662,7 +664,7 @@ def _emit_progressive_scans_scalar(out: bytearray, planes, samp, nbx,
                     val = int(planes[ci][idx][0]) >> 1  # arithmetic, Al=1
                     size, amp = _magnitude(val - preds[ci])
                     preds[ci] = val
-                    c, ln = _DC_ENC[size]
+                    c, ln = dc_enc[size]
                     bw.put(c, ln)
                     bw.put(amp, size)
     bw.flush()
@@ -674,7 +676,8 @@ def _emit_progressive_scans_scalar(out: bytearray, planes, samp, nbx,
             out += _seg(0xDA, _sos_header(
                 [(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, 0, 1))
             bw = _BitWriter()
-            _enc_ac_first(bw, planes[ci], comp_blocks(ci), ss, se, 1, _AC_ENC)
+            _enc_ac_first(bw, planes[ci], comp_blocks(ci), ss, se, 1,
+                          ac_enc)
             bw.flush()
             out += bw.buf
 
@@ -699,7 +702,8 @@ def _emit_progressive_scans_scalar(out: bytearray, planes, samp, nbx,
             out += _seg(0xDA, _sos_header(
                 [(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, 1, 0))
             bw = _BitWriter()
-            _enc_ac_refine(bw, planes[ci], comp_blocks(ci), ss, se, 0, _AC_ENC)
+            _enc_ac_refine(bw, planes[ci], comp_blocks(ci), ss, se, 0,
+                           ac_enc)
             bw.flush()
             out += bw.buf
 
@@ -1167,13 +1171,18 @@ def _enc_ac_refine_vec(plane, idxs, ss, se, al, ac_enc) -> bytes:
 
 
 def _emit_progressive_scans(out: bytearray, planes, samp, nbx,
-                            mcux, mcuy, h, w, hmax, vmax) -> None:
+                            mcux, mcuy, h, w, hmax, vmax,
+                            dc_enc=None, ac_enc=None) -> None:
     """Default progressive scan script (T.81 Annex G encoder): DC first
     (interleaved, Al=1) → per-component AC bands 1-5 and 6-63 at Al=1 →
     DC refinement (Ah=1, Al=0) → per-component AC refinements. Coded
     coefficients are exactly the baseline-quantized planes. All four
     scan kinds are vectorized (byte-identical to the scalar walk in
-    _emit_progressive_scans_scalar, the differential-test oracle)."""
+    _emit_progressive_scans_scalar, the differential-test oracle).
+    dc_enc/ac_enc default to the 8-bit tables; precision 12 passes the
+    wider DC-15/AC-14 alphabets (T.81 allows SOF2 at 8 or 12 bit)."""
+    dc_enc = dc_enc or _DC_ENC
+    ac_enc = ac_enc or _AC_ENC
     ncomp = len(planes)
 
     def comp_blocks(ci):
@@ -1184,14 +1193,14 @@ def _emit_progressive_scans(out: bytearray, planes, samp, nbx,
 
     out += _seg(0xDA, _sos_header(
         [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)], 0, 0, 0, 1))
-    out += _enc_dc_first_vec(planes, samp, nbx, mcux, mcuy, _DC_ENC)
+    out += _enc_dc_first_vec(planes, samp, nbx, mcux, mcuy, dc_enc)
 
     for ci in range(ncomp):
         for ss, se in ((1, 5), (6, 63)):
             out += _seg(0xDA, _sos_header(
                 [(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, 0, 1))
             out += _enc_ac_first_vec(planes[ci], comp_blocks(ci),
-                                     ss, se, 1, _AC_ENC)
+                                     ss, se, 1, ac_enc)
 
     out += _seg(0xDA, _sos_header(
         [(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 1, 0))
@@ -1202,7 +1211,7 @@ def _emit_progressive_scans(out: bytearray, planes, samp, nbx,
             out += _seg(0xDA, _sos_header(
                 [(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, 1, 0))
             out += _enc_ac_refine_vec(planes[ci], comp_blocks(ci),
-                                      ss, se, 0, _AC_ENC)
+                                      ss, se, 0, ac_enc)
 
 
 # ---------------------------------------------------------------------------

@@ -1285,8 +1285,10 @@ def test_jpeg_12bit_error_first():
         J.encode_jpeg(g12.astype(np.uint8), precision=12)
     with pytest.raises(ValueError, match="out of range"):
         J.encode_jpeg(np.full((8, 8), 4096, np.uint16), precision=12)
-    with pytest.raises(NotImplementedError, match="progressive 12-bit"):
-        J.encode_jpeg(g12, precision=12, progressive=True)
+    # progressive 12-bit is REAL since round 5e (SOF2 precision 12) —
+    # test_jpeg_progressive_12bit covers it; here just prove it encodes
+    assert J.encode_jpeg(g12, precision=12, progressive=True)[:2] == \
+        b"\xFF\xD8"
     with pytest.raises(NotImplementedError, match="precision 10"):
         J.encode_jpeg(g12, precision=10)
     with pytest.raises(ValueError, match="uint8"):
@@ -1641,3 +1643,40 @@ def test_jpeg_progressive_vectorized_matches_scalar():
     big2[-8:, -8:] = (np.arange(64, dtype=np.uint8) * 4).reshape(8, 8)
     a2 = prog(big2, 90, "444", True)
     assert a2 == prog(big2, 90, "444", False)
+
+
+def test_jpeg_progressive_12bit():
+    """12-bit progressive (SOF2 at sample precision 12, T.81 Table B.2
+    allows 8 or 12): the vectorized emitters must match the scalar walk
+    byte-for-byte with the wider DC-15/AC-14 alphabets, and since the
+    quantized coefficients are identical to the sequential SOF1 encode,
+    the decoder must return bit-identical uint16 pixels for both."""
+    import godal_spark.functions.jpeg as J
+
+    rng = np.random.default_rng(13)
+    yy, xx = np.mgrid[0:60, 0:44]
+    cases = [rng.integers(0, 4096, (60, 44), dtype=np.uint16),
+             ((yy * 31 + xx * 17) % 4096).astype(np.uint16)]
+
+    def prog(a, scalar):
+        orig = J._emit_progressive_scans
+        if scalar:
+            J._emit_progressive_scans = J._emit_progressive_scans_scalar
+        try:
+            return J.encode_jpeg(a, quality=90, progressive=True,
+                                 precision=12)
+        finally:
+            J._emit_progressive_scans = orig
+
+    for i, a in enumerate(cases):
+        pv, ps = prog(a, False), prog(a, True)
+        assert ps == pv, i
+        dec_p = J.decode_jpeg_real(pv)
+        dec_s = J.decode_jpeg_real(J.encode_jpeg(a, quality=90,
+                                                 precision=12))
+        assert dec_p.dtype == np.uint16
+        assert np.array_equal(dec_p, dec_s), i
+        err = dec_p.astype(np.int64) - a.astype(np.int64)
+        mse = float((err.astype(np.float64) ** 2).mean())
+        psnr = 10 * np.log10(4095.0 ** 2 / mse) if mse else 99.0
+        assert psnr >= 40.0, (i, psnr)
