@@ -1668,14 +1668,10 @@ def _upsample_plane(p: np.ndarray, hi: int, vi: int, hmax: int, vmax: int,
              np.minimum(xi, p.shape[1] - 1)[None, :]]
 
 
-def decode_jpeg_real(buf: bytes) -> np.ndarray:
-    """Decode a JFIF/JPEG byte stream to uint8 (h, w) or (h, w, 3) RGB.
-    Baseline (SOF0), extended sequential (SOF1, incl. 12-bit sample
-    precision -> uint16 output) AND progressive (SOF2) DCT, arbitrary
-    sampling factors (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...), any
-    DHT-carried canonical Huffman tables (8- or 16-bit DQT entries),
-    restart intervals, multi-scan spectral selection + successive
-    approximation. Arithmetic/lossless raise."""
+def _parse_stream(buf: bytes) -> dict:
+    """Marker-level parse shared by decode_jpeg_real and the
+    segment-parallel API: quant tables, component layout, Huffman LUT
+    snapshots, restart interval, and per-scan entropy segments."""
     if buf[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -1762,6 +1758,22 @@ def decode_jpeg_real(buf: bytes) -> np.ndarray:
                           "luts": dict(luts)})
     if not scans or h is None:
         raise ValueError("jpeg: missing SOS/SOF")
+    return {"qt": qt, "comps": comps, "scans": scans, "h": h, "w": w,
+            "prec": prec, "progressive": progressive}
+
+
+def decode_jpeg_real(buf: bytes) -> np.ndarray:
+    """Decode a JFIF/JPEG byte stream to uint8 (h, w) or (h, w, 3) RGB.
+    Baseline (SOF0), extended sequential (SOF1, incl. 12-bit sample
+    precision -> uint16 output) AND progressive (SOF2) DCT, arbitrary
+    sampling factors (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...), any
+    DHT-carried canonical Huffman tables (8- or 16-bit DQT entries),
+    restart intervals, multi-scan spectral selection + successive
+    approximation. Arithmetic/lossless raise."""
+    st = _parse_stream(buf)
+    qt, comps, scans = st["qt"], st["comps"], st["scans"]
+    h, w, prec, progressive = (st["h"], st["w"], st["prec"],
+                               st["progressive"])
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1808,3 +1820,131 @@ def decode_jpeg_real(buf: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - half)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)),
                    0, maxv).astype(odt)
+
+
+# ---------------------------------------------------------------------------
+# segment-parallel decode (splittable restart-interval scans)
+# ---------------------------------------------------------------------------
+
+def jpeg_scan_info(buf: bytes) -> dict:
+    """Header-level facts needed to split one baseline scan across
+    workers: restart interval (MCUs per segment), segment count, MCU
+    grid, sampling ceiling, precision. Error-first for progressive
+    streams (multi-scan EOBRUN state is still per-segment, but the
+    per-scan pass structure makes tile-level splits the better unit
+    there) and for streams without restart markers beyond the trivial
+    single-segment split."""
+    st = _parse_stream(buf)
+    if st["progressive"]:
+        raise NotImplementedError(
+            "jpeg: segment-parallel decode targets baseline scans")
+    comps = st["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (st["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (st["h"] + 8 * vmax - 1) // (8 * vmax)
+    scan = st["scans"][0]
+    return {"w": st["w"], "h": st["h"], "prec": st["prec"],
+            "ncomp": len(comps), "hmax": hmax, "vmax": vmax,
+            "mcux": mcux, "mcuy": mcuy, "n_mcu": mcux * mcuy,
+            "dri": scan["dri"], "n_segments": len(scan["segments"])}
+
+
+def decode_jpeg_segments(buf: bytes, seg_start: int = 0,
+                         seg_count: int | None = None
+                         ) -> tuple[int, np.ndarray]:
+    """Decode a contiguous run of restart segments of a BASELINE scan,
+    independently of every other segment (DC predictors reset at each
+    RST marker — that independence is the whole point of emitting DRI
+    at engine scale: one huge scene JPEG becomes a splittable input,
+    each worker entropy-decoding only its segment run).
+
+    Returns (first_mcu, tiles): tiles has shape
+    (n, 8*vmax, 8*hmax[, 3]) — one full MCU pixel tile per decoded MCU
+    (edge tiles include the encoder's padding; assemble_jpeg_segments
+    crops). Decoding every segment and assembling is bit-identical to
+    decode_jpeg_real."""
+    st = _parse_stream(buf)
+    if st["progressive"]:
+        raise NotImplementedError(
+            "jpeg: segment-parallel decode targets baseline scans")
+    qt, comps = st["qt"], st["comps"]
+    prec = st["prec"]
+    scan = st["scans"][0]
+    info = jpeg_scan_info(buf)
+    dri, n_mcu = info["dri"], info["n_mcu"]
+    hmax, vmax = info["hmax"], info["vmax"]
+    nseg = info["n_segments"]
+    if seg_count is None:
+        seg_count = nseg - seg_start
+    if not (0 <= seg_start < nseg and seg_count > 0
+            and seg_start + seg_count <= nseg):
+        raise ValueError(f"jpeg: segment range [{seg_start}, "
+                         f"{seg_start + seg_count}) outside 0..{nseg}")
+    seg_mcus = dri if dri else n_mcu
+    first_mcu = seg_start * seg_mcus
+    span = min(n_mcu, first_mcu + seg_count * seg_mcus) - first_mcu
+
+    # decode into a VIRTUAL single-row MCU grid (mcux = span): the
+    # entropy stream never depends on MCU coordinates, so the span's
+    # blocks land in a compact horizontal-strip layout per component
+    order = {c["id"]: i for i, c in enumerate(comps)}
+    nbx_v = [span * c["h"] for c in comps]
+    zz_span = [np.zeros((nbx_v[i] * comps[i]["v"], 64), dtype=np.int32)
+               for i in range(len(comps))]
+    sub = dict(scan)
+    sub["segments"] = scan["segments"][seg_start:seg_start + seg_count]
+    _decode_baseline_scan(sub, comps, order, scan["luts"], zz_span,
+                          nbx_v, span, span, dri if dri else 0)
+
+    # strip-level dequant + IDCT + upsample + color: MCU boundaries
+    # align with sampling boundaries, so the per-tile pixels are
+    # bit-identical to the full-image path (index-mapped upsample)
+    planes = []
+    for ci, comp in enumerate(comps):
+        ch, cw = comp["v"] * 8, nbx_v[ci] * 8
+        pl = _dequant_idct(zz_span[ci], qt[comp["tq"]], comp["v"],
+                           nbx_v[ci], ch, cw, prec=prec)             .astype(np.float64)
+        planes.append(_upsample_plane(pl, comp["h"], comp["v"],
+                                      hmax, vmax, span * 8 * hmax,
+                                      8 * vmax))
+    odt = np.uint8 if prec == 8 else np.uint16
+    if len(planes) == 1:
+        strip = planes[0].astype(odt)
+    else:
+        half, maxv = float(1 << (prec - 1)), (1 << prec) - 1
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - half)
+        g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+        b = y + 1.772 * (cb - half)
+        strip = np.clip(np.round(np.stack([r, g, b], axis=-1)),
+                        0, maxv).astype(odt)
+    # (8*vmax, span*8*hmax[, 3]) -> (span, 8*vmax, 8*hmax[, 3])
+    tiles = strip.reshape(strip.shape[0], span, 8 * hmax, -1)         .swapaxes(0, 1)
+    if tiles.shape[-1] == 1:
+        tiles = tiles[..., 0]
+    return first_mcu, np.ascontiguousarray(tiles)
+
+
+def assemble_jpeg_segments(info: dict, parts) -> np.ndarray:
+    """Reassemble decode_jpeg_segments outputs (any order, must cover
+    every MCU exactly once) into the full image, cropped to (h, w) —
+    bit-identical to decode_jpeg_real of the same stream."""
+    th, tw = 8 * info["vmax"], 8 * info["hmax"]
+    mcux, mcuy = info["mcux"], info["mcuy"]
+    ncomp = info["ncomp"]
+    odt = np.uint8 if info["prec"] == 8 else np.uint16
+    shape = (mcuy * th, mcux * tw) + ((3,) if ncomp == 3 else ())
+    out = np.zeros(shape, dtype=odt)
+    seen = np.zeros(mcux * mcuy, dtype=bool)
+    for first_mcu, tiles in parts:
+        for k in range(tiles.shape[0]):
+            m = first_mcu + k
+            if seen[m]:
+                raise ValueError(f"jpeg: MCU {m} covered twice")
+            seen[m] = True
+            my, mx = divmod(m, mcux)
+            out[my * th:(my + 1) * th, mx * tw:(mx + 1) * tw] = tiles[k]
+    if not seen.all():
+        raise ValueError("jpeg: assembled parts do not cover the scan")
+    return out[:info["h"], :info["w"]]

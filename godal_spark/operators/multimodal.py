@@ -216,3 +216,54 @@ def audio_summary(audio: DataFrame, decoder: str = "auto") -> DataFrame:
     return audio.mapInPandas(
         gen, schema="audio_id string, sample_rate int, n_samples long, "
                     "duration_s double, rms double, peak double, zcr double")
+
+
+def decode_jpeg_distributed(spark, buf: bytes, n_tasks: int = 8) -> np.ndarray:
+    """Decode ONE large restart-interval baseline JPEG across workers:
+    each task entropy-decodes a contiguous run of restart segments
+    (DC predictors reset at every RSTn marker, so segments are
+    independent — the reason the engine's encoder emits DRI) and ships
+    back MCU pixel tiles; the driver assembles and crops. Bit-identical
+    to functions.jpeg.decode_jpeg_real of the same stream (tested).
+
+    This is the single-scene scale path: a 100k x 100k aerial JPEG is
+    one entropy stream, but with DRI it splits into thousands of
+    independent segments. Here the stream travels by broadcast; on a
+    real cluster the same API takes (headers + per-segment byte ranges)
+    so workers range-read only their slice from object storage."""
+    from godal_spark.functions import jpeg as J
+
+    info = J.jpeg_scan_info(buf)
+    ns = info["n_segments"]
+    n_tasks = max(1, min(n_tasks, ns))
+    bounds = [round(i * ns / n_tasks) for i in range(n_tasks + 1)]
+    ranges = [(a, b - a) for a, b in zip(bounds, bounds[1:]) if b > a]
+    bc = spark.sparkContext.broadcast(buf)
+    df = spark.createDataFrame(ranges, "seg_start int, seg_count int") \
+        .repartition(len(ranges))
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from godal_spark.functions import jpeg as JW
+        local = bc.value
+        for pdf in batches:
+            out = {"first_mcu": [], "n": [], "tiles": []}
+            for r in pdf.itertuples(index=False):
+                fm, tiles = JW.decode_jpeg_segments(
+                    local, int(r.seg_start), int(r.seg_count))
+                out["first_mcu"].append(fm)
+                out["n"].append(tiles.shape[0])
+                out["tiles"].append(tiles.tobytes())
+            yield pd.DataFrame(out)
+
+    parts_df = df.mapInPandas(
+        work, schema="first_mcu long, n int, tiles binary")
+    th, tw = 8 * info["vmax"], 8 * info["hmax"]
+    nc = info["ncomp"]
+    dt = np.uint8 if info["prec"] == 8 else np.uint16
+    parts = []
+    for r in parts_df.collect():       # bounded: sums to ONE image
+        shape = (r.n, th, tw) + ((3,) if nc == 3 else ())
+        parts.append((r.first_mcu,
+                      np.frombuffer(bytes(r.tiles), dtype=dt)
+                      .reshape(shape)))
+    return J.assemble_jpeg_segments(info, parts)

@@ -1680,3 +1680,50 @@ def test_jpeg_progressive_12bit():
         mse = float((err.astype(np.float64) ** 2).mean())
         psnr = 10 * np.log10(4095.0 ** 2 / mse) if mse else 99.0
         assert psnr >= 40.0, (i, psnr)
+
+
+def test_jpeg_segment_parallel_decode():
+    """Restart segments decode independently: decode_jpeg_segments on
+    arbitrary segment runs, reassembled, is bit-identical to the whole
+    decode — across samplings, 12-bit, trailing short segments, and
+    the trivial ri=0 single-segment case. Error-first for progressive
+    streams and bad ranges."""
+    import pytest
+
+    import godal_spark.functions.jpeg as J
+
+    rng = np.random.default_rng(41)
+    cases = [((70, 110), "420", 4, 8), ((64, 48), "444", 1, 8),
+             ((50, 90), "422", 7, 8), ((45, 77), "444", 5, 12),
+             ((33, 33), "420", 0, 8)]
+    for hw, sub, ri, prec in cases:
+        h, w = hw
+        if prec == 12:
+            arr = rng.integers(0, 4096, (h, w), np.uint16) \
+                .astype(np.uint16)
+        else:
+            arr = rng.integers(0, 256, (h, w, 3), np.uint8) \
+                .astype(np.uint8)
+        buf = J.encode_jpeg(arr, quality=85, subsampling=sub,
+                            restart_interval=ri, precision=prec)
+        whole = J.decode_jpeg_real(buf)
+        info = J.jpeg_scan_info(buf)
+        ns = info["n_segments"]
+        cuts = sorted({0, ns // 3, (2 * ns) // 3, ns})
+        parts = [J.decode_jpeg_segments(buf, a, b - a)
+                 for a, b in zip(cuts, cuts[1:]) if b > a]
+        asm = J.assemble_jpeg_segments(info, parts[::-1])  # any order
+        assert np.array_equal(asm, whole), (hw, sub, ri, prec)
+
+    buf = J.encode_jpeg(rng.integers(0, 256, (32, 32), np.uint8)
+                        .astype(np.uint8), restart_interval=2)
+    info = J.jpeg_scan_info(buf)
+    with pytest.raises(ValueError, match="segment range"):
+        J.decode_jpeg_segments(buf, info["n_segments"], 1)
+    with pytest.raises(ValueError, match="covered twice"):
+        p = J.decode_jpeg_segments(buf, 0, 1)
+        J.assemble_jpeg_segments(info, [p, p])
+    prog = J.encode_jpeg(rng.integers(0, 256, (32, 32), np.uint8)
+                         .astype(np.uint8), progressive=True)
+    with pytest.raises(NotImplementedError, match="segment-parallel"):
+        J.jpeg_scan_info(prog)

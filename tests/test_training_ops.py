@@ -610,3 +610,19 @@ def test_pii_stats_pinned(spark):
     assert (out[2].n_email, out[2].n_phone) == (0, 0)
     assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (2, 2, 2)
     assert sum(r.n_residual for r in out.values()) == 0
+
+
+def test_decode_jpeg_distributed(spark):
+    """One restart-interval JPEG entropy-decoded ACROSS Spark tasks
+    (segment runs via mapInPandas, driver assembly) — bit-identical to
+    the single-process decode. The single-scene scale path: DRI turns
+    one huge entropy stream into thousands of independent slices."""
+    import godal_spark.functions.jpeg as J
+    from godal_spark.operators.multimodal import decode_jpeg_distributed
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 256, (96, 152, 3), np.uint8).astype(np.uint8)
+    buf = J.encode_jpeg(arr, quality=88, subsampling="420",
+                        restart_interval=3)
+    out = decode_jpeg_distributed(spark, buf, n_tasks=5)
+    assert np.array_equal(out, J.decode_jpeg_real(buf))
