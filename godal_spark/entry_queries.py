@@ -3287,6 +3287,51 @@ ORDER BY li.l_returnflag
 """
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd k-means (similarity.kmeans_fit/kmeans_assign —
+    the SemDeDup semantic-clustering building block; every iteration is
+    one distributed assignment + one (cluster, dim) keyed aggregation).
+    The instance is three well-separated balls with min-id init placing
+    one seed per ball, so convergence to the exact ball means is
+    provable and the oracle recomputes those means (and sizes) straight
+    from the generating formula in SQL."""
+    _ensure_workers_can_import(spark)
+    from godal_spark.operators import similarity as SIM
+
+    df = spark.range(90).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 5), d -> CAST("
+        "  CASE WHEN d = id % 3 THEN 10.0"
+        "       WHEN d = 3 + id % 3 THEN ((id * 7) % 5) / 100.0"
+        "       ELSE 0.0 END AS double)) AS embedding").cache()
+    C, _ = SIM.kmeans_fit(df, 3, max_iters=10)
+    a = SIM.kmeans_assign(df, C)
+    sizes = {r.cluster_id: r["n"] for r in
+             a.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()}
+    rows = [(int(j), int(sizes[j]), *[round(float(x), 6) + 0.0 for x in C[j]])
+            for j in range(3)]
+    df.unpersist()
+    return spark.createDataFrame(
+        rows, "cluster_id int, n bigint, c0 double, c1 double, c2 double, "
+              "c3 double, c4 double, c5 double")
+
+
+SQL_KMEANS_CLUSTERS = """
+WITH pts AS (
+  SELECT i % 3 AS ball, ((i * 7) % 5) / 100.0 AS jit
+  FROM (SELECT unnest(range(0, 90)) AS i)
+)
+SELECT ball AS cluster_id, count(*)::BIGINT AS n,
+       round(avg(CASE WHEN ball = 0 THEN 10.0 ELSE 0.0 END), 6) AS c0,
+       round(avg(CASE WHEN ball = 1 THEN 10.0 ELSE 0.0 END), 6) AS c1,
+       round(avg(CASE WHEN ball = 2 THEN 10.0 ELSE 0.0 END), 6) AS c2,
+       round(avg(CASE WHEN ball = 0 THEN jit ELSE 0.0 END), 6) AS c3,
+       round(avg(CASE WHEN ball = 1 THEN jit ELSE 0.0 END), 6) AS c4,
+       round(avg(CASE WHEN ball = 2 THEN jit ELSE 0.0 END), 6) AS c5
+FROM pts GROUP BY ball ORDER BY ball
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3374,6 +3419,7 @@ QUERIES = {
     "crs_bounds": q_crs_bounds,
     "gcps_affine": q_gcps_affine,
     "salted_agg": q_salted_agg,
+    "kmeans_clusters": q_kmeans_clusters,
     "video_avi": q_video_avi,
 }
 
@@ -3455,5 +3501,6 @@ ORACLES = {
     "crs_bounds": SQL_CRS_BOUNDS,
     "gcps_affine": SQL_GCPS_AFFINE,
     "salted_agg": SQL_SALTED_AGG,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "video_avi": SQL_VIDEO_AVI,
 }

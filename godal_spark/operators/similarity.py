@@ -199,3 +199,78 @@ def ivf_topk(emb: DataFrame, query_ids, k: int = 10, *, nlist: int = 16,
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("pid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def kmeans_fit(emb: DataFrame, k: int, *, id_col: str = "vec_id",
+               vec_col: str = "embedding", max_iters: int = 10,
+               tol: float = 1e-6) -> tuple[np.ndarray, int]:
+    """Fully DISTRIBUTED Lloyd k-means over the whole corpus (the
+    SemDeDup / semantic-clustering building block; train_centroids
+    above is the sample-based IVF quantizer, this is the exact
+    version): every iteration is one distributed job — Arrow-batched
+    argmin assignment against the broadcast (k x d) centroid matrix,
+    then a posexplode + (cluster, dim) keyed aggregation for the new
+    means (map-side partials; k*d rows reach the driver, never
+    vectors). Initialization is the k lowest-id vectors (TakeOrdered,
+    deterministic — and SQL-replayable, which the gate oracle uses).
+    Empty clusters keep their previous centroid. Cache `emb` before
+    calling: each iteration rescans it.
+
+    Returns (centroids (k, d) float64, iterations_run)."""
+    init_rows = (emb.select(id_col, vec_col)
+                 .orderBy(id_col).limit(k).collect())
+    if len(init_rows) < k:
+        raise ValueError(f"kmeans: k={k} but only {len(init_rows)} vectors")
+    C = np.array([list(r[1]) for r in init_rows], dtype=np.float64)
+    d = C.shape[1]
+    it = 0
+    for it in range(1, max_iters + 1):
+        assigned = kmeans_assign(emb, C, id_col=id_col, vec_col=vec_col)
+        sums = (assigned
+                .select("cluster_id",
+                        F.posexplode(F.col(vec_col)).alias("pos", "v"))
+                .groupBy("cluster_id", "pos")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect())
+        newC = C.copy()
+        cnt = np.zeros(k, dtype=np.int64)
+        acc = np.zeros((k, d), dtype=np.float64)
+        for r in sums:
+            acc[r.cluster_id, r.pos] = r.s
+            cnt[r.cluster_id] = r.n
+        nz = cnt > 0
+        newC[nz] = acc[nz] / cnt[nz, None]
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        if shift < tol:
+            break
+    return C, it
+
+
+def kmeans_assign(emb: DataFrame, centroids: np.ndarray, *,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment (squared Euclidean), Arrow-batched
+    against the broadcast centroid matrix. Adds `cluster_id` (int) and
+    `dist` (double, the squared distance)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cols = emb.columns
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(M) == 0:
+                yield pdf.assign(cluster_id=pd.Series(dtype="int32"),
+                                 dist=pd.Series(dtype="float64"))
+                continue
+            # |x-c|^2 = |x|^2 - 2 x.c + |c|^2, one BLAS matmul per batch
+            d2 = (np.square(M).sum(1)[:, None] - 2.0 * (M @ C.T)
+                  + np.square(C).sum(1)[None, :])
+            a = d2.argmin(axis=1)
+            yield pdf.assign(cluster_id=a.astype(np.int32),
+                             dist=d2[np.arange(len(a)), a])
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in emb.schema]
+        + ["cluster_id int", "dist double"])
+    return emb.mapInPandas(assign, schema=schema)

@@ -626,3 +626,30 @@ def test_decode_jpeg_distributed(spark):
                         restart_interval=3)
     out = decode_jpeg_distributed(spark, buf, n_tasks=5)
     assert np.array_equal(out, J.decode_jpeg_real(buf))
+
+
+def test_kmeans_distributed_planted_balls(spark):
+    """Distributed Lloyd over three well-separated balls: min-id init
+    seeds one point per ball, so the fit converges (in ~2 iterations)
+    to the exact ball means; every point lands in its ball; empty-k
+    errors first."""
+    import pytest
+
+    from godal_spark.operators import similarity as SIM
+
+    df = spark.range(60).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 3), d -> CAST("
+        "  CASE WHEN d = id % 3 THEN 50.0"
+        "       ELSE (id % 7) / 10.0 END AS double)) AS embedding").cache()
+    C, iters = SIM.kmeans_fit(df, 3, max_iters=10)
+    assert iters <= 5
+    a = SIM.kmeans_assign(df, C)
+    rows = a.select("vec_id", "cluster_id").collect()
+    assert all(r.cluster_id == r.vec_id % 3 for r in rows)
+    # centroid dominant dim = the ball's one-hot axis at 50
+    for j in range(3):
+        assert abs(C[j, j] - 50.0) < 1e-9
+    with pytest.raises(ValueError, match="only"):
+        SIM.kmeans_fit(df.limit(2), 3)
+    df.unpersist()
