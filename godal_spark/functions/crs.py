@@ -769,6 +769,23 @@ def epsg_to_proj4(epsg: int):
         return (f"+proj=tmerc +lat_0=0 +lon_0={3 * z} +k=1 "
                 f"+x_0={z * 1000000 + 500000} +y_0=0 +ellps=bessel "
                 "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+    if 27561 <= epsg <= 27564 or 27571 <= epsg <= 27574:
+        # NTF (Paris) / Lambert zones (EPSG 9801 1SP on Clarke 1880 IGN,
+        # longitudes from the Paris meridian; 2757x are the "étendu"
+        # variants with the zone folded into the false northing).
+        # Published registry parameters; NTF->WGS84 is the standard
+        # -168,-60,320 three-parameter shift (few-metre class).
+        z = epsg % 10
+        lat0 = {1: 49.5, 2: 46.8, 3: 44.1, 4: 42.165}[z]
+        k0 = {1: 0.999877341, 2: 0.99987742,
+              3: 0.999877499, 4: 0.99994471}[z]
+        x0 = 600000.0 if z != 4 else 234.358
+        y0 = 200000.0 if z != 4 else 185861.369
+        if epsg >= 27571:
+            y0 += z * 1000000.0
+        return (f"+proj=lcc +lat_1={lat0} +lat_0={lat0} +lon_0=0 "
+                f"+k_0={k0} +x_0={x0} +y_0={y0} +ellps=clrk80ign "
+                "+towgs84=-168,-60,320 +pm=paris")
     if 3571 <= epsg <= 3576:      # WGS 84 / North Pole LAEA (Arctic SDI)
         lon0 = {3571: 180.0, 3572: -150.0, 3573: -100.0, 3574: -40.0,
                 3575: 10.0, 3576: 90.0}[epsg]

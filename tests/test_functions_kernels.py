@@ -1727,3 +1727,39 @@ def test_jpeg_segment_parallel_decode():
                          .astype(np.uint8), progressive=True)
     with pytest.raises(NotImplementedError, match="segment-parallel"):
         J.jpeg_scan_info(prog)
+
+
+def test_crs_french_lambert_zones():
+    """NTF (Paris) / Lambert zones 27561-4 + étendu 27571-4 (EPSG 9801
+    1SP on Clarke 1880 IGN, Paris prime meridian, published registry
+    parameters). Invariants that need no external tool: the natural
+    origin (Paris-meridian longitude 0, lat_0) maps to exactly
+    (x_0, y_0) in the zone's own datum; WGS84 round-trips are identity;
+    a zone and its étendu variant differ by exactly z*1e6 m northing."""
+    from godal_spark.functions import crs as C
+
+    ntf = "+proj=longlat +ellps=clrk80ign +towgs84=-168,-60,320 +pm=paris"
+    cases = [(27561, 49.5, 600000.0, 200000.0),
+             (27562, 46.8, 600000.0, 200000.0),
+             (27563, 44.1, 600000.0, 200000.0),
+             (27564, 42.165, 234.358, 185861.369),
+             (27571, 49.5, 600000.0, 1200000.0),
+             (27572, 46.8, 600000.0, 2200000.0),
+             (27573, 44.1, 600000.0, 3200000.0),
+             (27574, 42.165, 234.358, 4185861.369)]
+    for code, lat0, x0, y0 in cases:
+        x, y, ok = C.transform_points(np.array([0.0]), np.array([lat0]),
+                                      ntf, f"EPSG:{code}")
+        assert ok[0] and abs(x[0] - x0) < 1e-3 and abs(y[0] - y0) < 1e-3, \
+            (code, x[0], y[0])
+        gx, gy, ok = C.transform_points(np.array([2.35]), np.array([48.85]),
+                                        "EPSG:4326", f"EPSG:{code}")
+        bx, by, _ = C.transform_points(gx, gy, f"EPSG:{code}", "EPSG:4326")
+        assert ok[0] and abs(bx[0] - 2.35) < 1e-7 \
+            and abs(by[0] - 48.85) < 1e-7, code
+    gx2, gy2, _ = C.transform_points(np.array([2.35]), np.array([48.85]),
+                                     "EPSG:4326", "EPSG:27562")
+    gxe, gye, _ = C.transform_points(np.array([2.35]), np.array([48.85]),
+                                     "EPSG:4326", "EPSG:27572")
+    assert abs(gx2[0] - gxe[0]) < 1e-9
+    assert abs((gye[0] - gy2[0]) - 2_000_000) < 1e-9
