@@ -1250,11 +1250,15 @@ def _build_lut(bits, symbols) -> tuple[np.ndarray, np.ndarray]:
     return sym, length
 
 
-def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
+def _split_scan(buf: bytes, start: int
+                ) -> tuple[list[bytes], int, list[tuple[int, int]]]:
     """Unstuff + split ONE scan's entropy-coded data at RST markers,
-    vectorized. Returns (segments, end) where `end` is the absolute
+    vectorized. Returns (segments, end, ranges): `end` is the absolute
     offset of the terminating marker's 0xFF (the next scan header /
-    EOI), so multi-scan (progressive) streams can keep parsing."""
+    EOI) so multi-scan streams keep parsing; `ranges` are the ABSOLUTE
+    (start, stop) byte offsets of each segment's still-stuffed bytes in
+    the original buffer (RST markers excluded) — the slice a worker
+    range-reads to decode just that segment."""
     data = np.frombuffer(buf, dtype=np.uint8, offset=start)
     ff = np.flatnonzero(data == 0xFF)
     if len(ff) and ff[-1] == len(data) - 1:
@@ -1273,6 +1277,7 @@ def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
     cuts.append(end)
     stuff_pos = ff[is_stuff] + 1  # positions of the stuffed 0x00 bytes
     segs = []
+    ranges = []
     for i in range(0, len(cuts), 2):
         a, b = cuts[i], cuts[i + 1]
         seg = data[a:b]
@@ -1280,7 +1285,8 @@ def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
         if len(drop):
             seg = np.delete(seg, drop)
         segs.append(seg.tobytes())
-    return segs, start + end
+        ranges.append((start + a, start + b))
+    return segs, start + end, ranges
 
 
 _PACK_CACHE: dict = {}
@@ -1746,7 +1752,8 @@ def _parse_stream(buf: bytes) -> dict:
                 cid, tt = payload[1 + 2 * si:3 + 2 * si]
                 scomps.append({"id": cid, "dc": tt >> 4, "ac": tt & 0xF})
             ss_, se_, a = payload[1 + 2 * ns:4 + 2 * ns]
-            segments, pos = _split_scan(buf, pos)
+            data_start = pos
+            segments, pos, seg_ranges = _split_scan(buf, pos)
             # snapshot the Huffman tables CURRENT at this scan's
             # position: real encoders (libjpeg, javax.imageio) emit a
             # fresh DHT before each progressive scan, reusing table ids
@@ -1755,6 +1762,8 @@ def _parse_stream(buf: bytes) -> dict:
             scans.append({"comps": scomps, "ss": ss_, "se": se_,
                           "ah": a >> 4, "al": a & 0xF,
                           "segments": segments, "dri": dri,
+                          "data_start": data_start,
+                          "seg_ranges": seg_ranges,
                           "luts": dict(luts)})
     if not scans or h is None:
         raise ValueError("jpeg: missing SOS/SOF")
@@ -1847,11 +1856,17 @@ def jpeg_scan_info(buf: bytes) -> dict:
     return {"w": st["w"], "h": st["h"], "prec": st["prec"],
             "ncomp": len(comps), "hmax": hmax, "vmax": vmax,
             "mcux": mcux, "mcuy": mcuy, "n_mcu": mcux * mcuy,
-            "dri": scan["dri"], "n_segments": len(scan["segments"])}
+            "dri": scan["dri"], "n_segments": len(scan["segments"]),
+            # range-read recipe: a worker needs ONLY
+            # buf[:header_end] + buf[a:b] per assigned segment — see
+            # decode_jpeg_segment_slices
+            "header_end": scan["data_start"],
+            "segment_ranges": list(scan["seg_ranges"])}
 
 
 def decode_jpeg_segments(buf: bytes, seg_start: int = 0,
-                         seg_count: int | None = None
+                         seg_count: int | None = None, *,
+                         global_seg_start: int | None = None
                          ) -> tuple[int, np.ndarray]:
     """Decode a contiguous run of restart segments of a BASELINE scan,
     independently of every other segment (DC predictors reset at each
@@ -1882,7 +1897,11 @@ def decode_jpeg_segments(buf: bytes, seg_start: int = 0,
         raise ValueError(f"jpeg: segment range [{seg_start}, "
                          f"{seg_start + seg_count}) outside 0..{nseg}")
     seg_mcus = dri if dri else n_mcu
-    first_mcu = seg_start * seg_mcus
+    # global_seg_start: when `buf` is a rebuilt mini-stream (range-read
+    # path) the local indices start at 0 but the MCU positions -- and
+    # the short final segment -- are governed by the TRUE position
+    gstart = seg_start if global_seg_start is None else global_seg_start
+    first_mcu = gstart * seg_mcus
     span = min(n_mcu, first_mcu + seg_count * seg_mcus) - first_mcu
 
     # decode into a VIRTUAL single-row MCU grid (mcux = span): the
@@ -1948,3 +1967,23 @@ def assemble_jpeg_segments(info: dict, parts) -> np.ndarray:
     if not seen.all():
         raise ValueError("jpeg: assembled parts do not cover the scan")
     return out[:info["h"], :info["w"]]
+
+
+def decode_jpeg_segment_slices(header: bytes, slices: list[bytes],
+                               seg_start: int) -> tuple[int, np.ndarray]:
+    """Range-read worker path for cluster-scale single-scene decode:
+    the planner ships `header = buf[:info['header_end']]` (a few KB of
+    tables) and each worker range-reads ONLY its assigned
+    `buf[a:b]` slices from info['segment_ranges'] — never the whole
+    stream. Rebuilds a minimal JPEG (slices re-joined with RST
+    markers, EOI appended) and decodes with the true global segment
+    position so MCU placement and the short final segment are exact.
+    Bit-identical to decode_jpeg_segments on the full buffer (tested).
+
+    The rebuilt stream re-inserts RST0 between every pair of slices;
+    this decoder splits on ANY RST0-7 without validating the modulo-8
+    cycle, which T.81 permits (the cycle exists for resync after
+    corruption, not as stream state)."""
+    mini = header + b"\xFF\xD0".join(slices) + b"\xFF\xD9"
+    return decode_jpeg_segments(mini, 0, len(slices),
+                                global_seg_start=seg_start)

@@ -1763,3 +1763,32 @@ def test_crs_french_lambert_zones():
                                      "EPSG:4326", "EPSG:27572")
     assert abs(gx2[0] - gxe[0]) < 1e-9
     assert abs((gye[0] - gy2[0]) - 2_000_000) < 1e-9
+
+
+def test_jpeg_segment_range_read_decode():
+    """Cluster-scale range-read path: workers get only
+    buf[:header_end] + their buf[a:b] segment slices
+    (info['segment_ranges']) and decode via decode_jpeg_segment_slices
+    — bit-identical to the whole decode, including the short final
+    segment decoded far from its local index."""
+    import godal_spark.functions.jpeg as J
+
+    rng = np.random.default_rng(53)
+    arr = rng.integers(0, 256, (70, 110, 3), np.uint8).astype(np.uint8)
+    buf = J.encode_jpeg(arr, quality=85, subsampling="420",
+                        restart_interval=4)
+    whole = J.decode_jpeg_real(buf)
+    info = J.jpeg_scan_info(buf)
+    header = buf[:info["header_end"]]
+    ns = info["n_segments"]
+    parts = []
+    for a, b in zip(range(0, ns, 2), list(range(2, ns, 2)) + [ns]):
+        if b <= a:
+            continue
+        slices = [buf[x:y] for x, y in info["segment_ranges"][a:b]]
+        parts.append(J.decode_jpeg_segment_slices(header, slices, a))
+    assert np.array_equal(J.assemble_jpeg_segments(info, parts), whole)
+    # the header is a few hundred bytes; slices exclude RST markers
+    assert len(header) < 1024
+    spans = info["segment_ranges"]
+    assert all(b2 > a2 for a2, b2 in spans) and len(spans) == ns
