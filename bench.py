@@ -538,6 +538,95 @@ def _sieve_bench_table(spark, n_tiles: int) -> str:
     return path
 
 
+def _dedup_bench_table(spark, n_docs: int) -> str:
+    """Deterministic doc corpus for the dedup scaling series: 60-token
+    texts from a 50k-token vocab, every 8th doc a near-copy of its
+    predecessor (54/60 shared tokens -> jaccard well above the 0.8
+    verify threshold), generated entirely in codegen expressions."""
+    path = f"/tmp/godal_bench_dedup_{n_docs}.parquet"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    df = spark.range(0, n_docs, 1, 128).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 59), j -> concat('t', "
+        " pmod(hash(CASE WHEN j < 54 THEN "
+        "   (id - CASE WHEN id % 8 = 1 THEN 1 ELSE 0 END) * 1000 + j "
+        "   ELSE id * 1000 + j END), 50000)))) AS text")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_dedup_only() -> dict:
+    """One timed minhash_lsh_dedup run (the hash-shuffle job family:
+    fused shingle+minhash Arrow stage -> banded LSH bucket self-join ->
+    exact-jaccard verify), at BENCH_EXECUTORS executors."""
+    from godal_spark.operators.dedup import minhash_lsh_dedup
+    from godal_spark.session import get_spark
+
+    n_exec = os.environ.get("BENCH_EXECUTORS")
+    spark = get_spark("bench-dedup", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 32),
+                      executors=int(n_exec) if n_exec else None)
+    n_docs = int(os.environ.get("BENCH_DEDUP_DOCS", "400000"))
+    path = _dedup_bench_table(spark, n_docs)
+    docs = spark.read.parquet(path)
+    # warm the worker pool + the plan on a tiny slice (untimed JIT)
+    spark.range(CPUS * 2, numPartitions=CPUS * 2) \
+        .mapInPandas(lambda it: it, "id long") \
+        .write.format("noop").mode("overwrite").save()
+    wpath = _dedup_bench_table(spark, 2000)
+    minhash_lsh_dedup(spark.read.parquet(wpath)) \
+        .write.format("noop").mode("overwrite").save()
+    t0 = time.time()
+    minhash_lsh_dedup(docs).write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    spark.stop()
+    return {"metric": "minhash_lsh_dedup wall", "value": round(wall, 3),
+            "unit": "sec", "n_docs": n_docs,
+            "queries": {"dedup_scaling": round(wall, 3)},
+            "throughput_images_per_sec": round(n_docs / wall, 2)}
+
+
+def run_dedup_scaling(trials: int = 3) -> None:
+    """--scaling-dedup: N -> 4N executor series over the minhash LSH
+    pipeline (4th job family next to headline/warp/sieve; throughput
+    unit is docs/s, reported in the shared JSON field)."""
+    setup_env = dict(os.environ, SPARK_GRAFT_CPUS="32",
+                     BENCH_DEDUP_SETUP_ONLY="1")
+    subprocess.run([sys.executable, __file__], env=setup_env,
+                   capture_output=True, text=True, timeout=3600)
+    n_lo = int(os.environ.get("BENCH_EXEC_N", "1"))
+    n_hi = 4 * n_lo
+    results: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    loads: list[str] = []
+    for _ in range(trials):
+        for n_exec in (n_lo, n_hi):
+            env = dict(os.environ, BENCH_DEDUP_ONLY="1",
+                       BENCH_EXECUTORS=str(n_exec))
+            p = subprocess.run([sys.executable, __file__], env=env,
+                               capture_output=True, text=True, timeout=3600)
+            lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+            if not lines:
+                sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+                raise RuntimeError(
+                    f"dedup scaling subprocess (executors={n_exec}) produced no JSON")
+            results[n_exec].append(
+                json.loads(lines[-1])["throughput_images_per_sec"])
+            with open("/proc/loadavg") as fh:
+                loads.append(fh.read().split()[0])
+    rn, r4n = max(results[n_lo]), max(results[n_hi])
+    eff = (r4n / rn) / 4.0
+    print(json.dumps({
+        "metric": f"minhash_lsh_dedup scaling N={n_lo} -> 4N={n_hi} executors "
+                  "(fused minhash stage + banded bucket self-join + verify)",
+        "value": round(eff, 3), "unit": "ratio",
+        "docs_per_sec_N": rn, "docs_per_sec_4N": r4n,
+        "trials_N": results[n_lo], "trials_4N": results[n_hi],
+        "host_loadavg_after_each_trial": loads,
+        "pass_north_rule": eff >= 0.8,
+    }))
+
+
 def run_sieve_only() -> dict:
     """One timed sieve_tiles run (the OTHER shuffle-heavy stage: border
     strips exchange -> root resolution -> decision aggregation ->
@@ -682,7 +771,19 @@ def run_headline_only() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling-sieve" in sys.argv:
+    if "--scaling-dedup" in sys.argv:
+        run_dedup_scaling()
+    elif os.environ.get("BENCH_DEDUP_SETUP_ONLY"):
+        from godal_spark.session import get_spark
+
+        _sp = get_spark("bench-dedup-setup", cores=CPUS)
+        _dedup_bench_table(_sp, int(os.environ.get("BENCH_DEDUP_DOCS",
+                                                   "400000")))
+        _dedup_bench_table(_sp, 2000)
+        _sp.stop()
+    elif os.environ.get("BENCH_DEDUP_ONLY"):
+        print(json.dumps(run_dedup_only()))
+    elif "--scaling-sieve" in sys.argv:
         run_sieve_scaling()
     elif os.environ.get("BENCH_SIEVE_SETUP_ONLY"):
         from godal_spark.session import get_spark
