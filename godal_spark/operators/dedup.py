@@ -188,15 +188,21 @@ def minhash_lsh_candidates(docs: DataFrame, bands: int = 16,
     if nh is None:
         nh = docs.select(F.size("minhash").alias("n")).first()["n"]
     rows_per_band = nh // bands
+    # bucket = FNV-style numeric fold of the band's signature slice —
+    # no per-band string building (the previous concat_ws/cast emitted
+    # 16 strings per doc, measured as the dominant JVM cost of the
+    # banding stage at 800k docs). A within-band fold collision only
+    # creates a false CANDIDATE, which exact verify removes.
     banded = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.xxhash64(
-                    F.concat_ws(",", F.transform(
-                        F.slice(F.col("minhash"), bidx * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string")))))).alias("band", "bucket"))
+                lambda bidx: F.aggregate(
+                    F.slice(F.col("minhash"), bidx * rows_per_band + 1,
+                            rows_per_band),
+                    F.lit(-3750763034362895579).cast("long"),  # FNV-1a 64 offset
+                    lambda acc, v: F.xxhash64(acc, v)))).alias("band", "bucket"))
     a = banded.select("band", "bucket", F.col("__id").alias("id_a"))
     b = banded.select("band", "bucket", F.col("__id").alias("id_b"))
     return (a.join(b, ["band", "bucket"])
