@@ -65,6 +65,10 @@ class RasterDataset:
         self._color_tables: dict[int, list[tuple[int, int, int, int]]] = {}
         self._gcps: list[tuple[float, float, float, float]] = []
         self._scale_offset: dict[int, tuple[float, float]] = {}
+        # explicit mask bands: key = band index, or None for the
+        # dataset-level (GMF_PER_DATASET) mask shared by all bands
+        self._masks: dict[int | None, "np.ndarray"] = {}
+        self._mask_flags: dict[int | None, int] = {}
 
     # -- metadata KV (godal.go:1876-1944) -----------------------------------
     def set_metadata(self, key: str, value: str, domain: str = "") -> None:
@@ -127,6 +131,76 @@ class RasterDataset:
         plane = arr if arr.ndim == 2 else arr[:, :, band]
         sc, off = self.scale_offset(band)
         return plane.astype(np.float64) * sc + off
+
+    # -- mask bands (godal.go:250-296; flag goldens godal_test.go:
+    #    1190-1239, mask-driven polygonize godal_test.go:2218-2238) -------
+    GMF_ALL_VALID = 0x1
+    GMF_PER_DATASET = 0x2
+    GMF_ALPHA = 0x4
+    GMF_NODATA = 0x8
+
+    def mask_flags(self, band: int = 0) -> int:
+        """GDAL mask-flag resolution: an explicit band mask wins, then
+        the dataset-level (PER_DATASET) mask, then a nodata value
+        implies GMF_NODATA, else GMF_ALL_VALID (the reference's default
+        — godal_test.go:1196 expects 0x01 on a fresh band)."""
+        if band in self._mask_flags:
+            return self._mask_flags[band]
+        if None in self._mask_flags:
+            return self._mask_flags[None]
+        if self._row["nodata"] is not None:
+            return self.GMF_NODATA
+        return self.GMF_ALL_VALID
+
+    def mask_band(self, band: int = 0) -> np.ndarray:
+        """The 0/255 validity mask for `band` — explicit if created,
+        else derived from nodata, else all-valid (uint8, image-sized).
+        Distributed ops consume masks through their own arguments
+        (polygonize use_nodata_mask / polygonize_array valid=...); this
+        is the godal-parity accessor surface."""
+        if band in self._masks:
+            return self._masks[band]
+        if None in self._masks:
+            return self._masks[None]
+        arr = self._decode()
+        plane = arr if arr.ndim == 2 else arr[:, :, band]
+        nd = self._row["nodata"]
+        if nd is not None:
+            return ((plane != nd) * 255).astype(np.uint8)
+        return np.full(plane.shape, 255, dtype=np.uint8)
+
+    def create_mask(self, flags: int, band: int = 0) -> np.ndarray:
+        """Create an explicit writable mask for one band (reference
+        Band.CreateMask — after it, MaskFlags returns exactly `flags`,
+        godal_test.go:1226-1233 pins 0x00). Initialized all-valid (255)
+        so an unwritten mask changes nothing; the reference goldens
+        always write before reading."""
+        h, w = self._row["h"], self._row["w"]
+        self._masks[band] = np.full((h, w), 255, dtype=np.uint8)
+        self._mask_flags[band] = int(flags)
+        return self._masks[band]
+
+    def create_mask_band(self, flags: int) -> np.ndarray:
+        """Dataset-level shared mask (reference Dataset.CreateMaskBand
+        with GMF_PER_DATASET — godal_test.go:1199-1206 pins MaskFlags
+        0x02 afterwards)."""
+        h, w = self._row["h"], self._row["w"]
+        self._masks[None] = np.full((h, w), 255, dtype=np.uint8)
+        self._mask_flags[None] = int(flags)
+        return self._masks[None]
+
+    def write_mask(self, data: np.ndarray, band: int | None = 0) -> None:
+        """Write into a previously-created mask (error-first without
+        CreateMask, matching the reference's handle contract)."""
+        key = band if band in self._masks else (
+            None if None in self._masks else band)
+        if key not in self._masks:
+            raise ValueError("write_mask: no mask created for this band "
+                             "(call create_mask/create_mask_band first)")
+        m = self._masks[key]
+        if data.shape != m.shape:
+            raise ValueError(f"write_mask: shape {data.shape} != {m.shape}")
+        m[...] = np.asarray(data, dtype=np.uint8)
 
     # -- structure (reference structure.go:66-95) --------------------------
     @property

@@ -154,3 +154,49 @@ def test_set_scale_offset_golden(catalog):
     ds.clear_scale_offset(0)
     assert ds.scale_offset(0) == (1.0, 0.0)
     assert ds.structure["scale"] == 1.0 and ds.structure["offset"] == 0.0
+
+
+def test_mask_band_surface(spark):
+    """Mask-band facade parity (godal.go:250-296): default flags 0x01
+    on a fresh band (godal_test.go:1196), CreateMaskBand(0x02) flips
+    MaskFlags to 0x02 (1199-1206), Band.CreateMask(0x00) to 0x00
+    (1226-1233); a nodata value implies GMF_NODATA and a nodata-derived
+    0/255 mask; the written diagonal mask drives polygonize_array to
+    the reference's 2-poly golden (godal_test.go:2218-2238)."""
+    import numpy as np
+
+    from godal_spark import datagen, dataset as DS
+    from godal_spark.operators.polygonize import polygonize_array
+
+    arr = np.full((8, 8), 1, np.uint8)
+    cat = DS.RasterCatalog(spark, datagen.images_df(
+        spark, [datagen.image_row("m", arr, "raw8")]), block=8)
+    ds = cat.open("m")
+    assert ds.mask_flags() == 0x01
+    assert ds.mask_band().min() == 255            # all-valid default
+
+    ds.create_mask_band(0x02)
+    assert ds.mask_flags() == 0x02
+    m = ds.create_mask(0x00, band=0)              # band mask wins
+    assert ds.mask_flags() == 0x00
+    assert m.shape == (8, 8) and m.min() == 255   # unwritten = all valid
+
+    # reference polygonize-with-mask golden: diagonal invalid -> the
+    # uniform image splits into exactly 2 polygons
+    diag = np.full((8, 8), 255, np.uint8)
+    np.fill_diagonal(diag, 0)
+    ds.write_mask(diag)
+    feats = polygonize_array(ds._decode(), valid=ds.mask_band() != 0)
+    assert len(feats) == 2, [f[:2] for f in feats]
+
+    # nodata-derived mask path
+    ds2 = cat.open("m")
+    ds2._row = dict(ds2._row.asDict()) if hasattr(ds2._row, "asDict") else \
+        dict(ds2._row)
+    ds2._row["nodata"] = 1.0
+    assert ds2.mask_flags() == 0x08
+    assert int(ds2.mask_band().max()) == 0        # whole image == nodata
+
+    import pytest
+    with pytest.raises(ValueError, match="no mask created"):
+        cat.open("m").write_mask(diag)
