@@ -95,6 +95,12 @@ class Geom:
             return all(Geom("Polygon", p).is_valid for p in self.coords)
         return not self.is_empty
 
+    def name(self) -> str:
+        """OGR-style geometry type name (reference Geometry.Name →
+        OGR_G_GetGeometryName, godal.go:2679-2681): the WKT tag in
+        uppercase, e.g. 'POLYGON', 'GEOMETRYCOLLECTION'."""
+        return self.type.upper()
+
     # -- measures ---------------------------------------------------------
     def area(self) -> float:
         """Polygon area (0.0 for non-areal types — reference godal.go:2674-2676)."""

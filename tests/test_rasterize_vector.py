@@ -556,3 +556,18 @@ def test_trace_rings_matches_dict_walk_reference():
     for m in [np.ones((5, 7), bool), nest,
               np.pad(np.ones((3, 3), bool), 2)]:
         assert canon(trace_ref(m)) == canon(_trace_rings(m))
+
+
+def test_geom_name_accessor():
+    """Geometry.Name parity (godal.go:2679-2681, OGR_G_GetGeometryName):
+    uppercase WKT tag per type."""
+    from godal_spark.functions import geom as G
+
+    for wkt, want in [("POINT (1 2)", "POINT"),
+                      ("LINESTRING (0 0, 1 1)", "LINESTRING"),
+                      ("POLYGON ((0 0,1 0,1 1,0 1,0 0))", "POLYGON"),
+                      ("MULTIPOLYGON (((0 0,1 0,1 1,0 1,0 0)))",
+                       "MULTIPOLYGON"),
+                      ("GEOMETRYCOLLECTION (POINT (1 2))",
+                       "GEOMETRYCOLLECTION")]:
+        assert G.from_wkt(wkt).name() == want
