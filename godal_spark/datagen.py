@@ -202,4 +202,12 @@ def image_row(image_id: str, arr: np.ndarray, fmt: str = "raw8",
 
 
 def images_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
-    return spark.createDataFrame(pd.DataFrame(rows), schema=IMAGES_SCHEMA)
+    # createDataFrame slices a pandas frame into defaultParallelism
+    # partitions regardless of size — a 1-row golden image became 32
+    # near-empty partitions, and every downstream Arrow stage paid ~30
+    # empty Python task round-trips (measured ~0.2 s per stage on the
+    # constant-input bench queries). Coalesce to at most one partition
+    # per row (narrow, no shuffle).
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGES_SCHEMA)
+    par = spark.sparkContext.defaultParallelism
+    return df.coalesce(max(1, min(len(rows), par)))

@@ -100,14 +100,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _images_meta(spark, sf_dir, where: str | None = None) -> DataFrame:
+def _spread(df: DataFrame) -> DataFrame:
+    """Driver tables are ONE parquet file with ONE row group each, so any
+    scan is a single task no matter the split config (guide §2.2/§6) —
+    heavy downstream work (explodes, Arrow stages, interpreted HOFs)
+    serializes on one core. Round-robin the (column-pruned) scan across
+    the cores; no-op when the table already has enough splits."""
+    from godal_spark.plans.skew import spread_small_scan
+
+    return spread_small_scan(df)
+
+
+def _images_meta(spark, sf_dir, where: str | None = None,
+                 spread: bool = False) -> DataFrame:
+    # spread=True parallelizes the one-split scan for callers whose
+    # downstream compute is heavy (Arrow pixel stages, interpreted
+    # HOFs); cheap codegen explodes (block_grid) measured FASTER
+    # without the extra exchange, so it is opt-in per query.
     df = _t(spark, sf_dir, "part")
     if where:
         df = df.filter(where)
-    return df.selectExpr("cast(p_partkey as bigint) as image_id",
-                         f"cast({IMG_W} as int) as w",
-                         f"cast({IMG_H} as int) as h",
-                         f"{IMG_LON} as lon", f"{IMG_LAT} as lat")
+    df = df.selectExpr("cast(p_partkey as bigint) as image_id",
+                       f"cast({IMG_W} as int) as w",
+                       f"cast({IMG_H} as int) as h",
+                       f"{IMG_LON} as lon", f"{IMG_LAT} as lat")
+    return _spread(df) if spread else df
 
 
 def _customer_points(spark, sf_dir) -> DataFrame:
@@ -206,7 +223,7 @@ GROUP BY i.image_id
 # ---------------------------------------------------------------------------
 
 def q_overview_tiles(spark, sf_dir):
-    img = _images_meta(spark, sf_dir)
+    img = _images_meta(spark, sf_dir, spread=True)
     lv = tiling.with_overview_levels(img, min_size=16)
     lv = lv.withColumn("level", F.explode("levels"))
     lv = lv.selectExpr("image_id", "cast(level as bigint) as level",
@@ -331,7 +348,7 @@ def _ramp_tiles_partial(img: DataFrame) -> DataFrame:
 
 
 def q_raster_stats(spark, sf_dir):
-    img = _images_meta(spark, sf_dir, where=RASTER_SUBSET)
+    img = _images_meta(spark, sf_dir, where=RASTER_SUBSET, spread=True)
     part = _ramp_tiles_partial(img)
     agg = part.groupBy("image_id").agg(
         F.sum("n_px").cast("bigint").alias("n_px"),
@@ -361,7 +378,7 @@ FROM v GROUP BY image_id
 # ---------------------------------------------------------------------------
 
 def q_histogram(spark, sf_dir):
-    img = _images_meta(spark, sf_dir, where=RASTER_SUBSET)
+    img = _images_meta(spark, sf_dir, where=RASTER_SUBSET, spread=True)
     grid = tiling.with_block_grid(img, bw=32, bh=32)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -595,7 +612,7 @@ FROM documents GROUP BY md5(text)
 # ---------------------------------------------------------------------------
 
 def q_text_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     stop = F.array([F.lit(s) for s in ("the", "a", "and", "of", "to")])
     return docs.select(
@@ -625,7 +642,7 @@ def q_quality_filter(spark, sf_dir):
     per-bucket counts of the kept/dropped split plus mean quality."""
     from godal_spark.operators import text as TX
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     q = TX.with_quality_score(docs)
     return (q.withColumn("kept", F.col("quality") >= 0.5)
             .groupBy("kept")
@@ -1439,7 +1456,7 @@ FROM r WHERE rank <= 5
 def q_lang_id(spark, sf_dir):
     from godal_spark.operators import text as TX
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return (TX.with_lang_id(docs).groupBy("lang_pred")
             .agg(F.count("*").cast("bigint").alias("n")))
 

@@ -105,10 +105,19 @@ def with_minhash(docs: DataFrame, num_hashes: int = 64, seed: int = 42) -> DataF
 
 def with_shingle_minhash_fused(docs: DataFrame, text_col: str = "text",
                                k: int = 5, num_hashes: int = 64,
-                               seed: int = 42) -> DataFrame:
+                               seed: int = 42,
+                               bands: int | None = None) -> DataFrame:
     """Adds `shingle_hashes: array<long>` (sorted distinct 64-bit hashes
     of the word k-grams) and `minhash: array<long>` in ONE Arrow-batched
-    pandas UDF.
+    pandas UDF. With `bands` set, also adds `buckets: array<long>` — the
+    per-band LSH bucket keys, folded in the SAME numpy pass: the
+    interpreted aggregate/slice/xxhash64 codegen fold this replaces was
+    the dominant JVM cost of the banding stage (~12 s of task time on a
+    50k-doc corpus; higher-order functions are evaluated per element,
+    not codegen'd). A fold collision only creates a false CANDIDATE,
+    which the exact-Jaccard verify removes, and equal band slices fold
+    equal under any deterministic function — so the candidate semantics
+    are unchanged.
 
     Semantically equivalent to with_shingles→with_minhash except shingles
     are carried as hashes, not strings: |A∩B| and |A∪B| — hence exact
@@ -131,44 +140,102 @@ def with_shingle_minhash_fused(docs: DataFrame, text_col: str = "text",
 
     a, b = _minhash_params(num_hashes, seed)
     empty_mh = [0] * num_hashes
+    rows_per_band = (num_hashes // bands) if bands else 0
     # Java/DuckDB \s is ASCII; Python str.split()/re default are Unicode —
     # pin ASCII so token sets (hence Jaccard) match the SQL oracle exactly
     ws = re.compile(r"\s+", re.ASCII)
 
-    @F.pandas_udf(T.StructType([
-        T.StructField("sh", T.ArrayType(T.LongType())),
-        T.StructField("mh", T.ArrayType(T.LongType())),
-    ]))
-    def fused(texts: pd.Series) -> pd.DataFrame:
-        sh_out, mh_out = [], []
-        with np.errstate(over="ignore"):
-            for t in texts:
-                s = ws.sub(" ", (t or "")).strip(" ").lower()
-                toks = s.split(" ") if s else []
-                if not toks:
-                    grams = {""}
-                elif len(toks) <= k:
-                    grams = {" ".join(toks)}
-                else:
-                    grams = {" ".join(toks[i:i + k])
-                             for i in range(len(toks) - k + 1)}
-                hs = np.fromiter(
-                    (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                                    "little") for g in grams),
-                    dtype=np.uint64, count=len(grams))
-                hs = np.unique(hs)
-                if len(hs) == 0:
-                    sh_out.append([])
-                    mh_out.append(empty_mh)
-                    continue
-                mixed = a[:, None] * hs[None, :] + b[:, None]
-                sh_out.append(hs.view(np.int64).tolist())
-                mh_out.append(mixed.min(axis=1).view(np.int64).tolist())
-        return pd.DataFrame({"sh": sh_out, "mh": mh_out})
+    band_ix = np.arange(bands, dtype=np.uint64) if bands else None
 
-    out = docs.withColumn("__f", fused(F.col(text_col)))
-    return (out.withColumn("shingle_hashes", F.col("__f.sh"))
-            .withColumn("minhash", F.col("__f.mh")).drop("__f"))
+    def _buckets(sig: np.ndarray) -> list:
+        # FNV-1a-shaped uint64 fold over each band's signature slice
+        # (vectorized across bands; wrap-around multiply mixes bits).
+        # The band INDEX is folded into the key, so the join below runs
+        # on one long column instead of (band, bucket) — narrower
+        # shuffle, and cross-band key collisions are 2^-64 fold
+        # accidents that the exact verify removes anyway.
+        acc = (np.uint64(0xCBF29CE484222325) ^ band_ix) \
+            * np.uint64(0x100000001B3)
+        bs = sig.reshape(bands, rows_per_band)
+        for j in range(rows_per_band):
+            acc = (acc ^ bs[:, j]) * np.uint64(0x100000001B3)
+        return acc.view(np.int64)
+
+    # mapInArrow, not a pandas UDF (guide §4.2): the per-doc numpy body
+    # costs ~100 µs, but the pandas_udf struct-of-arrays return path
+    # spent 2-3x that again boxing each row's lists through pandas. Here
+    # the three list columns are built ONCE per batch from concatenated
+    # value buffers + offset arrays (pyarrow ListArray.from_arrays — no
+    # per-element Python), and the input columns pass through by
+    # reference. As a plan node (not an expression) it also cannot be
+    # duplicated by filter pushdown — the previous ArrowEvalPython was
+    # evaluated twice per join side via the explode's implicit
+    # size()>0 pre-filter (guide §4.4, verified in the physical plan).
+    import pyarrow as pa
+
+    in_fields = list(docs.schema.fields)
+    out_schema = T.StructType(in_fields + [
+        T.StructField("shingle_hashes", T.ArrayType(T.LongType())),
+        T.StructField("minhash", T.ArrayType(T.LongType())),
+    ] + ([T.StructField("buckets", T.ArrayType(T.LongType()))]
+         if bands else []))
+    text_ix = docs.columns.index(text_col)
+
+    def fused(batches):
+        empty_sig = np.zeros(num_hashes, dtype=np.uint64)
+        for batch in batches:
+            texts = batch.column(text_ix).to_pylist()
+            sh_parts, sh_lens = [], np.empty(len(texts), dtype=np.int64)
+            mh_parts = []
+            bk_parts = []
+            with np.errstate(over="ignore"):
+                for ri, t in enumerate(texts):
+                    s = ws.sub(" ", (t or "")).strip(" ").lower()
+                    toks = s.split(" ") if s else []
+                    if not toks:
+                        grams = {""}
+                    elif len(toks) <= k:
+                        grams = {" ".join(toks)}
+                    else:
+                        grams = {" ".join(toks[i:i + k])
+                                 for i in range(len(toks) - k + 1)}
+                    hs = np.fromiter(
+                        (int.from_bytes(
+                            hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                            "little") for g in grams),
+                        dtype=np.uint64, count=len(grams))
+                    hs = np.unique(hs)
+                    sh_parts.append(hs)
+                    sh_lens[ri] = len(hs)
+                    if len(hs) == 0:
+                        sig = empty_sig
+                    else:
+                        sig = (a[:, None] * hs[None, :] + b[:, None]).min(axis=1)
+                    mh_parts.append(sig)
+                    if bands:
+                        bk_parts.append(_buckets(sig))
+
+            def list_arr(parts, fixed_len=None):
+                vals = (np.concatenate(parts) if parts
+                        else np.empty(0, dtype=np.uint64))
+                if fixed_len is not None:
+                    offs = np.arange(len(parts) + 1, dtype=np.int32) * fixed_len
+                else:
+                    offs = np.concatenate(
+                        [[0], np.cumsum(sh_lens[:len(parts)])]).astype(np.int32)
+                return pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()),
+                    pa.array(vals.view(np.int64), type=pa.int64()))
+
+            cols = list(batch.columns) + [
+                list_arr(sh_parts),
+                list_arr(mh_parts, fixed_len=num_hashes)]
+            if bands:
+                cols.append(list_arr(bk_parts, fixed_len=bands))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=list(out_schema.fieldNames()))
+
+    return docs.mapInArrow(fused, schema=out_schema)
 
 
 def minhash_lsh_candidates(docs: DataFrame, bands: int = 16,
@@ -184,6 +251,32 @@ def minhash_lsh_candidates(docs: DataFrame, bands: int = 16,
     and AQE's skew-join split carves up hot buckets — the memory-safe
     shape for a 10^12-doc corpus with boilerplate-heavy buckets.
     """
+    if "buckets" in docs.columns:
+        # bucket keys precomputed in the fused Arrow pass (numpy fold
+        # with the band index folded in — see with_shingle_minhash_fused):
+        # the banding stage is a bare explode, no interpreted per-band
+        # HOF fold, and everything keys on ONE long column. Shape: count
+        # bucket occupancy first (one partial-aggregated exchange of
+        # (bucket, count) longs), keep only buckets with >= 2 members —
+        # on a real corpus a vanishing fraction — and run the all-pairs
+        # self-join on THOSE rows only. This replaces a self-join that
+        # exchanged/broadcast the full banded table twice with one keyed
+        # aggregation plus a join whose inputs are duplicate-bounded
+        # (AQE broadcasts the hot-bucket list when it is small, shuffles
+        # when it is not). Single-member buckets produce no pairs, so
+        # the candidate set is identical.
+        banded = docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.col("buckets")).alias("bucket"))
+        hot_buckets = (banded.groupBy("bucket")
+                       .agg(F.count("*").alias("__n"))
+                       .filter(F.col("__n") >= 2).select("bucket"))
+        hot = banded.join(hot_buckets, "bucket", "left_semi")
+        a = hot.select("bucket", F.col("__id").alias("id_a"))
+        b = hot.select("bucket", F.col("__id").alias("id_b"))
+        return (a.join(b, "bucket")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
     nh = num_hashes
     if nh is None:
         nh = docs.select(F.size("minhash").alias("n")).first()["n"]
@@ -213,7 +306,8 @@ def minhash_lsh_candidates(docs: DataFrame, bands: int = 16,
 def jaccard_verify(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    threshold: float = 0.8, *,
                    signature_prefilter: bool = False,
-                   shingle_col: str = "shingles") -> DataFrame:
+                   shingle_col: str = "shingles",
+                   broadcast_pairs: bool = False) -> DataFrame:
     """Exact Jaccard over candidate pairs via the shingle arrays.
 
     Default contract: EXACT — every input pair is measured against its
@@ -232,6 +326,19 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     prefilter kills false candidates before the expensive shingle-array
     shuffle.
     """
+    # broadcast_pairs: the caller has measured/bounded the candidate-pair
+    # set (minhash_lsh_dedup checkpoints + counts it) — hint it broadcast
+    # so the signature table is never shuffled for the verify: every join
+    # below becomes a map-side hash probe over the (id,id) pairs instead
+    # of a full exchange of minhash + shingle arrays (guide §3.1:
+    # broadcast the side that fits; measured 4 exchanges x ~25 MB removed
+    # at 50k docs).
+    # Every pair-derived frame below is hinted broadcast, so each join
+    # plans as a map-side hash probe with the signature table streaming
+    # from cache — no exchange of minhash/shingle arrays at all (the
+    # pair-side build includes the previous broadcast join, which is
+    # itself pair-count-bounded).
+    maybe_b = F.broadcast if broadcast_pairs else (lambda df: df)
     if signature_prefilter and "minhash" in docs.columns:
         ma = docs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("__ma"))
         mb = docs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("__mb"))
@@ -239,11 +346,11 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             F.zip_with("__ma", "__mb", lambda x, y: x == y), lambda v: v))
             .cast("double") / F.size("__ma"))
         cutoff = F.lit(threshold) - F.lit(2.0) / F.sqrt(F.size("__ma").cast("double"))
-        pairs = (pairs.join(ma, "id_a").join(mb, "id_b")
+        pairs = (mb.join(maybe_b(ma.join(maybe_b(pairs), "id_a")), "id_b")
                  .filter(est >= cutoff).select("id_a", "id_b"))
     a = docs.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b"))
-    j = pairs.join(a, "id_a").join(b, "id_b")
+    j = b.join(maybe_b(a.join(maybe_b(pairs), "id_a")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     j = j.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(1.0)))
@@ -272,26 +379,38 @@ def minhash_lsh_dedup(docs: DataFrame, *, k: int = 5, num_hashes: int = 64,
     collide with ~95% and the candidate set degenerates toward
     all-pairs.
     """
-    d = with_shingle_minhash_fused(docs, text_col, k=k, num_hashes=num_hashes)
-    sig = d.select(F.col(id_col), "minhash", "shingle_hashes")
+    d = with_shingle_minhash_fused(docs, text_col, k=k, num_hashes=num_hashes,
+                                   bands=bands)
+    sig = d.select(F.col(id_col), "minhash", "shingle_hashes", "buckets")
     if not materialize:
         cand = minhash_lsh_candidates(sig, bands=bands, id_col=id_col,
                                       num_hashes=num_hashes)
         return jaccard_verify(sig, cand, id_col=id_col, threshold=threshold,
                               signature_prefilter=True,
                               shingle_col="shingle_hashes")
-    sig = sig.persist()
-    try:
-        sig.count()  # populate the cache once; every branch below reuses it
-        cand = minhash_lsh_candidates(sig, bands=bands, id_col=id_col,
-                                      num_hashes=num_hashes)
-        out = jaccard_verify(sig, cand, id_col=id_col, threshold=threshold,
-                             signature_prefilter=True,
-                             shingle_col="shingle_hashes")
-        out = out.localCheckpoint(eager=True)
-    finally:
-        sig.unpersist()
-    return out
+    # Materialize the signature frame ONCE with an eager localCheckpoint:
+    # lineage is truncated to the materialized blocks, so every branch
+    # below (banding, hot-bucket semi, both verify sides) scans the
+    # checkpoint instead of re-running the Arrow pass. (A persist+count
+    # was not enough: the nondeterministic-marked UDF defeats the cache
+    # manager's sameResult lookup and each branch silently re-ran the
+    # UDF — measured 4x the fused stage in one wall.)
+    sig = sig.localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(sig, bands=bands, id_col=id_col,
+                                  num_hashes=num_hashes)
+    # Materialize the (id,id) candidate pairs and measure them: when
+    # they fit (the normal regime — candidates ~ O(duplicates), not
+    # O(corpus)), the verify runs with the pairs BROADCAST, so the
+    # signature table is never shuffled (guide §3.1); past the cap it
+    # falls back to the shuffle-join verify. The checkpoint also stops
+    # the banding subtree from re-running once per verify branch.
+    cand = cand.localCheckpoint(eager=True)
+    n_cand = cand.count()
+    out = jaccard_verify(sig, cand, id_col=id_col, threshold=threshold,
+                         signature_prefilter=True,
+                         shingle_col="shingle_hashes",
+                         broadcast_pairs=n_cand <= 2_000_000)
+    return out.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +440,11 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             out.append(val - (1 << 64) if val >= (1 << 63) else val)
         return pd.Series(out, dtype="int64")
 
+    # guide §4.4: the bucket-key isnotnull filter downstream is pushed
+    # below this UDF and duplicates the ArrowEvalPython node (verified:
+    # 2 evals per self-join side in the round-5 plan) — nondeterministic
+    # marking pins a single evaluation per side
+    sh = sh.asNondeterministic()
     return docs.withColumn("simhash", sh(F.col("__th"))).drop("__th")
 
 
@@ -583,9 +707,16 @@ def substring_duplicate_spans(docs: DataFrame, *, k: int = 16,
 
     Output: (id_a, pos_a, id_b, pos_b, span_len), id_a < id_b, maximal.
     """
+    # The anchor table feeds THREE plan branches (fanout counts + the a
+    # and b sides of the self-join) — without materialization the
+    # winnowing Arrow pass (crc32 per k-gram, the pipeline's dominant
+    # CPU) re-runs once per branch (measured 3x ~9 s of task time at 50k
+    # docs). Persist + count materializes it once; the output checkpoint
+    # at the end truncates lineage so the cache can be dropped before
+    # returning.
     anchors = with_winnowing_anchors(
         docs, k=k, select_window=select_window,
-        id_col=id_col, text_col=text_col)
+        id_col=id_col, text_col=text_col).localCheckpoint(eager=True)
     counts = anchors.groupBy("gram").count()                     .filter(F.col("count") <= max_fanout)
     kept = anchors.join(counts.select("gram"), "gram", "left_semi")
     a = kept.select("gram", F.col("__id").alias("id_a"),

@@ -12,10 +12,11 @@ Distributed shape (three tiers, each orders of magnitude smaller):
      the k-th distance is < R·min(cell_w, cell_h): any point outside the
      (2R+1)² block is at least that far away (the query sits somewhere
      inside its own cell, so every block face is ≥ R cells from it).
-     Queries violating the bound re-run the ring pass with per-query
-     rings = floor(kth/min_cell)+1 — since adding candidates can only
-     shrink the k-th distance, that radius is sufficient, so the
-     re-probe result is exact.
+     Candidates at dist ≥ that bound are therefore dropped BEFORE the
+     top-k sort (they can never certify — guide §2.3, sort fewer rows);
+     queries left with < k in-bound candidates re-run the ring pass at
+     doubling radii (2R, 4R, ...), each pass certified by the same
+     argument, until resolved or the radius cap is hit.
   3. brute fallback — queries that found < k candidates in reach (or
      whose re-probe radius exceeds `max_reprobe_rings`) get an exact
      cross-join + window pass. Pathological by construction (k close to
@@ -123,12 +124,13 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     columns, neighbor_id/neighbor_lon/neighbor_lat, dist, rank (1-based),
     and `complete`.
 
-    guarantee=True (default): results are the EXACT top-k — queries whose
-    ring-pass k-th distance can't be certified (kth ≥ rings·min cell
-    size, or fewer than k candidates found) are re-probed at the exact
-    radius the observed kth distance requires, falling back to a
-    cross-join brute pass for the (pathological) remainder; `complete`
-    is then simply `found == k` (false only when k > |P|).
+    guarantee=True (default): results are the EXACT top-k — candidates
+    beyond the certification bound (rings·min cell size) are pruned
+    before the top-k sort, and queries left with fewer than k certified
+    candidates are re-probed at doubling radii (exact at every step),
+    falling back to a cross-join brute pass for the (pathological)
+    remainder; `complete` is then simply `found == k` (false only when
+    k > |P|).
 
     guarantee=False: single ring pass; `complete` certifies the bound
     (found ≥ k AND kth dist < rings·min(cell_w, cell_h)) — a false flag
@@ -145,6 +147,14 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     min_cell = min(cw, ch)
     bound = rings * min_cell
 
+    # the driver tables read as ONE split (guide §2.2) — without this the
+    # whole ring pass (explode x broadcast join x top-k sort) ran as a
+    # single task (measured 5.2 s of a 5.5 s knn wall in one task at
+    # sf1.0); no-op when the query side already has enough splits
+    from godal_spark.plans.skew import spread_small_scan
+
+    queries = spread_small_scan(queries)
+
     px, py, pcell = cellindex.spark_cell_cols(F.col(p_lon), F.col(p_lat), res)
     p = points.withColumn("cell", pcell).select(
         "cell", F.col(p_id).alias("__pid"),
@@ -158,72 +168,80 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     # cells and the same point appears twice for one query — dedup
     if 2 * rings + 1 >= n:
         cand = cand.dropDuplicates([q_id, "__pid"])
-    ranked = _rank_topk(cand, k, q_id)
-
-    if guarantee:
-        # the guarantee check below is an ACTION; without materialization
-        # the ring pass would run once for the check and again for the
-        # caller's action. `ranked` is result-sized (≤ |Q|·k rows).
-        ranked = ranked.localCheckpoint(eager=True)
-    stats = ranked.groupBy(q_id).agg(F.max("rank").alias("__found"),
-                                     F.max("dist").alias("__kth"))
-    ok = (F.col("__found") >= k) & (F.col("__kth") < bound)
 
     if not guarantee:
+        ranked = _rank_topk(cand, k, q_id)
+        stats = ranked.groupBy(q_id).agg(F.max("rank").alias("__found"),
+                                         F.max("dist").alias("__kth"))
+        ok = (F.col("__found") >= k) & (F.col("__kth") < bound)
         out = ranked.join(stats, q_id).withColumn("complete", ok)
         return out.drop("__found", "__kth") \
                   .withColumnRenamed("__pid", "neighbor_id") \
                   .withColumnRenamed("__plon", "neighbor_lon") \
                   .withColumnRenamed("__plat", "neighbor_lat")
 
-    # ---- tier 2/3: certify or re-probe -----------------------------------
-    good_ids = stats.filter(ok).select(q_id)
-    # bad = bound violated, found < k, or zero candidates (absent from stats)
-    bad = queries.join(good_ids, q_id, "left_anti") \
-                 .join(stats, q_id, "left")
-    # small metadata agg: how bad is the worst violator?
-    agg = bad.agg(F.count("*").alias("n"),
-                  F.max(F.when(F.col("__found") >= k, F.col("__kth"))).alias("mk"),
-                  F.sum(F.when(F.col("__found").isNull() | (F.col("__found") < k), 1)
-                        .otherwise(0)).alias("n_under")).first()
-    n_bad = agg["n"] or 0
+    # ---- guaranteed path --------------------------------------------------
+    # EXACT prefilter (guide §2.3 — sort/shuffle fewer rows): a candidate at
+    # dist >= bound can never be part of a CERTIFIED top-k (certification
+    # requires kth < bound), so drop it before the top-k sort. If a query
+    # keeps >= k candidates, its filtered top-k IS the exact global top-k
+    # (at least k candidates sit below `bound`, and every point outside the
+    # ring block is >= bound away); queries left with < k candidates are
+    # re-probed below at doubling radii, each pass certified the same way.
+    cand = cand.filter(F.col("dist") < bound)
+    # the certification check below is an ACTION; without materialization
+    # the ring pass would run once for the check and again for the
+    # caller's action. `ranked` is result-sized (≤ |Q|·k rows).
+    ranked = _rank_topk(cand, k, q_id).localCheckpoint(eager=True)
+    stats = ranked.groupBy(q_id).agg(F.count("*").alias("__found"))
+    good_ids = stats.filter(F.col("__found") >= k).select(q_id)
+    # bad = fewer than k in-bound candidates (incl. zero -> absent here)
+    qcols = queries.columns
+    remaining = queries.join(good_ids, q_id, "left_anti").select(*qcols)
+    n_bad = remaining.count()
     if n_bad == 0:
-        return _finalize(ranked.join(good_ids, q_id, "left_semi"), F.lit(True))
+        return _finalize(ranked, F.lit(True))
 
     parts = [_finalize(ranked.join(good_ids, q_id, "left_semi"), F.lit(True))]
 
-    # tier 2: found >= k but bound violated — exact radius from observed kth.
-    # kth_true <= kth_observed, and rings2·min_cell > kth_observed, so the
-    # widened block provably contains the true top-k.
-    reprobe = bad.filter(F.col("__found") >= k) \
-                 .withColumn("__r2", F.least(
-                     F.lit(max_reprobe_rings),
-                     (F.floor(F.col("__kth") / F.lit(min_cell)) + 1).cast("int")))
-    # violators whose radius exceeds the cap go to brute instead
-    over_cap = F.col("__kth") >= F.lit(max_reprobe_rings * min_cell)
-    to_brute = bad.filter(F.col("__found").isNull() | (F.col("__found") < k)
-                          | over_cap).drop("__found", "__kth")
-    reprobe = reprobe.filter(~over_cap)
+    # tier 2: doubling-radius re-probe. Radius r certifies any query that
+    # finds >= k candidates at dist < r·min_cell (every point outside the
+    # (2r+1)² block is >= r·min_cell away), so each pass is exact for the
+    # queries it resolves; the rest widen again. Replaces the old
+    # kth-derived single re-probe: with the prefilter above a bad query
+    # has no observed kth to derive a radius from, and geometric doubling
+    # reaches the same cap in <= log2(max_reprobe_rings) passes — each
+    # over a strictly shrinking query set.
+    r = 2 * rings
+    while n_bad > 0 and r <= max_reprobe_rings:
+        rbound = r * min_cell
+        rcand = _ring_candidates(remaining, p, res, F.lit(r), q_id, q_lon, q_lat)
+        # per-query rings may wrap the grid — always dedup this (small) tier
+        rcand = rcand.dropDuplicates([q_id, "__pid"]) \
+                     .filter(F.col("dist") < F.lit(rbound))
+        rranked = _rank_topk(rcand, k, q_id).localCheckpoint(eager=True)
+        rgood = (rranked.groupBy(q_id).agg(F.count("*").alias("__rf"))
+                 .filter(F.col("__rf") >= k).select(q_id))
+        parts.append(_finalize(
+            rranked.join(rgood, q_id, "left_semi"), F.lit(True)))
+        remaining = remaining.join(rgood, q_id, "left_anti")
+        n_bad = remaining.count()
+        r *= 2
 
-    qcols = queries.columns
-    rcand = _ring_candidates(reprobe, p, res, F.col("__r2"), q_id, q_lon, q_lat)
-    # per-query rings may wrap the grid — always dedup this (small) tier
-    rcand = rcand.dropDuplicates([q_id, "__pid"])
-    parts.append(_finalize(
-        _rank_topk(rcand.drop("__found", "__kth", "__r2"), k, q_id), F.lit(True)))
-
-    # tier 3: brute — exact cross join for the pathological remainder
-    pb = points.select(F.col(p_id).alias("__pid"),
-                       F.col(p_lon).alias("__plon"), F.col(p_lat).alias("__plat"))
-    bcand = (F.broadcast(to_brute.select(*qcols)).crossJoin(pb)
-             .withColumn("dist",
-                         F.sqrt(F.pow(F.col(q_lon) - F.col("__plon"), 2)
-                                + F.pow(F.col(q_lat) - F.col("__plat"), 2))))
-    branked = _rank_topk(bcand, k, q_id)
-    bstats = branked.groupBy(q_id).agg(F.max("rank").alias("__bf"))
-    parts.append(_finalize(
-        branked.join(bstats, q_id).withColumn("c", F.col("__bf") >= k)
-        .drop("__bf"), F.col("c")).drop("c"))
+    if n_bad > 0:
+        # tier 3: brute — exact cross join for the pathological remainder
+        # (a query with < k neighbors inside the re-probe cap, or k > |P|)
+        pb = points.select(F.col(p_id).alias("__pid"),
+                           F.col(p_lon).alias("__plon"), F.col(p_lat).alias("__plat"))
+        bcand = (F.broadcast(remaining).crossJoin(pb)
+                 .withColumn("dist",
+                             F.sqrt(F.pow(F.col(q_lon) - F.col("__plon"), 2)
+                                    + F.pow(F.col(q_lat) - F.col("__plat"), 2))))
+        branked = _rank_topk(bcand, k, q_id)
+        bstats = branked.groupBy(q_id).agg(F.max("rank").alias("__bf"))
+        parts.append(_finalize(
+            branked.join(bstats, q_id).withColumn("c", F.col("__bf") >= k)
+            .drop("__bf"), F.col("c")).drop("c"))
 
     out = parts[0]
     for extra in parts[1:]:

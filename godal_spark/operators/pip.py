@@ -113,14 +113,20 @@ def explode_footprint_cells(df: DataFrame, res: int = 12,
 @F.pandas_udf(T.BooleanType())
 def st_contains_point(wkb: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
     """Vectorized exact refine; parse each distinct geometry once per batch
-    (the Arrow-batch analogue of a prepared geometry)."""
+    (the Arrow-batch analogue of a prepared geometry). NULL geometry rows
+    return False cheaply — the single-pass refine filter below routes
+    rectangle rows (whose geometry blob is nulled out of the broadcast)
+    through the `is_rect` disjunct, never through the ray cast."""
     out = np.zeros(len(wkb), dtype=bool)
     px_np = px.to_numpy(dtype=np.float64)
     py_np = py.to_numpy(dtype=np.float64)
     cache: dict[bytes, G.Prepared] = {}
     # group rows by geometry so each polygon does ONE vectorized ray cast
-    codes, uniques = pd.factorize(wkb.map(bytes))
+    codes, uniques = pd.factorize(
+        wkb.map(lambda b: bytes(b) if b is not None else None))
     for gi, buf in enumerate(uniques):
+        if buf is None:
+            continue
         prep = cache.get(buf)
         if prep is None:
             prep = cache[buf] = G.Prepared(G.from_wkb(buf))
@@ -167,20 +173,34 @@ def pip_join(points: DataFrame, footprints: DataFrame, *,
     if not set(("minx", "miny", "maxx", "maxy")) <= set(fps.columns):
         fps = with_bbox(fps, geometry)
     fps = explode_footprint_cells(fps, res).drop("cell_x", "cell_y")
+
+    def refine(joined: DataFrame) -> DataFrame:
+        # cheap bbox refine first (codegen), exact ray cast second
+        # (Arrow), non-rect rows only. Round-6 measured the single-pass
+        # alternative (`is_rect OR ray_cast`, one join execution, every
+        # joined row crossing Arrow with nulled rect geometry) and it
+        # LOST on rectangle-heavy footprint sets — 0.89 s vs 1.00 s at
+        # 150k points and 1.29 s vs 1.41 s on the 1.5M-pair headline
+        # join, interleaved trials — because the duplicated broadcast
+        # probe is cheaper than shipping every row through Python. The
+        # two-branch split stays; it is also the reference's bbox
+        # short-circuit shape (godal.go:2797-2799).
+        joined = joined.filter(
+            (F.col(lon) >= F.col("minx")) & (F.col(lon) <= F.col("maxx"))
+            & (F.col(lat) >= F.col("miny")) & (F.col(lat) <= F.col("maxy")))
+        exact = st_contains_point(F.col(geometry), F.col(lon), F.col(lat))
+        if "is_rect" in joined.columns:
+            rect = joined.filter(F.col("is_rect"))
+            other = joined.filter(~F.col("is_rect")).filter(exact)
+            return rect.unionByName(other)
+        return joined.filter(exact)
+
     if salt > 1 and not broadcast_footprints:
         from godal_spark.plans.skew import salted_join
 
         joined = salted_join(pts.drop("cell_x", "cell_y"), fps, on="cell",
                              salt=salt, how=how, salt_by=salt_by)
-        joined = joined.filter(
-            (F.col(lon) >= F.col("minx")) & (F.col(lon) <= F.col("maxx"))
-            & (F.col(lat) >= F.col("miny")) & (F.col(lat) <= F.col("maxy")))
-        if "is_rect" in joined.columns:
-            rect = joined.filter(F.col("is_rect"))
-            other = joined.filter(~F.col("is_rect")).filter(
-                st_contains_point(F.col(geometry), F.col(lon), F.col(lat)))
-            return rect.unionByName(other)
-        return joined.filter(st_contains_point(F.col(geometry), F.col(lon), F.col(lat)))
+        return refine(joined)
     if "is_rect" in fps.columns:
         # rect rows never reach the exact refine — null their geometry
         # blob so the broadcast ships only bboxes for them (cuts the
@@ -190,19 +210,7 @@ def pip_join(points: DataFrame, footprints: DataFrame, *,
             geometry, F.when(F.col("is_rect"), F.lit(None)).otherwise(F.col(geometry)))
     if broadcast_footprints:
         fps = F.broadcast(fps)
-    joined = pts.drop("cell_x", "cell_y").join(fps, "cell", how)
-    # cheap bbox refine first (codegen), exact ray cast second (Arrow)
-    joined = joined.filter(
-        (F.col(lon) >= F.col("minx")) & (F.col(lon) <= F.col("maxx"))
-        & (F.col(lat) >= F.col("miny")) & (F.col(lat) <= F.col("maxy")))
-    if "is_rect" in joined.columns:
-        # rectangle geometries: bbox test IS exact → no Python refine;
-        # only non-rectangular geometries pay the Arrow round trip
-        rect = joined.filter(F.col("is_rect"))
-        other = joined.filter(~F.col("is_rect")).filter(
-            st_contains_point(F.col(geometry), F.col(lon), F.col(lat)))
-        return rect.unionByName(other)
-    return joined.filter(st_contains_point(F.col(geometry), F.col(lon), F.col(lat)))
+    return refine(pts.drop("cell_x", "cell_y").join(fps, "cell", how))
 
 
 def spatial_filter(layer: DataFrame, filter_wkb: bytes, *,

@@ -737,8 +737,12 @@ def _declare_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     dp = df.sparkSession.sparkContext.defaultParallelism
     # width scales with the incoming partitioning (cheap plan-side
     # metadata, no job): a 6-tile toy input doesn't pay for 4*dp empty
-    # tasks, a wide scan still fans out to the full 4*dp
-    n = max(dp, min(dp * 4, df.rdd.getNumPartitions()))
+    # tasks, a wide scan still fans out to the full 4*dp. Floor is 8 —
+    # not dp — because an empty Python task still costs a worker
+    # round-trip (~0.15 s of pure scheduling per 32-task stage measured
+    # on the toy sieve input); 2x the incoming width keeps mid-size
+    # scans at full fan-out.
+    n = max(8, min(dp * 4, df.rdd.getNumPartitions() * 2))
     return df.repartition(n, *keys)
 
 
@@ -1138,54 +1142,60 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
                        .select("image_id", "band",
                                F.col("cid").alias("cid_a"), "cid_b")
 
-        def make_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"image_id": [], "band": [], "cid_a": [],
-                                  "cid_b": [], "eq": []})
-            a = pdf[pdf["side"] == "a"]
-            b = pdf[pdf["side"] == "b"]
-            if len(a) != 1 or len(b) != 1:
-                return empty
-            va = np.asarray(a["vals"].iloc[0], dtype=np.float64)
-            ca = np.asarray(a["cids"].iloc[0], dtype=np.int64)
-            vb = np.asarray(b["vals"].iloc[0], dtype=np.float64)
-            cb = np.asarray(b["cids"].iloc[0], dtype=np.int64)
-            corner = key[2].startswith(("cd", "ca"))
-            offs = (0,) if not eight or corner else (-1, 0, 1)
-            eq_pairs, adj_pairs = set(), set()
-            n = min(len(va), len(vb))
-            for off in offs:
-                lo, hi = max(0, -off), min(n, n - off)
-                if hi <= lo:
-                    continue
-                ia = np.arange(lo, hi)
-                ib = ia + off
-                ok = (ca[ia] >= 0) & (cb[ib] >= 0)
-                same = ok & (va[ia] == vb[ib])
-                for x, y in zip(ca[ia][same].tolist(), cb[ib][same].tolist()):
-                    eq_pairs.add((x, y))
-                if off == 0 and not corner:
-                    # adjacency is strictly 4-neighbor (GDAL merges into
-                    # the largest 4-adjacent neighbor)
-                    diff = ok & (va[ia] != vb[ib])
-                    for x, y in zip(ca[ia][diff].tolist(), cb[ib][diff].tolist()):
-                        adj_pairs.add((x, y))
-            if not eq_pairs and not adj_pairs:
-                return empty
-            allp = sorted(eq_pairs) + sorted(adj_pairs)
-            arr2 = np.array(allp, dtype=np.int64)
-            return pd.DataFrame({
-                "image_id": key[0], "band": key[1],
-                "cid_a": arr2[:, 0], "cid_b": arr2[:, 1],
-                "eq": [True] * len(eq_pairs) + [False] * len(adj_pairs)})
+        # Border pairing is pure elementwise array comparison — run it as
+        # ONE JVM aggregation + higher-order expressions instead of the
+        # former repartition + applyInPandas (guide §4.1: built-ins over
+        # Python; the Python version cost a 32-task Arrow stage of
+        # near-empty worker round-trips on small inputs and a full
+        # Python crossing of every border strip at scale). phase1 emits
+        # exactly one 'a' and one 'b' strip per interior border line, so
+        # a groupBy(key) with conditional max pulls both sides into one
+        # row with a single exchange (no self-join, no sort); the pair
+        # lists are then zip-compared via element_at, and array_distinct
+        # replaces the old per-key set-dedup without a shuffle.
+        jo = (strips.groupBy("image_id", "band", "key")
+              .agg(F.max(F.when(F.col("side") == "a",
+                                F.struct(F.col("vals"), F.col("cids"))))
+                   .alias("__sa"),
+                   F.max(F.when(F.col("side") == "b",
+                                F.struct(F.col("vals"), F.col("cids"))))
+                   .alias("__sb"))
+              .filter(F.col("__sa").isNotNull() & F.col("__sb").isNotNull())
+              .select("image_id", "band", "key",
+                      F.col("__sa.vals").alias("va"),
+                      F.col("__sa.cids").alias("ca"),
+                      F.col("__sb.vals").alias("vb"),
+                      F.col("__sb.cids").alias("cb")))
+        nlen = F.least(F.size("va"), F.size("vb"))
+        corner = (F.col("key").startswith("cd:")
+                  | F.col("key").startswith("ca:"))
 
-        # no .distinct() here (it cost a full extra shuffle in the first
-        # job): duplicate equivalence edges are harmless to union-find /
-        # pointer doubling, and adjacency is deduped at adj_sym below
-        pairs = _declare_parallelism(strips, "image_id", "band", "key") \
-            .groupBy("image_id", "band", "key").applyInPandas(
-            make_pairs,
-            schema="image_id string, band int, cid_a long, cid_b long, eq boolean"
-        ).persist()
+        def pairs_for(off: int):
+            # 1-based index range [1+max(0,-off), n-max(0,off)]
+            seq = F.sequence(F.lit(1 + max(0, -off)), nlen - F.lit(max(0, off)))
+            return F.transform(seq, lambda i: F.struct(
+                F.element_at("ca", i).alias("cid_a"),
+                F.element_at("cb", i + off).alias("cid_b"),
+                (F.element_at("va", i) == F.element_at("vb", i + off))
+                .alias("eq"),
+                F.lit(off == 0).alias("c0")))
+
+        allp = pairs_for(0)
+        if eight:
+            diag = F.when(nlen >= 2, F.concat(pairs_for(1), pairs_for(-1))) \
+                .otherwise(F.array().cast(
+                    "array<struct<cid_a:bigint,cid_b:bigint,eq:boolean,c0:boolean>>"))
+            allp = F.when(corner, allp).otherwise(F.concat(allp, diag))
+        keep = F.filter(allp, lambda x: (x["cid_a"] >= 0) & (x["cid_b"] >= 0)
+                        & (x["eq"] | (x["c0"] & ~corner)))
+        dedup = F.array_distinct(F.transform(keep, lambda x: F.struct(
+            x["cid_a"].alias("cid_a"), x["cid_b"].alias("cid_b"),
+            x["eq"].alias("eq"))))
+        pairs = (jo.select("image_id", "band",
+                           F.explode(dedup).alias("p"))
+                 .select("image_id", "band", F.col("p.cid_a").alias("cid_a"),
+                         F.col("p.cid_b").alias("cid_b"),
+                         F.col("p.eq").alias("eq"))).persist()
         # full materialization before _attach_roots' LIMIT-bounded
         # collect (limits short-circuit -> partial caches -> the rewrite
         # job re-ran phase1; round-4 scaling series finding)

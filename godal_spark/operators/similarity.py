@@ -110,6 +110,9 @@ def with_hyperplane_sketch(emb: DataFrame, *, vec_col: str = "embedding",
             val |= signs[:, b].astype(np.int64) << b
         return pd.Series(val)
 
+    # guide §4.4: bucket-derived filters push below the UDF and would
+    # duplicate the ArrowEvalPython node — pin one evaluation
+    sk = sk.asNondeterministic()
     return emb.withColumn("sketch", sk(F.col(vec_col)))
 
 
@@ -155,6 +158,9 @@ def with_ivf_assignment(emb: DataFrame, centroids: np.ndarray, *,
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         return pd.Series((M @ C.T).argmax(axis=1).astype(np.int32))
 
+    # guide §4.4: the probe join's isnotnull(ivf_list) pushes below the
+    # UDF and would duplicate the assignment pass — pin one evaluation
+    assign = assign.asNondeterministic()
     return emb.withColumn("ivf_list", assign(F.col(vec_col)))
 
 
@@ -168,6 +174,10 @@ def ivf_topk(emb: DataFrame, query_ids, k: int = 10, *, nlist: int = 16,
     """
     C = centroids if centroids is not None else train_centroids(
         emb, nlist, vec_col=vec_col, seed=seed)
+    # (measured r6: spreading a single-split corpus scan here LOSES —
+    # the assignment matmul is ~0.4 s single-task at 20k vectors, less
+    # than the repartition exchange + 32 Arrow task round-trips it buys;
+    # a corpus big enough to need the spread has many splits already)
     assigned = with_ivf_assignment(emb, C, vec_col=vec_col)
 
     qids, qmat = _collect_queries(emb, query_ids, id_col, vec_col)

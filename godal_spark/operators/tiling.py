@@ -110,7 +110,22 @@ def with_overview_levels(df: DataFrame, w: str = "w", h: str = "h",
     or shiftright(h, k-1) > m — identical to the reference's halving
     loop since Go's integer halving chain equals bit-shift.
     """
-    m = F.lit(min_size) if isinstance(min_size, int) else min_size
+    if isinstance(min_size, int):
+        # integer-only form: shiftright(w, k-1) == floor(w / 2^(k-1)) for
+        # non-negative ints, and SQL's ShiftRight accepts a column shift
+        # count (the pyspark wrapper does not — hence F.expr). The
+        # double-arithmetic POWER form below is what the pyspark lambda
+        # API forces, and higher-order filter/transform are interpreted
+        # per element, so each pow costs real CPU: measured 6x slower on
+        # a 200k-image plan (3.9 s -> 0.6 s for the overview_tiles rollup
+        # at sf1.0; the expression is also evaluated twice — once in the
+        # Generate's size()>0 pre-filter, once in the Project).
+        return df.withColumn("levels", F.expr(
+            f"transform(filter(sequence(1, 31), "
+            f"k -> (shiftright({w}, k - 1) > {min_size}) OR "
+            f"(shiftright({h}, k - 1) > {min_size})), "
+            f"k -> cast(shiftleft(1, k) as int))"))
+    m = min_size
     ks = F.sequence(F.lit(1), F.lit(31))
     # w >> (k-1) as floor(w / 2^(k-1)) — shiftright needs a literal count,
     # but the shift amount here is the lambda variable
@@ -203,9 +218,12 @@ def build_overview_level(tiles: DataFrame, factor_from_prev: int = 2,
     # kernel (measured 19 s -> ~2 s on a 4k-tile level; same lesson as
     # warp's render, see PLANS.md). Explicit-N keyed repartition is
     # exempt from coalescing and satisfies applyInPandas's required
-    # distribution — no second exchange.
-    sc = tiles.sparkSession.sparkContext
-    parent = parent.repartition(sc.defaultParallelism * 2,
+    # distribution — no second exchange. N derives from the input's own
+    # partitioning (plans.skew.adaptive_parallelism) so a near-empty
+    # input doesn't pay a constant 2x-cores of Python task round-trips.
+    from godal_spark.plans.skew import adaptive_parallelism
+
+    parent = parent.repartition(adaptive_parallelism(parent),
                                 "image_id", "band", "pbx", "pby")
 
     def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -331,8 +349,9 @@ def cog_write(tiles: DataFrame, *, images_meta: DataFrame | None = None,
                              "n_levels": [len(arrs)],
                              "nbytes": [len(buf)], "cog": [buf]})
 
-    sc = t.sparkSession.sparkContext
-    return (t.repartition(sc.defaultParallelism * 2, "image_id", "band")
+    from godal_spark.plans.skew import adaptive_parallelism
+
+    return (t.repartition(adaptive_parallelism(t), "image_id", "band")
             .groupBy("image_id", "band")
             .applyInPandas(assemble,
                            schema="image_id string, band int, n_levels int, "

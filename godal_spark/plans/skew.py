@@ -18,6 +18,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Parallelize a small-file scan before heavy downstream compute
+    (guide §2.2/§6: split sizing bounds scan parallelism, and a
+    one-file/one-rowgroup parquet table is ONE task no matter the split
+    config). The driver tables are exactly that shape, so explodes,
+    window sorts and Arrow stages downstream of a bare scan serialize on
+    one core. A keyless round-robin repartition of the (column-pruned)
+    input costs one tiny shuffle and unlocks every core; it no-ops when
+    the scan already has >= defaultParallelism splits — the 100 TB case,
+    where adding a shuffle of the base table would be the bug instead.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
+def adaptive_parallelism(df: DataFrame, floor: int = 8) -> int:
+    """Partition count for an explicit keyed repartition ahead of a
+    CPU-bound Python kernel (applyInPandas): AQE's SIZE-based coalescing
+    is wrong for those stages (Python cost scales with rows, not bytes —
+    a few MB of tiles coalesce to 1-2 tasks and serialize the kernel,
+    measured 19 s -> 2 s on a 4k-tile overview reduce), but a CONSTANT
+    2x-cores fan-out is wrong in the other direction for near-empty
+    inputs (64 Python task round-trips over 6 rows, measured ~0.2 s of
+    pure scheduling per stage in the sieve bench). Derive the count from
+    the input's own partitioning instead: small scans (1-2 splits) get
+    `floor`, real tables (many splits / prior shuffles) get the full
+    2x-cores. Scale-adaptive, no extra job."""
+    sc = df.sparkSession.sparkContext
+    return max(floor, min(sc.defaultParallelism * 2,
+                          df.rdd.getNumPartitions() * 4))
+
+
 def salted_join(large: DataFrame, small: DataFrame, on: str = "cell",
                 salt: int = 8, how: str = "inner",
                 salt_by: str | None = None) -> DataFrame:
