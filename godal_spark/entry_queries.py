@@ -3354,6 +3354,41 @@ FROM pts GROUP BY ball ORDER BY ball
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    # Registry order = driver verification order: the correctness gate
+    # checks the FIRST 50 entries only, and rounds 1-5 grew the registry
+    # past the cap — everything after color_relief had never appeared in
+    # a driver artifact (round-5 verdict #1). The 29 previously-unchecked
+    # entries therefore come FIRST; the long-verified round-1/2 block
+    # follows. Name->function mapping is unchanged.
+    "crs_3857": q_crs_3857,
+    "crs_world": q_crs_world,
+    "geom_overlay": q_geom_overlay,
+    "gcps_fit": q_gcps_fit,
+    "reproject_bounds": q_reproject_bounds,
+    "vector_translate": q_vector_translate,
+    "reproject_layer": q_reproject_layer,
+    "feature_crud": q_feature_crud,
+    "warp_into": q_warp_into,
+    "lineage_resume": q_lineage_resume,
+    "catalog_lod": q_catalog_lod,
+    "token_bpe": q_token_bpe,
+    "fingerprint": q_fingerprint,
+    "crs_osgb": q_crs_osgb,
+    "cog_roundtrip": q_cog_roundtrip,
+    "tiff_ingest": q_tiff_ingest,
+    "cog_jpeg": q_cog_jpeg,
+    "repetition": q_repetition,
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "buildvrt": q_buildvrt,
+    "geom_boolean": q_geom_boolean,
+    "vector_roundtrip": q_vector_roundtrip,
+    "scale_offset_stats": q_scale_offset_stats,
+    "crs_bounds": q_crs_bounds,
+    "gcps_affine": q_gcps_affine,
+    "salted_agg": q_salted_agg,
+    "kmeans_clusters": q_kmeans_clusters,
+    "video_avi": q_video_avi,
     "block_grid": q_block_grid,
     "overview_plan": q_overview_plan,
     "overview_tiles": q_overview_tiles,
@@ -3388,17 +3423,12 @@ QUERIES = {
     "translate_window": q_translate_window,
     "knn_fine": q_knn_fine,
     "quality_filter": q_quality_filter,
-    # oracle-checked as of round 2 (constant tables / exhaustive-probe /
-    # SQL replicas); image_phash too — constructed ramp image whose
-    # byte-copy phash is derivable in SQL (SQL_IMAGE_PHASH)
     "polygonize_diag": q_polygonize_diag,
     "polygonize_dist": q_polygonize_dist,
     "simhash_pairs": q_simhash_pairs,
     "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "image_phash": q_image_phash,
-    # round 5: the §2.7 analytic family (constant-table oracles derived
-    # from the documented kernels / reference goldens)
     "dem_plane": q_dem_plane,
     "viewshed_modes": q_viewshed_modes,
     "grid_linear": q_grid_linear,
@@ -3409,35 +3439,6 @@ QUERIES = {
     "scale_offset": q_scale_offset,
     "geom_containers": q_geom_containers,
     "color_relief": q_color_relief,
-    "crs_3857": q_crs_3857,
-    "crs_world": q_crs_world,
-    "geom_overlay": q_geom_overlay,
-    "gcps_fit": q_gcps_fit,
-    "reproject_bounds": q_reproject_bounds,
-    "vector_translate": q_vector_translate,
-    "reproject_layer": q_reproject_layer,
-    "feature_crud": q_feature_crud,
-    "warp_into": q_warp_into,
-    "lineage_resume": q_lineage_resume,
-    "catalog_lod": q_catalog_lod,
-    "token_bpe": q_token_bpe,
-    "fingerprint": q_fingerprint,
-    "crs_osgb": q_crs_osgb,
-    "cog_roundtrip": q_cog_roundtrip,
-    "tiff_ingest": q_tiff_ingest,
-    "cog_jpeg": q_cog_jpeg,
-    "repetition": q_repetition,
-    "decontaminate": q_decontaminate,
-    "pii_scrub": q_pii_scrub,
-    "buildvrt": q_buildvrt,
-    "geom_boolean": q_geom_boolean,
-    "vector_roundtrip": q_vector_roundtrip,
-    "scale_offset_stats": q_scale_offset_stats,
-    "crs_bounds": q_crs_bounds,
-    "gcps_affine": q_gcps_affine,
-    "salted_agg": q_salted_agg,
-    "kmeans_clusters": q_kmeans_clusters,
-    "video_avi": q_video_avi,
 }
 
 ORACLES = {

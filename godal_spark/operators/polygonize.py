@@ -1153,6 +1153,13 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
         # row with a single exchange (no self-join, no sort); the pair
         # lists are then zip-compared via element_at, and array_distinct
         # replaces the old per-key set-dedup without a shuffle.
+        # explicit keyed repartition sized from the input: the persist()
+        # on `pairs` disables AQE re-optimization inside the cached
+        # fragment (canChangeCachedPlanOutputPartitioning default), so
+        # without this the agg exchange runs at the full
+        # shuffle-partition count with no runtime coalescing — 32 reduce
+        # tasks for a 6-tile input
+        strips = _declare_parallelism(strips, "image_id", "band", "key")
         jo = (strips.groupBy("image_id", "band", "key")
               .agg(F.max(F.when(F.col("side") == "a",
                                 F.struct(F.col("vals"), F.col("cids"))))

@@ -308,25 +308,28 @@ def warp(spark: SparkSession, images: DataFrame, switches: list[str] | None = No
     else:
         # ONE fused job computes the resolution anchor (lowest image_id —
         # GDAL's input-order analogue, deterministic) AND the mosaic
-        # extent: per-image native bounds in a metadata-only Arrow pass,
-        # then a single agg with min_by for the anchor. Round 3: this
-        # was two driver-barrier jobs (orderBy().first() + extent agg) —
-        # a measurable serial slice of every warp at executor scale.
-        def bgen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                rows = []
-                for rec in pdf.itertuples(index=False):
-                    b = CRS.dataset_bounds(list(rec.gt), rec.w, rec.h)
-                    rows.append((rec.image_id, list(rec.gt), int(rec.w),
-                                 int(rec.h), rec.srs, *b))
-                yield pd.DataFrame(rows, columns=[
-                    "image_id", "gt", "w", "h", "srs",
-                    "bminx", "bminy", "bmaxx", "bmaxy"])
+        # extent: per-image native bounds as PURE codegen expressions
+        # (the corner affine is `gt0 + x·gt1 + y·gt2` — identical IEEE
+        # op order to CRS.pixel_to_geo, so values are bit-equal), then a
+        # single agg with min_by for the anchor. Round 3 fused two
+        # driver-barrier jobs into one; round 6 removes the Arrow stage
+        # the fused pass still carried (guide §4.1: built-ins when they
+        # exist — a Python worker round-trip per warp call for four
+        # multiply-adds).
+        def _cx(x, y):
+            return F.col("gt")[0] + x * F.col("gt")[1] + y * F.col("gt")[2]
 
-        row = (meta_small.mapInPandas(
-            bgen, schema="image_id string, gt array<double>, w int, h int, "
-                         "srs string, bminx double, bminy double, "
-                         "bmaxx double, bmaxy double")
+        def _cy(x, y):
+            return F.col("gt")[3] + x * F.col("gt")[4] + y * F.col("gt")[5]
+
+        wc, hc = F.col("w").cast("double"), F.col("h").cast("double")
+        zero = F.lit(0.0)
+        cxs = [_cx(zero, zero), _cx(wc, zero), _cx(zero, hc), _cx(wc, hc)]
+        cys = [_cy(zero, zero), _cy(wc, zero), _cy(zero, hc), _cy(wc, hc)]
+        row = (meta_small.select(
+            "image_id", "gt", "w", "h", "srs",
+            F.least(*cxs).alias("bminx"), F.least(*cys).alias("bminy"),
+            F.greatest(*cxs).alias("bmaxx"), F.greatest(*cys).alias("bmaxy"))
             .agg(F.min("bminx").alias("bminx"), F.min("bminy").alias("bminy"),
                  F.max("bmaxx").alias("bmaxx"), F.max("bmaxy").alias("bmaxy"),
                  F.min_by(F.struct("gt", "srs", "w", "h"),
