@@ -406,11 +406,14 @@ def minhash_lsh_dedup(docs: DataFrame, *, k: int = 5, num_hashes: int = 64,
     # the banding subtree from re-running once per verify branch.
     cand = cand.localCheckpoint(eager=True)
     n_cand = cand.count()
-    out = jaccard_verify(sig, cand, id_col=id_col, threshold=threshold,
-                         signature_prefilter=True,
-                         shingle_col="shingle_hashes",
-                         broadcast_pairs=n_cand <= 2_000_000)
-    return out.localCheckpoint(eager=True)
+    # no output checkpoint: sig and cand are already materialized, so
+    # the verify is a cheap narrow plan over checkpointed blocks — an
+    # eager result checkpoint would just compute it twice (once into
+    # block storage, once when the caller reads)
+    return jaccard_verify(sig, cand, id_col=id_col, threshold=threshold,
+                          signature_prefilter=True,
+                          shingle_col="shingle_hashes",
+                          broadcast_pairs=n_cand <= 2_000_000)
 
 
 # ---------------------------------------------------------------------------

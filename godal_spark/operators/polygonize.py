@@ -1226,9 +1226,13 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
                     ["image_id", "band", "cid_b"])
               .select("image_id", "band", "ra", "rb")
               .filter(F.col("ra") != F.col("rb")))
+        # no .distinct(): duplicate adjacency rows (one component pair
+        # touching several border lines) cannot change the max_by merge
+        # decision below, and the distinct cost a full extra exchange +
+        # AQE job round-trip
         adj_sym = ra.unionByName(
             ra.select("image_id", "band", F.col("rb").alias("ra"),
-                      F.col("ra").alias("rb"))).distinct()
+                      F.col("ra").alias("rb")))
 
         small = stats.filter(F.col("size") < threshold)
         # decision inputs: one row per (small root, neighbor) with both

@@ -174,38 +174,55 @@ def ivf_topk(emb: DataFrame, query_ids, k: int = 10, *, nlist: int = 16,
     """
     C = centroids if centroids is not None else train_centroids(
         emb, nlist, vec_col=vec_col, seed=seed)
-    # (measured r6: spreading a single-split corpus scan here LOSES —
-    # the assignment matmul is ~0.4 s single-task at 20k vectors, less
-    # than the repartition exchange + 32 Arrow task round-trips it buys;
-    # a corpus big enough to need the spread has many splits already)
-    assigned = with_ivf_assignment(emb, C, vec_col=vec_col)
 
     qids, qmat = _collect_queries(emb, query_ids, id_col, vec_col)
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     probes = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]
-    probe_rows = [(int(q), [int(p) for p in ps]) for q, ps in zip(qids, probes)]
-    spark = emb.sparkSession
-    qdf = spark.createDataFrame(probe_rows, "qid long, probe array<int>")
-    qdf = qdf.select("qid", F.explode("probe").alias("ivf_list"))
+    # probe membership as a (n_queries x nlist) bool matrix — the whole
+    # probe plan is a broadcast constant of the fused scan below
+    probe_m = np.zeros((len(qids), len(C)), dtype=bool)
+    for qi, ps in enumerate(probes):
+        probe_m[qi, ps] = True
+    Cb = np.asarray(C, dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
 
-    cand = qdf.join(assigned.select(F.col(id_col).alias("pid"), "ivf_list",
-                                    F.col(vec_col).alias("__vec")), "ivf_list")
-    qvecs = {int(q): qmat[i] for i, q in enumerate(qids)}
-
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # ONE fused Arrow pass (guide §8: decide with small rows, move heavy
+    # bytes once): assignment, probe masking, cosine scoring and a
+    # per-batch partial top-k all happen on the corpus scan — the
+    # round-5 plan shipped every vector through Python TWICE (assign,
+    # then rerank after a probe join that exploded the candidates to
+    # |D|·nprobe/nlist rows of full vectors; ~100 MB of Arrow at 20k
+    # vectors x 8/8 lists). The partial top-k uses the same total order
+    # as the final window — (sim desc, pid asc) via lexsort — so ties
+    # (duplicate vectors) resolve identically and the global top-k is
+    # exact over the same candidate set.
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame({"qid": [], "pid": [], "sim": []})
                 continue
-            P = np.array(list(pdf["__vec"]), dtype=np.float64)
-            pn = np.linalg.norm(P, axis=1)
-            Q = np.array([qvecs[int(q)] for q in pdf["qid"]], dtype=np.float64)
-            qn2 = np.linalg.norm(Q, axis=1)
-            sims = (P * Q).sum(axis=1) / (pn * qn2)
-            yield pd.DataFrame({"qid": pdf["qid"], "pid": pdf["pid"], "sim": sims})
+            pids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            pn = np.linalg.norm(M, axis=1)
+            Mn = M / np.maximum(pn, 1e-12)[:, None]
+            assign = (Mn @ Cb.T).argmax(axis=1)
+            sims_all = (qmat @ M.T) / (qnorm[:, None] * pn[None, :])
+            rows = {"qid": [], "pid": [], "sim": []}
+            for qi in range(len(qids)):
+                m = probe_m[qi, assign] & (pids != qids[qi])
+                if not m.any():
+                    continue
+                idx = np.flatnonzero(m)
+                s = sims_all[qi, idx]
+                order = np.lexsort((pids[idx], -s))[:k]
+                sel = idx[order]
+                rows["qid"].extend([int(qids[qi])] * len(sel))
+                rows["pid"].extend(pids[sel].tolist())
+                rows["sim"].extend(sims_all[qi, sel].tolist())
+            yield pd.DataFrame(rows)
 
-    scored = cand.mapInPandas(rerank, schema="qid long, pid long, sim double")
-    scored = scored.filter(F.col("qid") != F.col("pid"))
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        fused, schema="qid long, pid long, sim double")
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("pid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
