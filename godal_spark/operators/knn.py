@@ -198,8 +198,10 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     # bad = fewer than k in-bound candidates (incl. zero -> absent here)
     qcols = queries.columns
     remaining = queries.join(good_ids, q_id, "left_anti").select(*qcols)
-    n_bad = remaining.count()
-    if n_bad == 0:
+    # isEmpty (limit-1 short-circuit), not count(): the dense-corpus fast
+    # path only needs the boolean and stops at the first surviving row
+    has_bad = not remaining.isEmpty()
+    if not has_bad:
         return _finalize(ranked, F.lit(True))
 
     parts = [_finalize(ranked.join(good_ids, q_id, "left_semi"), F.lit(True))]
@@ -213,7 +215,7 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     # reaches the same cap in <= log2(max_reprobe_rings) passes — each
     # over a strictly shrinking query set.
     r = 2 * rings
-    while n_bad > 0 and r <= max_reprobe_rings:
+    while has_bad and r <= max_reprobe_rings:
         rbound = r * min_cell
         rcand = _ring_candidates(remaining, p, res, F.lit(r), q_id, q_lon, q_lat)
         # per-query rings may wrap the grid — always dedup this (small) tier
@@ -225,10 +227,10 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
         parts.append(_finalize(
             rranked.join(rgood, q_id, "left_semi"), F.lit(True)))
         remaining = remaining.join(rgood, q_id, "left_anti")
-        n_bad = remaining.count()
+        has_bad = not remaining.isEmpty()
         r *= 2
 
-    if n_bad > 0:
+    if has_bad:
         # tier 3: brute — exact cross join for the pathological remainder
         # (a query with < k neighbors inside the re-probe cap, or k > |P|)
         pb = points.select(F.col(p_id).alias("__pid"),

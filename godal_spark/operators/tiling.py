@@ -111,20 +111,32 @@ def with_overview_levels(df: DataFrame, w: str = "w", h: str = "h",
     loop since Go's integer halving chain equals bit-shift.
     """
     if isinstance(min_size, int):
-        # integer-only form: shiftright(w, k-1) == floor(w / 2^(k-1)) for
-        # non-negative ints, and SQL's ShiftRight accepts a column shift
-        # count (the pyspark wrapper does not — hence F.expr). The
-        # double-arithmetic POWER form below is what the pyspark lambda
-        # API forces, and higher-order filter/transform are interpreted
-        # per element, so each pow costs real CPU: measured 6x slower on
-        # a 200k-image plan (3.9 s -> 0.6 s for the overview_tiles rollup
-        # at sf1.0; the expression is also evaluated twice — once in the
-        # Generate's size()>0 pre-filter, once in the Project).
+        # Closed integer form (guide §1.2 step 2 — per-task work). The
+        # level predicate `(w >> (k-1)) > m OR (h >> (k-1)) > m` is
+        # monotone decreasing in k, so the level set is contiguous
+        # 1..kmax with kmax = bitlen(dim div (m+1)) = floor(log2(dim div
+        # (m+1))) + 1 per dimension (0 when dim <= m). That replaces the
+        # interpreted 31-step filter scan — and the original
+        # POWER-of-double form it already replaced measured 6x slower on
+        # a 200k-image plan (3.9 s -> 0.6 s for the overview_tiles
+        # rollup at sf1.0; the expression is also evaluated twice, once
+        # in the Generate's size()>0 pre-filter, once in the Project).
+        # floor/log2 double math is exact here: dim/(m+1) sits >= 1/(m+1)
+        # away from any wrong integer, and log2 of an exact int is
+        # >= ~1/(x ln2) away from any wrong integer — both far above
+        # double rounding error for 32-bit dims.
+        mp1 = min_size + 1
+
+        def _kmax(c: str) -> str:
+            return (f"(CASE WHEN {c} > {min_size} THEN "
+                    f"cast(floor(log2(floor({c} / {mp1}))) + 1 as int) "
+                    f"ELSE 0 END)")
+
+        n = f"greatest({_kmax(w)}, {_kmax(h)})"
         return df.withColumn("levels", F.expr(
-            f"transform(filter(sequence(1, 31), "
-            f"k -> (shiftright({w}, k - 1) > {min_size}) OR "
-            f"(shiftright({h}, k - 1) > {min_size})), "
-            f"k -> cast(shiftleft(1, k) as int))"))
+            f"CASE WHEN {n} < 1 THEN cast(array() as array<int>) "
+            f"ELSE transform(sequence(1, {n}), "
+            f"k -> cast(shiftleft(1, k) as int)) END"))
     m = min_size
     ks = F.sequence(F.lit(1), F.lit(31))
     # w >> (k-1) as floor(w / 2^(k-1)) — shiftright needs a literal count,
@@ -154,36 +166,55 @@ def explode_tiles(images: DataFrame, bw: int = 256, bh: int = 256) -> DataFrame:
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-(w,h) grid metadata cached as numpy columns: bench/catalog
+        # tables repeat a few dozen dimension pairs across millions of
+        # images, and the per-block python appends this replaces were
+        # ~40% of the decode stage's CPU (14 list appends per tile row)
+        grid_cache: dict = {}
         for pdf in batches:
-            rows = {k: [] for k in ("image_id", "band", "level", "block_x", "block_y",
-                                    "x0", "y0", "bw", "bh", "w", "h",
-                                    "dtype", "payload", "caption")}
+            meta_parts = []          # (nblk int arrays) per (image, band)
+            ids, dts, caps = [], [], []
+            payloads: list = []
             for rec in pdf.itertuples(index=False):
                 arr = codecs.decode(rec.bytes, rec.fmt, rec.w, rec.h)
                 if arr.ndim == 2:
                     planes = [arr]
                 else:
                     planes = [arr[:, :, b] for b in range(arr.shape[2])]
-                grid = block_grid_list(rec.w, rec.h, bw, bh)
+                key = (rec.w, rec.h)
+                g = grid_cache.get(key)
+                if g is None:
+                    gl = block_grid_list(rec.w, rec.h, bw, bh)
+                    g = grid_cache[key] = np.array(gl, dtype=np.int64).T
                 cap = getattr(rec, "caption", None)
                 for band, plane in enumerate(planes):
-                    for (bx, by, x0, y0, tw, th) in grid:
-                        rows["image_id"].append(rec.image_id)
-                        rows["band"].append(band)
-                        rows["level"].append(0)
-                        rows["block_x"].append(bx)
-                        rows["block_y"].append(by)
-                        rows["x0"].append(x0)
-                        rows["y0"].append(y0)
-                        rows["bw"].append(tw)
-                        rows["bh"].append(th)
-                        rows["w"].append(rec.w)
-                        rows["h"].append(rec.h)
-                        rows["dtype"].append(str(plane.dtype))
-                        rows["payload"].append(
-                            np.ascontiguousarray(plane[y0:y0 + th, x0:x0 + tw]).tobytes())
-                        rows["caption"].append(cap)
-            yield pd.DataFrame(rows)
+                    nblk = g.shape[1]
+                    meta_parts.append((g, band, rec.w, rec.h))
+                    ids.extend([rec.image_id] * nblk)
+                    dts.extend([str(plane.dtype)] * nblk)
+                    caps.extend([cap] * nblk)
+                    payloads.extend(
+                        np.ascontiguousarray(
+                            plane[y0:y0 + th, x0:x0 + tw]).tobytes()
+                        for (_, _, x0, y0, tw, th) in zip(*g))
+            if not meta_parts:
+                yield pd.DataFrame({k: [] for k in (
+                    "image_id", "band", "level", "block_x", "block_y",
+                    "x0", "y0", "bw", "bh", "w", "h",
+                    "dtype", "payload", "caption")})
+                continue
+            gs = np.concatenate([p[0] for p in meta_parts], axis=1)
+            reps = np.array([p[0].shape[1] for p in meta_parts])
+            bands = np.repeat(np.array([p[1] for p in meta_parts]), reps)
+            ws = np.repeat(np.array([p[2] for p in meta_parts]), reps)
+            hs = np.repeat(np.array([p[3] for p in meta_parts]), reps)
+            yield pd.DataFrame({
+                "image_id": ids, "band": bands,
+                "level": np.zeros(len(bands), dtype=np.int64),
+                "block_x": gs[0], "block_y": gs[1],
+                "x0": gs[2], "y0": gs[3], "bw": gs[4], "bh": gs[5],
+                "w": ws, "h": hs,
+                "dtype": dts, "payload": payloads, "caption": caps})
 
     return images.mapInPandas(gen, schema=TILE_SCHEMA)
 
