@@ -332,17 +332,24 @@ def _ramp_tiles_partial(img: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("image_id", "n_px", "s", "ss", "mn", "mx")}
-            for r in pdf.itertuples(index=False):
+            n = len(pdf)
+            ids = np.empty(n, dtype=np.int64)
+            npx = np.empty(n, dtype=np.int64)
+            s = np.empty(n)
+            ss = np.empty(n)
+            mn = np.empty(n)
+            mx = np.empty(n)
+            for i, r in enumerate(pdf.itertuples(index=False)):
                 y, x = np.mgrid[r.y0:r.y0 + r.bh, r.x0:r.x0 + r.bw]
                 v = ((y * r.w + x) % 256).astype(np.float64)
-                out["image_id"].append(r.image_id)
-                out["n_px"].append(v.size)
-                out["s"].append(float(v.sum()))
-                out["ss"].append(float((v * v).sum()))
-                out["mn"].append(float(v.min()))
-                out["mx"].append(float(v.max()))
-            yield pd.DataFrame(out)
+                ids[i] = r.image_id
+                npx[i] = v.size
+                s[i] = v.sum()
+                ss[i] = (v * v).sum()
+                mn[i] = v.min()
+                mx[i] = v.max()
+            yield pd.DataFrame({"image_id": ids, "n_px": npx, "s": s,
+                                "ss": ss, "mn": mn, "mx": mx})
 
     return grid.mapInPandas(gen, schema=_PART_SCHEMA)
 
@@ -383,17 +390,23 @@ def q_histogram(spark, sf_dir):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"image_id": [], "bucket": [], "n": []}
+            ids, cmat = [], []
             for r in pdf.itertuples(index=False):
                 y, x = np.mgrid[r.y0:r.y0 + r.bh, r.x0:r.x0 + r.bw]
                 v = ((y * r.w + x) % 256).astype(np.int64)
-                counts = np.bincount((v >> 5).ravel(), minlength=8)
-                for b in range(8):
-                    if counts[b]:
-                        out["image_id"].append(r.image_id)
-                        out["bucket"].append(b)
-                        out["n"].append(int(counts[b]))
-            yield pd.DataFrame(out)
+                cmat.append(np.bincount((v >> 5).ravel(), minlength=8))
+                ids.append(r.image_id)
+            if not ids:
+                yield pd.DataFrame({"image_id": [], "bucket": [], "n": []})
+                continue
+            # emit the (block x 8) count matrix with numpy (no per-bucket
+            # python appends); zero buckets filtered in bulk
+            cm = np.stack(cmat)
+            nz = cm.ravel() > 0
+            yield pd.DataFrame({
+                "image_id": np.repeat(np.asarray(ids, dtype=np.int64), 8)[nz],
+                "bucket": np.tile(np.arange(8, dtype=np.int64), len(ids))[nz],
+                "n": cm.ravel()[nz].astype(np.int64)})
 
     part = grid.mapInPandas(gen, schema="image_id bigint, bucket bigint, n bigint")
     return part.groupBy("image_id", "bucket").agg(F.sum("n").cast("bigint").alias("n"))
