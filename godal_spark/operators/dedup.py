@@ -139,7 +139,6 @@ def with_shingle_minhash_fused(docs: DataFrame, text_col: str = "text",
         docs = docs.repartition(par)
 
     a, b = _minhash_params(num_hashes, seed)
-    empty_mh = [0] * num_hashes
     rows_per_band = (num_hashes // bands) if bands else 0
     # Java/DuckDB \s is ASCII; Python str.split()/re default are Unicode —
     # pin ASCII so token sets (hence Jaccard) match the SQL oracle exactly
@@ -156,7 +155,10 @@ def with_shingle_minhash_fused(docs: DataFrame, text_col: str = "text",
         # accidents that the exact verify removes anyway.
         acc = (np.uint64(0xCBF29CE484222325) ^ band_ix) \
             * np.uint64(0x100000001B3)
-        bs = sig.reshape(bands, rows_per_band)
+        # use the first bands*rows_per_band signature entries — identical
+        # to the old F.slice fold, which silently dropped the remainder
+        # when bands does not divide num_hashes (reshape would raise)
+        bs = sig[:bands * rows_per_band].reshape(bands, rows_per_band)
         for j in range(rows_per_band):
             acc = (acc ^ bs[:, j]) * np.uint64(0x100000001B3)
         return acc.view(np.int64)
@@ -406,6 +408,17 @@ def minhash_lsh_dedup(docs: DataFrame, *, k: int = 5, num_hashes: int = 64,
     # the banding subtree from re-running once per verify branch.
     cand = cand.localCheckpoint(eager=True)
     n_cand = cand.count()
+    # the broadcast build side of the verify carries each pair's FULL
+    # shingle + minhash arrays, so the guard must bound bytes, not rows:
+    # small pair sets broadcast unconditionally; mid-size sets pay one
+    # cheap agg on the checkpointed signatures to estimate the build
+    # width against a 1 GB ceiling (Spark hard-caps broadcasts at 8 GB);
+    # anything larger keeps the round-5 shuffle-join verify
+    broadcast_ok = n_cand <= 200_000
+    if not broadcast_ok and n_cand <= 2_000_000:
+        avg_sh = sig.agg(F.avg(F.size("shingle_hashes"))).first()[0] or 0.0
+        est_bytes = n_cand * (16 * avg_sh + 16 * num_hashes + 48)
+        broadcast_ok = est_bytes < (1 << 30)
     # no output checkpoint: sig and cand are already materialized, so
     # the verify is a cheap narrow plan over checkpointed blocks — an
     # eager result checkpoint would just compute it twice (once into
@@ -413,7 +426,7 @@ def minhash_lsh_dedup(docs: DataFrame, *, k: int = 5, num_hashes: int = 64,
     return jaccard_verify(sig, cand, id_col=id_col, threshold=threshold,
                           signature_prefilter=True,
                           shingle_col="shingle_hashes",
-                          broadcast_pairs=n_cand <= 2_000_000)
+                          broadcast_pairs=broadcast_ok)
 
 
 # ---------------------------------------------------------------------------
@@ -714,9 +727,8 @@ def substring_duplicate_spans(docs: DataFrame, *, k: int = 16,
     # and b sides of the self-join) — without materialization the
     # winnowing Arrow pass (crc32 per k-gram, the pipeline's dominant
     # CPU) re-runs once per branch (measured 3x ~9 s of task time at 50k
-    # docs). Persist + count materializes it once; the output checkpoint
-    # at the end truncates lineage so the cache can be dropped before
-    # returning.
+    # docs). An eager localCheckpoint materializes it once and truncates
+    # lineage; the blocks live until the checkpointed RDD is GC'd.
     anchors = with_winnowing_anchors(
         docs, k=k, select_window=select_window,
         id_col=id_col, text_col=text_col).localCheckpoint(eager=True)

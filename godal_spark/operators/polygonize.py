@@ -1178,14 +1178,24 @@ def sieve_tiles(tiles: DataFrame, threshold: int, *, eight: bool = False,
                   | F.col("key").startswith("ca:"))
 
         def pairs_for(off: int):
-            # 1-based index range [1+max(0,-off), n-max(0,off)]
+            # 1-based index range [1+max(0,-off), n-max(0,off)].
+            # Equality must be NaN-exclusive: Spark's `=` treats
+            # NaN = NaN as TRUE, but the numpy pass this replaces (and
+            # label_components' intra-tile test) treat NaN pixels as
+            # never-equal singletons — a NaN-NaN border pair is an
+            # ADJACENCY, not an equivalence.
             seq = F.sequence(F.lit(1 + max(0, -off)), nlen - F.lit(max(0, off)))
-            return F.transform(seq, lambda i: F.struct(
-                F.element_at("ca", i).alias("cid_a"),
-                F.element_at("cb", i + off).alias("cid_b"),
-                (F.element_at("va", i) == F.element_at("vb", i + off))
-                .alias("eq"),
-                F.lit(off == 0).alias("c0")))
+
+            def mk(i):
+                x = F.element_at("va", i)
+                y = F.element_at("vb", i + off)
+                return F.struct(
+                    F.element_at("ca", i).alias("cid_a"),
+                    F.element_at("cb", i + off).alias("cid_b"),
+                    ((x == y) & ~(F.isnan(x) & F.isnan(y))).alias("eq"),
+                    F.lit(off == 0).alias("c0"))
+
+            return F.transform(seq, mk)
 
         allp = pairs_for(0)
         if eight:

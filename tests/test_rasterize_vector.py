@@ -571,3 +571,28 @@ def test_geom_name_accessor():
                       ("GEOMETRYCOLLECTION (POINT (1 2))",
                        "GEOMETRYCOLLECTION")]:
         assert G.from_wkt(wkt).name() == want
+
+
+def test_sieve_tiles_float_nan_border(spark):
+    """Round-6 regression: the JVM border pairing must not use Spark's
+    NaN = NaN (TRUE) semantics — a NaN|NaN pair across a tile seam is an
+    adjacency between two singleton components (numpy semantics), never
+    an equivalence. Distributed result must equal sieve_array."""
+    from godal_spark import datagen
+    from godal_spark.operators import polygonize as PZ, tiling as TL
+
+    arr = np.full((8, 16), 1.0, dtype=np.float32)
+    arr[2, 3] = np.nan
+    arr[5, 7] = np.nan
+    arr[5, 8] = np.nan  # NaN|NaN pair straddling the bw=8 seam
+    arr[0:3, 12:16] = 7.0
+    images = datagen.images_df(spark, [datagen.image_row("f", arr, "rawf32")])
+    tiles = TL.explode_tiles(images, bw=8, bh=8)
+    got_rows = PZ.sieve_tiles(tiles, 3, use_nodata_mask=False).collect()
+    out = np.zeros_like(arr)
+    for r in got_rows:
+        a = np.frombuffer(r.payload, np.dtype(r.dtype)).reshape(r.bh, r.bw)
+        out[r.y0:r.y0 + r.bh, r.x0:r.x0 + r.bw] = a
+    want = PZ.sieve_array(arr, 3)
+    same = (out == want) | (np.isnan(out) & np.isnan(want))
+    assert same.all()

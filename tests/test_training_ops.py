@@ -653,3 +653,18 @@ def test_kmeans_distributed_planted_balls(spark):
     with pytest.raises(ValueError, match="only"):
         SIM.kmeans_fit(df.limit(2), 3)
     df.unpersist()
+
+
+def test_minhash_bands_not_dividing_num_hashes(spark):
+    """Round-6 regression: the numpy band-bucket fold must tolerate
+    bands that do not divide num_hashes (the old JVM slice fold silently
+    dropped the remainder hashes; reshape would raise)."""
+    from godal_spark.operators.dedup import minhash_lsh_dedup
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(4)] + [(10, "totally different words here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_dedup(docs, num_hashes=64, bands=10, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # the four identical docs must all pair up
+    assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} <= got
