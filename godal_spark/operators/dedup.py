@@ -398,7 +398,15 @@ def minhash_lsh_dedup(docs: DataFrame, *, k: int = 5, num_hashes: int = 64,
     # manager's sameResult lookup and each branch silently re-ran the
     # UDF — measured 4x the fused stage in one wall.)
     sig = sig.localCheckpoint(eager=True)
-    cand = minhash_lsh_candidates(sig, bands=bands, id_col=id_col,
+    # a checkpointed-RDD scan has NO column pruning (LogicalRDD hands
+    # back full InternalRows), so the two banding-side readers (bucket
+    # occupancy agg + hot semi-join) would each deserialize the wide
+    # shingle+minhash arrays just to explode 16 longs. Give them a
+    # narrow (id, buckets) checkpoint — one extra cheap job, ~6x fewer
+    # bytes per banding scan; the verify branches still read `sig`.
+    banded_src = sig.select(F.col(id_col), "buckets") \
+        .localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(banded_src, bands=bands, id_col=id_col,
                                   num_hashes=num_hashes)
     # Materialize the (id,id) candidate pairs and measure them: when
     # they fit (the normal regime — candidates ~ O(duplicates), not
