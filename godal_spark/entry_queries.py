@@ -3006,8 +3006,14 @@ def q_buildvrt(spark, sf_dir):
     the priority rule as a FULL OUTER JOIN + COALESCE in DuckDB."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # DuckDB's CAST(double AS BIGINT) ROUNDS while Spark's truncates
+    # (round-5 ADVICE, medium): replicate the oracle's semantics with an
+    # explicit half-up round — floor(x + 0.5) — so src0's block_y agrees
+    # cell-for-cell at EVERY scale factor, not only where src1's
+    # coalesce masks the divergence (verified identical to DuckDB over
+    # the first 2M keys; x can never be exactly .5 since 23 is odd)
     src0 = (o.selectExpr("o_orderkey % 23 AS block_x",
-                         "cast((o_orderkey / 23) as bigint) % 17 AS block_y",
+                         "cast(floor(o_orderkey / 23 + 0.5) as bigint) % 17 AS block_y",
                          "1 AS band", "0 AS level", "o_totalprice AS v")
             .groupBy("block_x", "block_y", "band", "level")
             .agg(F.max("v").alias("px")))

@@ -188,7 +188,11 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
     gram instead of the text.
     """
 
-    def grams(df, col):
+    def grams(df, col, with_id: bool):
+        # with_id is EXPLICIT (round-5 ADVICE): the previous `df is docs`
+        # object-identity test misrouted self-decontamination (passing
+        # the same DataFrame as docs and benchmark made the benchmark
+        # side carry doc_id, producing an ambiguous-column groupBy)
         d = df.withColumn("__toks", _norm_tokens(F.col(col)))
         sz = F.size("__toks")
         g = F.when(
@@ -200,10 +204,10 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
                            for k in range(n)])))
         ).otherwise(F.array().cast("array<bigint>"))
         return d.select(F.explode(g).alias("__gh"), *(
-            [F.col(id_col)] if df is docs else []))
+            [F.col(id_col)] if with_id else []))
 
-    bench_grams = grams(benchmark, bench_text_col).distinct()
-    doc_grams = grams(docs, text_col)
+    bench_grams = grams(benchmark, bench_text_col, with_id=False).distinct()
+    doc_grams = grams(docs, text_col, with_id=True)
     hits = (doc_grams
             .join(F.broadcast(bench_grams), "__gh")
             .groupBy(id_col)
@@ -235,11 +239,15 @@ def pii_stats(docs: DataFrame, text_col: str = "text",
     """PII detection + scrubbing for training corpora: counts emails,
     IPv4 addresses, and international-format phone numbers per document
     and (with scrub=True) adds `text_scrubbed` with each span replaced
-    by a typed placeholder. Order matters: emails are scrubbed before
-    IPv4/phones so a user@host digit run can't double-count; the
-    placeholders contain no digits or '@', so later passes never match
-    inside earlier replacements. All JVM built-ins (regexp_count /
-    regexp_replace) — whole-stage codegen, no Python."""
+    by a typed placeholder. The n_email/n_ipv4/n_phone counts are all
+    computed on the ORIGINAL text, so a span matching two patterns (an
+    IPv4 embedded in an email host) is counted once per pattern — only
+    the REPLACEMENT pass is sequential: emails are scrubbed before
+    IPv4/phones, and the placeholders contain no digits or '@', so later
+    passes never re-match inside earlier replacements (round-5 ADVICE
+    wording fix; the DuckDB oracle counts the same way). All JVM
+    built-ins (regexp_count / regexp_replace) — whole-stage codegen, no
+    Python."""
     out = docs
     for name, pat in PII_PATTERNS.items():
         out = out.withColumn(
