@@ -1422,7 +1422,10 @@ def q_simhash_pairs(spark, sf_dir):
 
     rows = [(i, " ".join(f"tok{i}x{j}" for j in range(40))) for i in range(15)]
     rows += [(i + 1000, t) for i, t in rows[:15]]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # createDataFrame slices 30 rows into defaultParallelism partitions;
+    # the simhash UDF then runs as ~30 near-empty Arrow tasks per join
+    # side — coalesce (narrow) to a handful
+    docs = spark.createDataFrame(rows, "doc_id long, text string").coalesce(4)
     return DD.simhash_dedup(docs, max_hamming=3) \
         .selectExpr("id_a", "id_b", "cast(hamming as bigint) as hamming")
 
