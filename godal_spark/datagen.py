@@ -202,12 +202,9 @@ def image_row(image_id: str, arr: np.ndarray, fmt: str = "raw8",
 
 
 def images_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
-    # createDataFrame slices a pandas frame into defaultParallelism
-    # partitions regardless of size — a 1-row golden image became 32
-    # near-empty partitions, and every downstream Arrow stage paid ~30
-    # empty Python task round-trips (measured ~0.2 s per stage on the
-    # constant-input bench queries). Coalesce to at most one partition
-    # per row (narrow, no shuffle).
-    df = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGES_SCHEMA)
-    par = spark.sparkContext.defaultParallelism
-    return df.coalesce(max(1, min(len(rows), par)))
+    # NOTE r6: createDataFrame slices even a 1-row frame into
+    # defaultParallelism near-empty partitions, but a coalesce here
+    # measured NEUTRAL-to-slightly-negative interleaved (the ~30 empty
+    # Arrow tasks run concurrently, so the wall is one worker round-trip
+    # either way, while merged slices serialize) — left as-is.
+    return spark.createDataFrame(pd.DataFrame(rows), schema=IMAGES_SCHEMA)

@@ -1422,10 +1422,10 @@ def q_simhash_pairs(spark, sf_dir):
 
     rows = [(i, " ".join(f"tok{i}x{j}" for j in range(40))) for i in range(15)]
     rows += [(i + 1000, t) for i, t in rows[:15]]
-    # createDataFrame slices 30 rows into defaultParallelism partitions;
-    # the simhash UDF then runs as ~30 near-empty Arrow tasks per join
-    # side — coalesce (narrow) to a handful
-    docs = spark.createDataFrame(rows, "doc_id long, text string").coalesce(4)
+    # NOTE r6: a coalesce(4) here measured ~2x SLOWER interleaved
+    # (1.5-1.6 s vs 0.7-1.0 s) — merging the createDataFrame slices
+    # costs more than the near-empty Arrow tasks it saves on this path
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
     return DD.simhash_dedup(docs, max_hamming=3) \
         .selectExpr("id_a", "id_b", "cast(hamming as bigint) as hamming")
 
